@@ -1,0 +1,76 @@
+"""Benchmark harness: runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "headline_total", "value": N, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": 0.1}
+
+Execution is forced with the noop sink (full compute, no driver
+collect) so timings measure the distributed plan, not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ecommerce_lakehouse_platform_spark import registry  # noqa: E402
+from ecommerce_lakehouse_platform_spark.session import get_spark  # noqa: E402
+
+# Headline set: the heaviest/most representative plans — fact-fact
+# joins, window dedupe, sessionization, full-outer alignment, top-k,
+# plus the extension operators as they land.
+HEADLINE = [
+    "dash_product_performance",
+    "dash_sales_overview",
+    "dash_customer_360",
+    "gold_daily_metrics",
+    "gold_product_metrics",
+    "gold_session_metrics",
+    "op_dedupe_latest",
+    "op_agg_having",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark(app_name="bench", cpus=cpus, shuffle_partitions=int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = [n for n in HEADLINE if n in registry.QUERIES]
+    # warm the JVM + parquet footers so per-query numbers measure the
+    # plan, not first-touch overheads
+    registry.QUERIES[names[0]](spark, sf_dir).write.mode("overwrite").format(
+        "noop"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        start = time.perf_counter()
+        registry.QUERIES[name](spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
