@@ -33,6 +33,12 @@ HEADLINE = [
     "gold_session_metrics",
     "op_dedupe_latest",
     "op_agg_having",
+    "stream_session_window",
+    "ext_dedup_minhash_lsh",
+    "ext_dedup_ngram_jaccard",
+    "ext_similarity_topk",
+    "ext_text_stats",
+    "ext_json_extract",
 ]
 
 

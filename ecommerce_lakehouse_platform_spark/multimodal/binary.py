@@ -1,0 +1,120 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed
+metadata, processed with Arrow-batched ``mapInPandas``.
+
+The Spark-side architecture is real and tested: schema contracts,
+partition-preserving mapInPandas with bounded batch sizes, metadata
+extraction, and content hashing all run; only the actual media
+*decode* (image/audio codecs) is stubbed because the codec libraries
+are not in this environment — ``decode_image_batch`` raises
+NotImplementedError unless ``fake=True``, which substitutes a
+deterministic byte-statistics "decode" with the same output schema and
+batch shape a real decoder would have.
+
+Pattern notes for 100 TB media lakes:
+- keep payloads in their own column so column pruning skips them for
+  metadata-only queries;
+- mapInPandas streams Arrow batches — per-batch memory is bounded by
+  ``spark.sql.execution.arrow.maxRecordsPerBatch``, not partition
+  size;
+- pure-SQL features (length, hash) stay out of Python entirely.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Input contract: opaque payload + typed metadata.
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),  # image | audio | video
+        StructField("payload", BinaryType()),
+    ]
+)
+
+# Output contract of the decode stage.
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("byte_len", LongType()),
+        StructField("feature", ArrayType(DoubleType())),
+    ]
+)
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Fixture adapter: treat UTF-8 bytes of a text column as an
+    opaque media payload so the binary pipeline is exercisable with
+    the shipped test data."""
+    return df.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+    )
+
+
+def binary_metadata(df: DataFrame) -> DataFrame:
+    """Pure-SQL metadata over the payload: length + sha256 — no Python,
+    no decode, prunes to the payload column only."""
+    return df.select(
+        "media_id",
+        "media_type",
+        F.length(F.col("payload")).cast("long").alias("byte_len"),
+        F.sha2(F.col("payload"), 256).alias("content_sha256"),
+    )
+
+
+def _fake_decode(payload: bytes, n_bins: int = 8) -> list[float]:
+    """Deterministic stand-in for a real decoder: byte-histogram
+    densities (same shape/type a tiny image/audio embedding head would
+    emit)."""
+    if not payload:
+        return [0.0] * n_bins
+    counts = [0] * n_bins
+    for b in payload:
+        counts[b % n_bins] += 1
+    total = float(len(payload))
+    return [c / total for c in counts]
+
+
+def decode_media(
+    df: DataFrame, fake: bool = False, batch_note: str = "arrow"
+) -> DataFrame:
+    """Decode/feature-extract payloads via mapInPandas.
+
+    ``fake=False`` raises NotImplementedError (codec libraries not
+    available here); ``fake=True`` runs the deterministic stand-in
+    through the identical Spark plumbing.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "real media decode requires image/audio codec libraries; "
+                    "run with fake=True for the deterministic stand-in"
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "byte_len": pdf["payload"].map(len).astype("int64"),
+                    "feature": pdf["payload"].map(_fake_decode),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=DECODED_SCHEMA)

@@ -1,0 +1,268 @@
+"""Near-duplicate detection over a text column: exact n-gram Jaccard,
+MinHash+LSH, SimHash, and embedding-cosine variants.
+
+All are shuffle-bounded DataFrame pipelines (explode → hash-join on
+shared tokens/buckets → aggregate); nothing collects to the driver, so
+each scales to full-corpus runs — the LSH variants exist precisely so
+the candidate-pair count stays ~linear instead of O(n²) at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles, tokens
+
+
+def _doc_shingles(
+    docs: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(doc_id, shingle) distinct pairs + per-doc shingle counts."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard ≥ threshold (doc_a < doc_b).
+
+    Plan: explode distinct shingles → self-equi-join on shingle
+    (candidate pairs share ≥1 shingle — never a cartesian) → count
+    shared → join per-doc set sizes → |∩| / (|A|+|B|−|∩|).
+    The shingle join key is high-cardinality, so the shuffle spreads
+    well; stop-shingle skew (a shingle in thousands of docs) is the
+    known hot spot — cap with a frequency filter upstream at scale.
+    """
+    ds = _doc_shingles(docs, id_col, text_col, n).cache()
+    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = ds.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = ds.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared = (
+        a.join(b, ["shingle"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    jac = (
+        shared.join(sa, ["doc_a"]).join(sb, ["doc_b"])
+        .withColumn(
+            "jaccard",
+            F.col("n_shared").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return jac.select("doc_a", "doc_b", "n_shared", "n_a", "n_b", "jaccard")
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+) -> DataFrame:
+    """MinHash signature per doc: num_perm permutations simulated by
+    seeded xxhash64 of each shingle (hash(perm_i, shingle)); the
+    signature entry is the min over the doc's shingles.
+
+    One explode + one groupBy — the per-doc state is num_perm longs.
+    """
+    ds = _doc_shingles(docs, id_col, text_col, n)
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
+        for i in range(num_perm)
+    ]
+    return ds.groupBy("doc_id").agg(*mins)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash LSH candidate pairs, verified with exact Jaccard.
+
+    Signature → ``bands`` bands of num_perm/bands rows; docs sharing
+    any band bucket become candidates (banded self-join on the band
+    hash — linear-ish, never all-pairs); candidates are then verified
+    with exact shingle-set Jaccard so the output has no false
+    positives (recall < 1 remains, as for any LSH).
+    """
+    rows = num_perm // bands
+    sigs = minhash_signatures(docs, id_col, text_col, n, num_perm)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias(
+                "bucket"
+            ),
+        )
+        for b in range(bands)
+    ]
+    buckets = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = buckets.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    b = buckets.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    candidates = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # Exact-Jaccard verify on CANDIDATES ONLY (the whole point of LSH:
+    # never score all pairs). Each pair joins its two distinct-shingle
+    # arrays and intersects them JVM-side — per-pair O(|shingles|),
+    # no shuffle amplification.
+    sets_df = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(shingles(F.col(text_col), n)).alias("sset"),
+    )
+    sa = sets_df.select(F.col("doc_id").alias("doc_a"), F.col("sset").alias("_sa"))
+    sb = sets_df.select(F.col("doc_id").alias("doc_b"), F.col("sset").alias("_sb"))
+    verified = (
+        candidates.join(sa, ["doc_a"]).join(sb, ["doc_b"])
+        .withColumn("n_shared", F.size(F.array_intersect("_sa", "_sb")))
+        .withColumn(
+            "jaccard",
+            F.col("n_shared").cast("double")
+            / (F.size("_sa") + F.size("_sb") - F.col("n_shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("doc_a", "doc_b", "jaccard")
+
+
+def simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash per document: token hash bit j votes ±1; the
+    sign of each bit's vote sum becomes bit j of the fingerprint.
+
+    Explode tokens → one groupBy with 64 conditional sums (all
+    map-side combinable) → bit reassembly; entirely JVM-side.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v_{j}")
+        for j in range(bits)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    fp: Column = F.lit(0).cast("long")
+    for j in range(bits):
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"v_{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return agg.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash banding + exact Hamming verify.
+
+    Split the 64-bit fingerprint into ``bands`` 16-bit bands; by
+    pigeonhole any pair with hamming ≤ bands−1 shares a band, and in
+    practice banding recalls most pairs ≤ max_hamming. Exact distance
+    via bit_count(xor).
+    """
+    width = 64 // bands
+    mask = (1 << width) - 1
+    sh = simhash(docs, id_col, text_col)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * width)
+            .bitwiseAND(F.lit(mask).cast("long"))
+            .alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sh.select(
+        "doc_id", "simhash", F.explode(F.array(*band_cols)).alias("bb")
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+    a = buckets.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "bucket"
+    )
+    b = buckets.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "band", "bucket"
+    )
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ t).
+
+    Brute-force all-pairs via broadcast of the smaller side — correct
+    baseline; at corpus scale swap the candidate generator for the IVF
+    bucketing in operators/similarity.py so only same-bucket pairs are
+    scored.
+    """
+    from ..functions.vectors import cosine
+
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine(F.col("_va"), F.col("_vb")).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

@@ -709,3 +709,8 @@ def dq_bounded_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel.filter(
         (F.col("view_to_cart_pct") > 100) | (F.col("cart_to_purchase_pct") > 100)
     ).select("event_date", "view_to_cart_pct", "cart_to_purchase_pct")
+
+
+# Extension operators (dedup / similarity / text / streaming /
+# multimodal) register themselves on import.
+from . import registry_ext  # noqa: E402,F401  (import-for-side-effect)

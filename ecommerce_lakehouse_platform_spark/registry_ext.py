@@ -1,0 +1,395 @@
+"""Extension-operator registry: LLM-training-data-pipeline queries
+(dedup, similarity search, text analysis, JSON, windows, streaming
+sessionization, multimodal) — SURVEY.md §7 phase E / BASELINE.json
+north star.
+
+Same determinism rules as registry.py. Hash-dependent operators
+(MinHash/SimHash LSH — xxhash64 is Spark-specific) register no oracle
+and get the driver's rows-only check; everything else is exact, and
+the float cosine fold was verified bit-identical between Spark's
+``aggregate``/``zip_with`` and DuckDB's ``list_reduce``/
+``list_transform`` (both strict left folds in double).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import text as T
+from .multimodal.binary import attach_binary_payload, binary_metadata
+from .operators import neardup, similarity
+from .plans.silver import silver_events, silver_orders
+from .registry import _t, query
+from .streaming.sessions import session_rollup
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@query(
+    "ext_text_stats",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+      CAST(len(toks) AS BIGINT) AS n_tokens,
+      CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+      list_reduce(list_transform(toks, s -> CAST(length(s) AS DOUBLE)), (a,b) -> a+b) / len(toks) AS avg_token_len,
+      CAST(len(list_filter(toks, s -> list_contains(['the','a','of','and','to','in','is'], s))) AS DOUBLE) / len(toks) AS stopword_ratio,
+      LEAST(1.0, len(toks) / 100.0) * 0.4
+        + (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.3
+        + LEAST(1.0, (CAST(len(list_filter(toks, s -> list_contains(['the','a','of','and','to','in','is'], s))) AS DOUBLE) / len(toks)) * 5.0) * 0.3
+        AS quality_score
+    FROM t
+    """,
+)
+def ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + lexical-diversity + quality scoring, all via
+    JVM-side higher-order functions (no UDF)."""
+    docs = _t(spark, sf_dir, "documents")
+    txt = F.col("text")
+    return docs.select(
+        "doc_id",
+        T.token_count(txt).alias("n_tokens"),
+        T.distinct_token_count(txt).alias("n_distinct"),
+        T.avg_token_len(txt).alias("avg_token_len"),
+        T.stopword_ratio(txt).alias("stopword_ratio"),
+        T.quality_score(txt).alias("quality_score"),
+    )
+
+
+_LANG_SQL_LISTS = {
+    "en": "['the','a','of','and','to','in','is']",
+    "es": "['el','la','de','y','que','en']",
+    "fr": "['le','la','de','et','que','en']",
+    "de": "['der','die','das','und','zu','in']",
+}
+_RATIO = (
+    "CAST(len(list_filter(toks, s -> list_contains({lst}, s))) AS DOUBLE) / len(toks)"
+)
+_RATIOS = {l: _RATIO.format(lst=lst) for l, lst in _LANG_SQL_LISTS.items()}
+
+@query(
+    "ext_text_langid",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+    r AS (
+      SELECT doc_id, lang,
+        {_RATIOS['en']} AS r_en, {_RATIOS['es']} AS r_es,
+        {_RATIOS['fr']} AS r_fr, {_RATIOS['de']} AS r_de
+      FROM t
+    )
+    SELECT doc_id, lang,
+      CASE
+        WHEN r_en > 0 AND r_en = GREATEST(r_en, r_es, r_fr, r_de) THEN 'en'
+        WHEN r_es > 0 AND r_es = GREATEST(r_en, r_es, r_fr, r_de) THEN 'es'
+        WHEN r_fr > 0 AND r_fr = GREATEST(r_en, r_es, r_fr, r_de) THEN 'fr'
+        WHEN r_de > 0 AND r_de = GREATEST(r_en, r_es, r_fr, r_de) THEN 'de'
+        ELSE 'und' END AS predicted_lang
+    FROM r
+    """,
+)
+def ext_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language ID next to the labeled lang column."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", T.langid(F.col("text")).alias("predicted_lang"))
+
+
+@query(
+    "ext_text_fingerprint",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+      list_reduce(
+        list_concat([CAST(0 AS BIGINT)],
+          list_transform(toks, s ->
+            (CAST(length(s) AS BIGINT) * 31 + ascii(s[1]) * 7 + ascii(s[-1])) % 2147483647)),
+        (acc, w) -> (acc * 1000003 + w) % 2147483647
+      ) AS fingerprint
+    FROM t
+    """,
+)
+def ext_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint (engine-
+    portable integer arithmetic, no native hash function)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.token_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# JSON extraction (events.props)
+# ---------------------------------------------------------------------------
+
+@query(
+    "ext_json_extract",
+    oracle="""
+    SELECT event_type,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / COUNT(*) AS k_avg,
+      COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def ext_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object over the clickstream props column + rollup
+    (north-star JSON surface, SURVEY.md §2.8 note)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("k_sum"),
+        (F.sum(k).cast("double") / F.count(F.lit(1))).alias("k_avg"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary plumbing (pure-SQL metadata path)
+# ---------------------------------------------------------------------------
+
+@query(
+    "ext_binary_metadata",
+    oracle="""
+    SELECT doc_id AS media_id, 'image' AS media_type,
+      CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+      sha256(text) AS content_sha256
+    FROM documents
+    """,
+)
+def ext_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata (length + sha256) without decoding —
+    column pruning keeps payload scans out of metadata queries."""
+    docs = _t(spark, sf_dir, "documents")
+    return binary_metadata(attach_binary_payload(docs))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication family
+# ---------------------------------------------------------------------------
+
+@query(
+    "ext_dedup_exact",
+    oracle="""
+    SELECT doc_id,
+      MIN(doc_id) OVER (PARTITION BY text) AS canonical_doc_id,
+      doc_id != MIN(doc_id) OVER (PARTITION BY text) AS is_duplicate
+    FROM documents
+    """,
+)
+def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-content dedup mapping: every doc → canonical (min id)
+    representative of its identical-text group."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("text")
+    canonical = F.min("doc_id").over(w)
+    return docs.select(
+        "doc_id",
+        canonical.alias("canonical_doc_id"),
+        (F.col("doc_id") != canonical).alias("is_duplicate"),
+    )
+
+
+@query(
+    "ext_dedup_ngram_jaccard",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+        unnest(list_transform(range(1, len(t)-1), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+      FROM toks WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_shared,
+      sa.n AS n_a, sb.n AS n_b,
+      CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) AS jaccard
+    FROM shared
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= 0.5
+    """,
+)
+def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs 3-gram Jaccard near-dup pairs (≥ 0.5) via
+    shared-shingle join — the ground truth the LSH variants
+    approximate."""
+    docs = _t(spark, sf_dir, "documents")
+    return neardup.ngram_jaccard_pairs(docs, threshold=0.5)
+
+
+@query("ext_dedup_minhash_lsh")  # xxhash64-based → rows-only check
+def ext_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64 perms) + 32-band LSH candidates, exact-Jaccard
+    verified ≥ 0.5. Same pair set as ext_dedup_ngram_jaccard minus
+    LSH misses — recall is checked in tests/test_neardup.py."""
+    docs = _t(spark, sf_dir, "documents")
+    return neardup.minhash_lsh_pairs(
+        docs, num_perm=64, bands=32, threshold=0.5
+    )
+
+
+@query("ext_dedup_simhash")  # xxhash64-based → rows-only check
+def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-banded near-dup pairs with exact Hamming verify."""
+    docs = _t(spark, sf_dir, "documents")
+    return neardup.simhash_pairs(docs, max_hamming=8, bands=4)
+
+
+@query(
+    "ext_dedup_embedding",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        list_reduce(list_transform(range(1, len(a.embedding)+1),
+          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x,y) -> x+y)
+        / (sqrt(list_reduce(list_transform(range(1, len(a.embedding)+1),
+             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x,y) -> x+y))
+           * sqrt(list_reduce(list_transform(range(1, len(b.embedding)+1),
+               i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x,y) -> x+y)))
+        AS cosine_sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cosine_sim FROM pairs WHERE cosine_sim >= 0.4
+    """,
+)
+def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (≥ 0.4); the double left-fold
+    is bit-identical across engines so no rounding is applied."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return neardup.embedding_neardup_pairs(emb, threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+@query(
+    "ext_similarity_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        list_reduce(list_transform(range(1, len(q.embedding)+1),
+          i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), (x,y) -> x+y)
+        / (sqrt(list_reduce(list_transform(range(1, len(q.embedding)+1),
+             i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)), (x,y) -> x+y))
+           * sqrt(list_reduce(list_transform(range(1, len(c.embedding)+1),
+               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), (x,y) -> x+y)))
+        AS cosine_sim
+      FROM e q JOIN e c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < 10
+    )
+    SELECT query_id, neighbor_id, cosine_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine_sim DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def ext_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for query vectors vec_id < 10
+    (broadcast queries → fold-scored map stage → windowed top-k)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk(emb, queries_df, k=5)
+
+
+@query("ext_similarity_ivf")  # approximate (recall<1) → rows-only check
+def ext_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-5 for the same query set; recall
+    vs the exact path is asserted in tests/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk_ivf(emb, queries_df, k=5, n_centroids=16, nprobe=4)
+
+
+# ---------------------------------------------------------------------------
+# Extended window functions (beyond the reference's row_number)
+# ---------------------------------------------------------------------------
+
+@query(
+    "ext_window_funcs",
+    oracle="""
+    SELECT
+      CAST(o_orderkey AS VARCHAR) AS order_id,
+      CAST(o_custkey AS VARCHAR) AS customer_id,
+      ROW_NUMBER() OVER w AS order_seq,
+      RANK() OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)) AS date_rank,
+      NTILE(4) OVER w AS quartile,
+      LAG(o_totalprice) OVER w AS prev_total,
+      LEAD(o_totalprice) OVER w AS next_total,
+      date_diff('day', LAG(CAST(o_orderdate AS DATE)) OVER w, CAST(o_orderdate AS DATE)) AS days_since_prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+    """,
+)
+def ext_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/rank/ntile per-customer order analytics — the
+    SURVEY.md §2.5 extension surface (the reference declared but never
+    used a session window spec, 03_gold_aggregate.py:33-34)."""
+    orders = silver_orders(_t(spark, sf_dir, "orders"))
+    # order_id is a normalized STRING id — sort on its numeric value so
+    # the total order matches the oracle's BIGINT key ordering.
+    order_key = F.col("order_id").cast("long")
+    w = Window.partitionBy("customer_id").orderBy("order_date", order_key)
+    w_rank = Window.partitionBy("customer_id").orderBy("order_date")
+    return orders.select(
+        "order_id",
+        "customer_id",
+        F.row_number().over(w).alias("order_seq"),
+        F.rank().over(w_rank).alias("date_rank"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lag("total_usd").over(w).alias("prev_total"),
+        F.lead("total_usd").over(w).alias("next_total"),
+        F.datediff(
+            F.col("order_date"), F.lag("order_date").over(w)
+        ).alias("days_since_prev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming-equivalent sessionization (session_window in batch mode)
+# ---------------------------------------------------------------------------
+
+@query(
+    "stream_session_window",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, event_type, value,
+        CASE WHEN LAG(ts) OVER w IS NULL
+               OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+             THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), seq AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM ordered
+    )
+    SELECT CAST(user_id AS VARCHAR) AS user_id,
+      CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS session_start_sec,
+      CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS session_end_sec,
+      COUNT(*) AS event_count,
+      CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS DECIMAL(30,6))) AS DOUBLE) AS session_revenue
+    FROM seq GROUP BY user_id, session_seq
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``session_window`` gap sessionization — the batch twin of the
+    streaming pipeline in streaming/sessions.py (identical column
+    expressions run under readStream + watermark; see
+    tests/test_streaming.py). Oracle replicates Spark's merge rule:
+    events merge while the inter-event gap is STRICTLY below the
+    30-min gap (windows must overlap), at microsecond precision."""
+    ev = silver_events(_t(spark, sf_dir, "events"))
+    roll = session_rollup(ev, "user_id", "event_ts", "30 minutes")
+    return roll.select(
+        "user_id",
+        F.col("session_start_ts").cast("long").alias("session_start_sec"),
+        F.col("session_end_ts").cast("long").alias("session_end_sec"),
+        "event_count",
+        "session_revenue",
+    )

@@ -1,0 +1,41 @@
+"""IVF approximate search: recall against the exact brute-force path."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ecommerce_lakehouse_platform_spark.operators import similarity
+from ecommerce_lakehouse_platform_spark.sources.catalog import load_table
+
+from .conftest import SF_SMOKE
+
+
+def test_ivf_recall_at_5(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(emb, queries, k=5).collect()
+    approx = similarity.cosine_topk_ivf(
+        emb, queries, k=5, n_centroids=16, nprobe=4
+    ).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # nprobe=4/16 buckets on random vectors: recall well above random
+    assert recall >= 0.3, f"IVF recall@5 unexpectedly low: {recall}"
+    # every approx hit must carry the same score as the exact path
+    exact_scores = {(r.query_id, r.neighbor_id): r.cosine_sim for r in exact}
+    for r in approx:
+        if (r.query_id, r.neighbor_id) in exact_scores:
+            assert r.cosine_sim == exact_scores[(r.query_id, r.neighbor_id)]
+
+
+def test_exact_topk_shape(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = similarity.cosine_topk(emb, queries, k=5).collect()
+    assert len(out) == 50  # 10 queries × 5 neighbors
+    per_query = {}
+    for r in out:
+        per_query.setdefault(r.query_id, []).append(r)
+        assert r.neighbor_id != r.query_id
+    assert all(len(v) == 5 for v in per_query.values())

@@ -1,0 +1,53 @@
+"""Structured Streaming sessionization: the streaming pipeline must
+reproduce the batch ``session_rollup`` results on the same events."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ecommerce_lakehouse_platform_spark.plans.silver import silver_events
+from ecommerce_lakehouse_platform_spark.sources.catalog import load_table
+from ecommerce_lakehouse_platform_spark.streaming.sessions import (
+    session_rollup,
+    streaming_session_metrics,
+)
+
+from .conftest import SF_SMOKE
+
+
+def test_streaming_matches_batch_sessionization(spark):
+    ev = silver_events(load_table(spark, SF_SMOKE, "events"))
+    src_dir = tempfile.mkdtemp(prefix="stream_src_")
+    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+    try:
+        ev.write.mode("overwrite").parquet(src_dir)
+        schema = spark.read.parquet(src_dir).schema
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        assert stream.isStreaming
+        sess = streaming_session_metrics(stream, gap="30 minutes", watermark="1 hour")
+        q = (
+            sess.writeStream.format("memory")
+            .queryName("sessions_out")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.user_id, r.session_start_ts, r.event_count, round(r.session_revenue, 6))
+            for r in spark.table("sessions_out").select(
+                "user_id", "session_start_ts", "event_count", "session_revenue"
+            ).collect()
+        }
+        want = {
+            (r.user_id, r.session_start_ts, r.event_count, round(r.session_revenue, 6))
+            for r in session_rollup(ev, "user_id", "event_ts", "30 minutes").collect()
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
