@@ -307,6 +307,46 @@ def ext_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Parameterized SQL (OP-sql-between: named params, Spark ≥3.4)
+# ---------------------------------------------------------------------------
+
+@query(
+    "op_sql_named_params",
+    oracle="""
+    SELECT
+      CAST(o_orderdate AS DATE) AS order_date,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_revenue,
+      COUNT(*) AS order_count
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE)
+          BETWEEN TRY_CAST('1996-06-01' AS DATE) AND TRY_CAST('1996-06-30' AS DATE)
+    GROUP BY 1
+    """,
+)
+def op_sql_named_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-string entry point with named parameters — the reference's
+    dashboard execution model (``:start_date``/``:end_date`` +
+    TRY_CAST, analysis/dashboard_queries/01_product_performance.sql:26),
+    run via ``spark.sql(q, args=...)``."""
+    from .sources.catalog import load_table
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT
+          CAST(o_orderdate AS DATE) AS order_date,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_revenue,
+          COUNT(*) AS order_count
+        FROM orders_v
+        WHERE CAST(o_orderdate AS DATE)
+              BETWEEN TRY_CAST(:start_date AS DATE) AND TRY_CAST(:end_date AS DATE)
+        GROUP BY 1
+        """,
+        args={"start_date": "1996-06-01", "end_date": "1996-06-30"},
+    )
+
+
+# ---------------------------------------------------------------------------
 # Extended window functions (beyond the reference's row_number)
 # ---------------------------------------------------------------------------
 

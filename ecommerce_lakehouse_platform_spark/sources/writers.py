@@ -1,0 +1,66 @@
+"""Table sinks (OP-sink-delta / OP-sink-partitioned) + catalog ops.
+
+The reference materializes every layer as a full-overwrite managed
+Delta table, optionally partitioned by a date column
+(/root/reference/02_silver/02_silver_transform.py:29-37,
+/root/reference/03_gold/03_gold_aggregate.py:24-31). Here: Delta when
+the runtime has it, Parquet otherwise (identical layout semantics);
+partitioning by the date column is what makes every dashboard's
+BETWEEN predicate a partition-pruned scan at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _delta_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.spark.sql.delta.DeltaLog")
+        return True
+    except Exception:
+        return False
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    partition_by: str | list[str] | None = None,
+    mode: str = "overwrite",
+    fmt: str | None = None,
+) -> None:
+    """Full-overwrite materialization, optionally partitioned.
+
+    Idempotent overwrite is the pipeline's fault-tolerance story
+    (rerun any layer in order) — same as the reference's
+    ``mode("overwrite")`` + ``overwriteSchema`` everywhere.
+    """
+    fmt = fmt or ("delta" if _delta_available(df.sparkSession) else "parquet")
+    writer = df.write.format(fmt).mode(mode)
+    if fmt == "delta":
+        writer = writer.option("overwriteSchema", "true")
+    if partition_by:
+        cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+        writer = writer.partitionBy(*cols)
+    writer.save(path)
+
+
+def read_table(spark: SparkSession, path: str, fmt: str | None = None) -> DataFrame:
+    fmt = fmt or ("delta" if _delta_available(spark) else "parquet")
+    return spark.read.format(fmt).load(path)
+
+
+def list_tables(spark: SparkSession, schema: str | None = None) -> list[str]:
+    """OP-catalog-list (SHOW TABLES, 01_bronze_ingest.py:43)."""
+    return [t.name for t in spark.catalog.listTables(schema)]
+
+
+def peek(df: DataFrame, n: int = 5) -> list:
+    """OP-peek: bounded preview (df.limit(n) display idiom)."""
+    return df.limit(n).collect()
+
+
+def table_counts(tables: dict[str, DataFrame]) -> dict[str, int]:
+    """OP-count: the silver summary-count loop
+    (02_silver_transform.py:261-273)."""
+    return {name: df.count() for name, df in tables.items()}

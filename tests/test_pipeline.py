@@ -1,0 +1,78 @@
+"""End-to-end medallion pipeline: materialization, partitioned layout,
+partition pruning, DQ gate, CSV bronze ingest."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ecommerce_lakehouse_platform_spark.plans.pipeline import run_pipeline
+from ecommerce_lakehouse_platform_spark.sources.csv import ingest_bronze
+from ecommerce_lakehouse_platform_spark.sources.writers import write_table
+
+from .conftest import SF_SMOKE
+
+
+def test_pipeline_end_to_end(spark):
+    warehouse = tempfile.mkdtemp(prefix="warehouse_")
+    try:
+        result = run_pipeline(spark, SF_SMOKE, warehouse)
+        assert result.silver_counts["orders"] == 1500
+        assert result.silver_counts["order_items"] == 6000
+        assert result.gold_counts["customer_360"] == 150
+        assert all(r.passed for r in result.dq_results), result.dq_results
+        # partitioned layout exists (event_date=... dirs)
+        ev_dirs = os.listdir(f"{warehouse}/silver/events")
+        assert any(d.startswith("event_date=") for d in ev_dirs)
+        # rerun is idempotent (full overwrite)
+        again = run_pipeline(spark, SF_SMOKE, warehouse)
+        assert again.silver_counts == result.silver_counts
+        assert again.gold_counts == result.gold_counts
+    finally:
+        shutil.rmtree(warehouse, ignore_errors=True)
+
+
+def test_partition_pruning_fires(spark):
+    warehouse = tempfile.mkdtemp(prefix="prune_")
+    try:
+        ev = spark.range(0, 100).select(
+            F.col("id").alias("event_id"),
+            F.date_add(F.lit("2024-01-01").cast("date"), (F.col("id") % 10).cast("int")).alias(
+                "event_date"
+            ),
+        )
+        write_table(ev, f"{warehouse}/events", partition_by="event_date")
+        got = spark.read.parquet(f"{warehouse}/events").filter(
+            F.col("event_date") == "2024-01-03"
+        )
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        # partition filter present and only one of ten partitions read
+        assert got.count() == 10
+        assert "event_date" in plan
+        scan = got._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in scan or "partition" in scan.lower()
+    finally:
+        shutil.rmtree(warehouse, ignore_errors=True)
+
+
+def test_csv_bronze_ingest(spark):
+    tmp = tempfile.mkdtemp(prefix="csv_")
+    try:
+        with open(f"{tmp}/customers.csv", "w") as f:
+            f.write("customer_id,name,age\n1050.0,  Alice ,34\nxyz,Bob,41\n")
+        written = {}
+        counts = ingest_bronze(
+            spark,
+            {"customers": (f"{tmp}/customers.csv", "customer_id STRING, name STRING, age INT")},
+            write_fn=lambda df, name: written.setdefault(name, df),
+        )
+        assert counts == {"customers": 2}
+        rows = written["customers"].collect()
+        assert {r.customer_id for r in rows} == {"1050.0", "xyz"}
+        assert all(r._source_file == "customers.csv" for r in rows)
+        assert all(r._ingest_ts is not None for r in rows)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
