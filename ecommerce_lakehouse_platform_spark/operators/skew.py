@@ -32,9 +32,9 @@ def explode_salts(
     df: DataFrame, salt_buckets: int, salt_col: str = "_salt"
 ) -> DataFrame:
     """Replicate each row once per salt value (the dim side)."""
+    # the generator must be top-level in withColumn (no enclosing cast)
     return df.withColumn(
-        salt_col,
-        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))).cast("int"),
+        salt_col, F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )
 
 
