@@ -15,12 +15,23 @@ from pyspark.sql import functions as F
 from ..functions.text import shingles, tokens
 
 
+def _spread(docs: DataFrame, id_col: str) -> DataFrame:
+    """Ensure explode work is spread across the cluster: a small input
+    file arrives as one partition, and everything downstream of the
+    explode would run single-threaded. Hash-repartition on the doc id
+    (the explode multiplies rows ~100×, so pre-spreading is the scale
+    move too — post-explode AQE coalescing can shrink but not grow)."""
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(target, F.col(id_col))
+
+
 def _doc_shingles(
     docs: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
-    """(doc_id, shingle) distinct pairs + per-doc shingle counts."""
+    """(doc_id, shingle) distinct pairs."""
     return (
-        docs.select(
+        _spread(docs, id_col)
+        .select(
             F.col(id_col).alias("doc_id"),
             F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("shingle"),
         )
@@ -79,14 +90,20 @@ def minhash_signatures(
     seeded xxhash64 of each shingle (hash(perm_i, shingle)); the
     signature entry is the min over the doc's shingles.
 
-    One explode + one groupBy — the per-doc state is num_perm longs.
+    Entirely map-side: per-row ``array_min(transform(...))`` over the
+    shingle array — no explode, no shuffle, no aggregation state.
+    Linear scan at any corpus size.
     """
-    ds = _doc_shingles(docs, id_col, text_col, n)
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
-        for i in range(num_perm)
-    ]
-    return ds.groupBy("doc_id").agg(*mins)
+
+    def perm_min(i: int):
+        return F.array_min(
+            F.transform(F.col("_ss"), lambda s: F.xxhash64(F.lit(i), s))
+        ).alias(f"mh_{i}")
+
+    return _spread(docs, id_col).select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(shingles(F.col(text_col), n)).alias("_ss"),
+    ).select("doc_id", *[perm_min(i) for i in range(num_perm)])
 
 
 def minhash_lsh_pairs(
@@ -107,7 +124,23 @@ def minhash_lsh_pairs(
     positives (recall < 1 remains, as for any LSH).
     """
     rows = num_perm // bands
-    sigs = minhash_signatures(docs, id_col, text_col, n, num_perm)
+    # one shared shingle-set plan feeds both the signatures and the
+    # exact verify; cached so the text is parsed once, not three times
+    sets_df = (
+        _spread(docs, id_col)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.array_distinct(shingles(F.col(text_col), n)).alias("sset"),
+        )
+        .cache()
+    )
+
+    def perm_min(i: int):
+        return F.array_min(
+            F.transform(F.col("sset"), lambda s: F.xxhash64(F.lit(i), s))
+        ).alias(f"mh_{i}")
+
+    sigs = sets_df.select("doc_id", *[perm_min(i) for i in range(num_perm)])
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -132,10 +165,6 @@ def minhash_lsh_pairs(
     # never score all pairs). Each pair joins its two distinct-shingle
     # arrays and intersects them JVM-side — per-pair O(|shingles|),
     # no shuffle amplification.
-    sets_df = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.array_distinct(shingles(F.col(text_col), n)).alias("sset"),
-    )
     sa = sets_df.select(F.col("doc_id").alias("doc_a"), F.col("sset").alias("_sa"))
     sb = sets_df.select(F.col("doc_id").alias("doc_b"), F.col("sset").alias("_sb"))
     verified = (
@@ -163,7 +192,7 @@ def simhash(
     Explode tokens → one groupBy with 64 conditional sums (all
     map-side combinable) → bit reassembly; entirely JVM-side.
     """
-    tok = docs.select(
+    tok = _spread(docs, id_col).select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
     votes = [

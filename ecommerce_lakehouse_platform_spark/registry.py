@@ -448,6 +448,57 @@ def gold_session_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "gold_session_metrics_attrs",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, event_type, value,
+        CAST(ts AS DATE) AS event_date,
+        CASE WHEN LAG(ts) OVER w IS NULL
+               OR CAST(FLOOR(epoch(ts)) AS BIGINT) - CAST(FLOOR(epoch(LAG(ts) OVER w)) AS BIGINT) > 1800
+             THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), seq AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM ordered
+    ), sess AS (
+      SELECT
+        CAST(user_id AS VARCHAR) AS user_id,
+        CAST(user_id AS VARCHAR) || ':' || CAST(session_seq AS VARCHAR) AS session_id,
+        MIN(event_date) AS session_date,
+        COUNT(event_id) AS event_count,
+        CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS DECIMAL(30,6))) AS DOUBLE) AS session_revenue
+      FROM seq GROUP BY user_id, session_seq
+    ), cust AS (
+      SELECT CAST(c_custkey AS VARCHAR) AS user_id, TRIM(c_name) AS name,
+             LOWER(TRIM(c_mktsegment)) AS segment
+      FROM customer WHERE c_custkey IS NOT NULL
+    )
+    SELECT sess.user_id, session_id, session_date, event_count, session_revenue,
+      COALESCE(name, 'UNKNOWN') AS customer_name,
+      COALESCE(segment, 'UNKNOWN') AS segment
+    FROM sess LEFT JOIN cust USING (user_id)
+    """,
+)
+def gold_session_metrics_attrs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session rollup ⟕ broadcast user-attributes dim with UNKNOWN
+    defaults — OP-join-left-attrs (03_gold_aggregate.py:186-201)."""
+    ev = silver.silver_events(_t(spark, sf_dir, "events"))
+    cust = silver.silver_customers(_t(spark, sf_dir, "customer"))
+    sm = gold.gold_session_metrics(ev, customers_clean=cust)
+    return sm.select(
+        "user_id",
+        "session_id",
+        "session_date",
+        "event_count",
+        "session_revenue",
+        "customer_name",
+        "segment",
+    )
+
+
+@query(
     "gold_customer_360",
     oracle="""
     WITH cust AS (
