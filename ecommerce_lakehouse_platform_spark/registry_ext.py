@@ -22,6 +22,7 @@ from .operators import neardup, similarity
 from .plans.silver import silver_events, silver_orders
 from .registry import _t, query
 from .streaming.sessions import session_rollup
+from .streaming.stateful import run_stateful_sessions_bounded
 
 # ---------------------------------------------------------------------------
 # Text analysis
@@ -394,9 +395,12 @@ def ext_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Streaming-equivalent sessionization (session_window in batch mode)
 # ---------------------------------------------------------------------------
 
-@query(
-    "stream_session_window",
-    oracle="""
+# the session_window merge rule, reproduced in ANSI SQL: events merge
+# while the inter-event gap is STRICTLY below 30 min (windows must
+# overlap), at microsecond precision. Shared by the declarative
+# (session_window) and custom-stateful (applyInPandasWithState)
+# implementations — both must produce exactly these rows.
+_SESSION_ORACLE = """
     WITH ordered AS (
       SELECT user_id, event_id, ts, event_type, value,
         CASE WHEN LAG(ts) OVER w IS NULL
@@ -415,8 +419,25 @@ def ext_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
       COUNT(*) AS event_count,
       CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS DECIMAL(30,6))) AS DOUBLE) AS session_revenue
     FROM seq GROUP BY user_id, session_seq
-    """,
-)
+    """
+
+
+@query("stream_session_stateful", oracle=_SESSION_ORACLE)
+def stream_session_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful sessionization via ``applyInPandasWithState``
+    (event-time timeout) — the extension point for per-group state
+    machines the built-in ``session_window`` cannot express. Runs a
+    real Structured Streaming job over the fixture events (bounded
+    harness with a watermark sentinel) and must reproduce the
+    session_window merge rule exactly; revenue accumulates in integer
+    micro-units for bit-parity with the DECIMAL(30,6) batch sum."""
+    ev = silver_events(_t(spark, sf_dir, "events"))
+    return run_stateful_sessions_bounded(
+        spark, ev, gap="30 minutes", watermark="1 hour"
+    )
+
+
+@query("stream_session_window", oracle=_SESSION_ORACLE)
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``session_window`` gap sessionization — the batch twin of the
     streaming pipeline in streaming/sessions.py (identical column

@@ -14,6 +14,9 @@ from ecommerce_lakehouse_platform_spark.streaming.sessions import (
     session_rollup,
     streaming_session_metrics,
 )
+from ecommerce_lakehouse_platform_spark.streaming.stateful import (
+    run_stateful_sessions_bounded,
+)
 
 from .conftest import SF_SMOKE
 
@@ -51,3 +54,28 @@ def test_streaming_matches_batch_sessionization(spark):
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_stateful_sessionizer_matches_batch_bit_exact(spark):
+    """applyInPandasWithState sessionizer == batch session_window,
+    including revenue doubles bit-for-bit (integer-micros
+    accumulation), with every session flushed by event-time timeout."""
+    ev = silver_events(load_table(spark, SF_SMOKE, "events"))
+    got = {
+        (r.user_id, r.session_start_sec, r.session_end_sec, r.event_count,
+         r.session_revenue)
+        for r in run_stateful_sessions_bounded(spark, ev).collect()
+    }
+    want = {
+        (r.user_id, r.s, r.e, r.event_count, r.session_revenue)
+        for r in session_rollup(ev, "user_id", "event_ts", "30 minutes")
+        .select(
+            "user_id",
+            F.col("session_start_ts").cast("long").alias("s"),
+            F.col("session_end_ts").cast("long").alias("e"),
+            "event_count",
+            "session_revenue",
+        )
+        .collect()
+    }
+    assert got == want
