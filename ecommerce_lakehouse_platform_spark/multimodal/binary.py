@@ -118,3 +118,105 @@ def decode_media(
             )
 
     return df.mapInPandas(batches, schema=DECODED_SCHEMA)
+
+
+# Output contract of the resize stage: payload-in, payload-out with
+# target dimensions stamped (real pipelines chain this before decode).
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame, width: int, height: int, fake: bool = False
+) -> DataFrame:
+    """Resize image payloads to ``width × height`` via mapInPandas.
+
+    ``fake=True`` substitutes a deterministic byte-resampler (truncate
+    or cycle-pad the payload to width*height bytes — the size contract
+    a real raster resize has) through the same Arrow plumbing;
+    ``fake=False`` raises NotImplementedError (no codec libraries in
+    this environment).
+    """
+    target = width * height
+
+    def _fake_resize(payload: bytes) -> bytes:
+        if not payload:
+            return bytes(target)
+        reps = -(-target // len(payload))  # ceil
+        return (payload * reps)[:target]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "real image resize requires codec libraries; "
+                    "run with fake=True for the deterministic stand-in"
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "width": width,
+                    "height": height,
+                    "payload": pdf["payload"].map(_fake_resize),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+# Output contract of frame sampling: 1 video row → N frame rows.
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, every_n: int = 4, max_frames: int = 8, fake: bool = False
+) -> DataFrame:
+    """Sample frames from video payloads: one input row fans out to up
+    to ``max_frames`` frame rows (1→N expansion inside mapInPandas —
+    the batch shape a real ffmpeg-style sampler has; output row count
+    is decoupled from input row count).
+
+    The deterministic stand-in treats the payload as a byte stream of
+    fixed-size "frames" (16 bytes) and takes every ``every_n``-th one.
+    """
+    frame_bytes = 16
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "real frame sampling requires video codec libraries; "
+                    "run with fake=True for the deterministic stand-in"
+                )
+            ids: list[int] = []
+            idxs: list[int] = []
+            frames: list[bytes] = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                n = len(payload) // frame_bytes
+                for k, f in enumerate(range(0, n, every_n)):
+                    if k >= max_frames:
+                        break
+                    ids.append(mid)
+                    idxs.append(f)
+                    frames.append(
+                        bytes(payload[f * frame_bytes : (f + 1) * frame_bytes])
+                    )
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return df.mapInPandas(batches, schema=FRAME_SCHEMA)

@@ -163,6 +163,71 @@ def ext_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_metadata(attach_binary_payload(docs))
 
 
+@query(
+    "ext_media_resize",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS len
+      FROM documents
+    )
+    SELECT media_id, 'image' AS media_type,
+      CAST(8 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+      CASE WHEN len = 0 THEN repeat('00', 32)
+           ELSE substring(repeat(h, CAST(CEIL(32.0 / len) AS BIGINT)), 1, 64)
+      END AS payload_hex
+    FROM m
+    """,
+)
+def ext_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas image resize (deterministic stand-in codec):
+    byte-exact against the oracle via hex-domain comparison — the
+    Arrow batch plumbing, size contract, and schema are the real
+    pipeline's."""
+    media = attach_binary_payload(_t(spark, sf_dir, "documents"))
+    from .multimodal.binary import resize_media
+
+    resized = resize_media(media, width=8, height=4, fake=True)
+    return resized.select(
+        "media_id",
+        "media_type",
+        "width",
+        "height",
+        F.hex("payload").alias("payload_hex"),
+    )
+
+
+@query(
+    "ext_media_frames",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) // 16 AS n_frames
+      FROM documents
+      WHERE octet_length(encode(text)) >= 16
+    ), fx AS (
+      SELECT media_id, h,
+             unnest(range(0, LEAST(n_frames, 32), 4)) AS f
+      FROM m
+    )
+    SELECT media_id, CAST(f AS BIGINT) AS frame_idx,
+      substring(h, f * 32 + 1, 32) AS frame_hex
+    FROM fx
+    """,
+)
+def ext_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas frame sampling: 1 video row fans out to ≤8 frame
+    rows (every 4th 16-byte frame) — output cardinality decoupled
+    from input, byte-exact against the oracle in the hex domain."""
+    media = attach_binary_payload(_t(spark, sf_dir, "documents"))
+    from .multimodal.binary import sample_frames
+
+    frames = sample_frames(media, every_n=4, max_frames=8, fake=True)
+    return frames.select(
+        "media_id", "frame_idx", F.hex("frame").alias("frame_hex")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deduplication family
 # ---------------------------------------------------------------------------
