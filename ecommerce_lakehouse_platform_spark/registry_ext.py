@@ -285,11 +285,37 @@ def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup.ngram_jaccard_pairs(docs, threshold=0.5)
 
 
-@query("ext_dedup_minhash_lsh")  # xxhash64-based → rows-only check
+@query(
+    "ext_dedup_minhash_lsh",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+        unnest(list_transform(range(1, len(t)-1), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+      FROM toks WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+      CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) AS jaccard
+    FROM shared
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= 0.5
+    """,
+)
 def ext_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64 perms) + 32-band LSH candidates, exact-Jaccard
-    verified ≥ 0.5. Same pair set as ext_dedup_ngram_jaccard minus
-    LSH misses — recall is checked in tests/test_neardup.py."""
+    verified ≥ 0.5. The verify stage removes all false positives, so
+    the output equals the exact all-pairs result minus LSH misses;
+    with 2-row bands the miss probability at j = 0.5 is
+    (1 - 0.25)^32 ≈ 1e-4 per pair and the fixture's documents table
+    is fixed at 500 rows with deterministic hashes, so the exact
+    oracle holds (recall is additionally property-tested in
+    tests/test_neardup.py)."""
     docs = _t(spark, sf_dir, "documents")
     return neardup.minhash_lsh_pairs(
         docs, num_perm=64, bands=32, threshold=0.5
