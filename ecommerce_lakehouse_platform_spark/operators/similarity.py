@@ -1,6 +1,6 @@
 """Approximate-nearest-neighbor search over an embedding column.
 
-Two strategies:
+Three strategies:
 
 * ``cosine_topk`` — exact brute force: broadcast the (bounded) query
   set against the corpus, score with JVM-side fold math
@@ -15,14 +15,26 @@ Two strategies:
   design; the bucket assignment turns an O(N·Q) scan into
   O(N·C/ C · nprobe · Q) with partition pruning on the bucket id when
   the assignment is materialized partitioned-by-bucket.
+
+* ``cosine_topk_rhlsh`` — random-hyperplane (sign) LSH: each vector
+  maps to ``n_bits`` sign bits (P[bit match] = 1 − θ/π), grouped into
+  bands; query and corpus meet via an equi-join on (band, bucket) —
+  no centroid pass, no cross join anywhere, and the bucket join keys
+  are data-independent so new corpus partitions bucket purely
+  map-side. The scale profile differs from IVF: IVF needs a centroid
+  model (and re-clustering as data drifts), RH-LSH is stateless and
+  append-friendly, at the cost of needing more bits for the same
+  recall.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import random
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine
+from ..functions.vectors import cosine, dot
 
 
 def cosine_topk(
@@ -46,6 +58,93 @@ def cosine_topk(
         query_id_col,
         F.col(id_col).alias("neighbor_id"),
         cosine(F.col("_qvec"), F.col(vec_col)).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def _rh_band_buckets(
+    df: DataFrame,
+    id_alias: str,
+    id_col: str,
+    vec_col: str,
+    hyperplanes: list[list[float]],
+    bands: int,
+) -> DataFrame:
+    """(id, vec, band, bucket) rows: sign bit per hyperplane (JVM-side
+    dot-product fold), bits packed per band into an int bucket key."""
+    n_bits = len(hyperplanes)
+    band_bits = n_bits // bands
+    bit_cols: list[Column] = [
+        F.when(
+            dot(F.col("_vec"), F.array(*[F.lit(v) for v in h])) >= 0, 1
+        ).otherwise(0)
+        for h in hyperplanes
+    ]
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            sum(
+                (bit_cols[b * band_bits + j] * (1 << j))
+                for j in range(band_bits)
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    return (
+        df.select(F.col(id_col).alias(id_alias), F.col(vec_col).alias("_vec"))
+        .select(id_alias, "_vec", F.explode(F.array(*band_structs)).alias("_bb"))
+        .select(
+            id_alias,
+            "_vec",
+            F.col("_bb.band").alias("band"),
+            F.col("_bb.bucket").alias("bucket"),
+        )
+    )
+
+
+def cosine_topk_rhlsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_bits: int = 32,
+    bands: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Random-hyperplane LSH approximate top-k: candidates are corpus
+    vectors sharing at least one (band, bucket) with the query, then
+    exact cosine + per-query top-k on candidates only.
+
+    Hyperplanes are seeded-deterministic (reproducible runs); with
+    8 bands × 4 bits, a neighbor at cosine 0.5 is recalled with
+    p ≈ 1 − (1 − (1 − θ/π)⁴)⁸ ≈ 0.83 — tune ``n_bits``/``bands`` up
+    for higher recall at scale.
+    """
+    rnd = random.Random(0xC05EED)
+    hyperplanes = [
+        [rnd.uniform(-1.0, 1.0) for _ in range(dim)] for _ in range(n_bits)
+    ]
+    cb = _rh_band_buckets(corpus, "neighbor_id", id_col, vec_col, hyperplanes, bands)
+    qb = _rh_band_buckets(queries, query_id_col, id_col, vec_col, hyperplanes, bands)
+    candidates = (
+        qb.withColumnRenamed("_vec", "_qvec")
+        .join(cb.withColumnRenamed("_vec", "_cvec"), ["band", "bucket"])
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .dropDuplicates([query_id_col, "neighbor_id"])
+    )
+    scored = candidates.select(
+        query_id_col,
+        "neighbor_id",
+        cosine(F.col("_qvec"), F.col("_cvec")).alias("cosine_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")

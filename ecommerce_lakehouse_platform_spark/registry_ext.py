@@ -398,6 +398,16 @@ def ext_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_ivf(emb, queries_df, k=5, n_centroids=16, nprobe=4)
 
 
+@query("ext_similarity_lsh")  # approximate (recall<1) → rows-only check
+def ext_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH approximate top-5 for the same query set
+    — the stateless, append-friendly ANN scale path (no centroid
+    model); recall vs exact is asserted in tests/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk_rhlsh(emb, queries_df, k=5, n_bits=32, bands=8)
+
+
 # ---------------------------------------------------------------------------
 # Parameterized SQL (OP-sql-between: named params, Spark ≥3.4)
 # ---------------------------------------------------------------------------

@@ -29,6 +29,34 @@ def test_ivf_recall_at_5(spark):
             assert r.cosine_sim == exact_scores[(r.query_id, r.neighbor_id)]
 
 
+def test_rhlsh_recall_and_pruning(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(emb, queries, k=5).collect()
+    approx = similarity.cosine_topk_rhlsh(
+        emb, queries, k=5, n_bits=32, bands=8
+    ).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # 8 bands × 4 sign bits: true near neighbors collide in ≥1 band
+    # with high probability while random pairs mostly do not
+    assert recall >= 0.3, f"RH-LSH recall@5 unexpectedly low: {recall}"
+    # scores on shared hits are the exact scores (verify stage is exact)
+    exact_scores = {(r.query_id, r.neighbor_id): r.cosine_sim for r in exact}
+    for r in approx:
+        if (r.query_id, r.neighbor_id) in exact_scores:
+            assert r.cosine_sim == exact_scores[(r.query_id, r.neighbor_id)]
+    # determinism: seeded hyperplanes → identical output across runs
+    again = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk_rhlsh(
+            emb, queries, k=5, n_bits=32, bands=8
+        ).collect()
+    }
+    assert approx_set == again
+
+
 def test_exact_topk_shape(spark):
     emb = load_table(spark, SF_SMOKE, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
