@@ -190,7 +190,13 @@ def run_stateful_sessions_bounded(
 
     src = tempfile.mkdtemp(prefix="stateful_src_")
     ckpt = tempfile.mkdtemp(prefix="stateful_ckpt_")
+    # state-store partition count is frozen from shuffle.partitions at
+    # the checkpoint's first batch; a fresh bounded-input run doesn't
+    # need hundreds of state tasks per micro-batch, so pin a small
+    # count for this query and restore the session's setting after
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         cols.unionByName(sentinel).write.mode("overwrite").parquet(src)
         stream = spark.readStream.schema(cols.schema).parquet(src)
         out = sessionize_stateful(
@@ -206,6 +212,7 @@ def run_stateful_sessions_bounded(
         )
         q.awaitTermination(300)
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name).where(F.col("user_id") != _SENTINEL_USER)
