@@ -66,19 +66,22 @@ def gold_product_metrics(
 ) -> DataFrame:
     """Per-product sales rollup + dim enrich + rating-style aggs.
 
-    Mirrors product_metrics' join ladder (03_gold_aggregate.py:57-92):
+    Mirrors product_metrics' semantics (03_gold_aggregate.py:57-92):
     sales agg ⟕ products dim ⟕ review-style aggs, with zero/UNKNOWN
-    coalesces. The dim side is small → Catalyst broadcasts it.
+    coalesces. The reference computes sales and review aggs as two
+    separate scans joined on product_id; here both group the same
+    input on the same key with no differing filters, so that join is
+    1:1 on identical key sets and the two fuse into ONE groupBy —
+    identical output, half the fact scans, and one shuffle instead of
+    two plus a join (the scale-relevant difference at 100 TB). The
+    review stand-in (FIXTURES.md §C): per-product avg/count of the
+    line discount plays AVG(rating)/COUNT(review_id)
+    (03_gold_aggregate.py:70-75). The dim side is small → broadcast.
     """
     sales = items_clean.groupBy("product_id").agg(
         dec_sum(F.col("line_total_usd")).alias("total_revenue"),
         F.sum("quantity").cast("long").alias("units_sold"),
         F.count(F.lit(1)).alias("line_count"),
-    )
-    # reviews stand-in (FIXTURES.md §C): per-product avg/count of the
-    # line discount plays AVG(rating)/COUNT(review_id)
-    # (03_gold_aggregate.py:70-75).
-    reviews = items_clean.groupBy("product_id").agg(
         round2(
             F.sum(F.col("discount_pct").cast("decimal(30,6)")).cast("double")
             / F.count(F.lit(1))
@@ -88,7 +91,6 @@ def gold_product_metrics(
     dim = products_clean.select("product_id", "product_name", "category", "price_usd")
     return (
         sales.join(F.broadcast(dim), ["product_id"], "left")
-        .join(reviews, ["product_id"], "left")
         .select(
             "product_id",
             F.coalesce("product_name", F.lit("UNKNOWN")).alias("product_name"),
