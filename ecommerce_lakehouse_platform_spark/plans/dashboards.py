@@ -102,10 +102,15 @@ def site_wide_funnel(
     start_date: str = "2024-01-01",
     end_date: str = "2024-01-31",
 ) -> DataFrame:
-    """Three labeled grand-total rows UNION ALL'd, sorted by count.
+    """Three labeled grand-total rows, sorted by count.
 
     Reference: 03_Site Wide Funnel.sql — per-stage global SUM over the
     date window with `lit` stage labels, UNION ALL, ORDER BY count.
+    The reference's three-branch UNION ALL scans the events fact three
+    times; the counts are disjoint conditional aggregates of one pass,
+    so this computes all three in a single scan and unpivots with
+    ``stack`` — identical rows (coalesce keeps the empty-input count 0,
+    matching COUNT(*)), one third the I/O.
     Event-type mapping: page_view≅view, add_to_cart≅click.
     """
     in_window = events_clean.filter(
@@ -114,18 +119,21 @@ def site_wide_funnel(
         )
     )
 
-    def stage(label: str, event_type: str) -> DataFrame:
-        return in_window.filter(F.col("event_type") == event_type).agg(
-            F.lit(label).alias("funnel_stage"),
-            F.count(F.lit(1)).alias("event_count"),
-        )
+    def n(event_type: str):
+        return F.coalesce(
+            F.sum(F.when(F.col("event_type") == event_type, 1).otherwise(0)),
+            F.lit(0),
+        ).cast("long")
 
-    return (
-        stage("1. Product Views", "view")
-        .unionAll(stage("2. Add to Cart", "click"))
-        .unionAll(stage("3. Purchases", "purchase"))
-        .orderBy(F.col("event_count").desc(), F.col("funnel_stage"))
+    totals = in_window.agg(
+        n("view").alias("_views"),
+        n("click").alias("_carts"),
+        n("purchase").alias("_purchases"),
     )
+    return totals.selectExpr(
+        "stack(3, '1. Product Views', _views, '2. Add to Cart', _carts, "
+        "'3. Purchases', _purchases) AS (funnel_stage, event_count)"
+    ).orderBy(F.col("event_count").desc(), F.col("funnel_stage"))
 
 
 def customer_360_dashboard(
