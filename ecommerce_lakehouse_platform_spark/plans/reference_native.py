@@ -438,6 +438,113 @@ def ref_customer_360(
     )
 
 
+# --- dashboard SQL (analysis/dashboard_queries/*.sql) -----------------------
+# The reference's four parameterized BI queries, re-pointed from
+# ecom_catalog.gold.* at temp views over the native gold models and
+# executed as parameterized Spark SQL (named :start_date/:end_date
+# args — the Databricks-SQL parameter mechanism's OSS equivalent).
+
+REFERENCE_DASHBOARD_SQL: dict[str, str] = {
+    # 01_product_performance.sql: category/product rollup with
+    # zero-safe rates, top 100 by revenue.
+    "product_performance": """
+        SELECT category, product_name,
+            SUM(view_count) AS total_views,
+            SUM(cart_count) AS total_carts,
+            SUM(purchase_count) AS total_purchases,
+            SUM(total_revenue) AS total_revenue,
+            CASE WHEN SUM(view_count) = 0 THEN 0.0
+                 ELSE ROUND(SUM(cart_count) * 100.0 / SUM(view_count), 2)
+            END AS view_to_cart_rate,
+            CASE WHEN SUM(cart_count) = 0 THEN 0.0
+                 ELSE ROUND(SUM(purchase_count) * 100.0 / SUM(cart_count), 2)
+            END AS cart_to_purchase_rate,
+            CASE WHEN SUM(view_count) = 0 THEN 0.0
+                 ELSE ROUND(SUM(purchase_count) * 100.0 / SUM(view_count), 2)
+            END AS overall_conversion_rate
+        FROM ref_product_metrics
+        WHERE event_date BETWEEN TRY_CAST(:start_date AS DATE)
+                             AND TRY_CAST(:end_date AS DATE)
+        GROUP BY 1, 2
+        ORDER BY total_revenue DESC, category, product_name
+        LIMIT 100
+    """,
+    # 02_Sales Overview.sql: daily revenue / AOV / traffic.
+    "sales_overview": """
+        SELECT session_date,
+            COUNT(DISTINCT session_id) AS total_sessions,
+            SUM(has_purchased) AS total_orders,
+            ROUND(SUM(session_revenue), 2) AS total_revenue,
+            CASE WHEN SUM(has_purchased) = 0 THEN 0.0
+                 ELSE ROUND(SUM(session_revenue) / SUM(has_purchased), 2)
+            END AS daily_aov,
+            CASE WHEN COUNT(DISTINCT session_id) = 0 THEN 0.0
+                 ELSE ROUND(SUM(has_purchased) * 100.0
+                            / COUNT(DISTINCT session_id), 2)
+            END AS session_conversion_rate
+        FROM ref_session_metrics
+        WHERE session_date BETWEEN TRY_CAST(:start_date AS DATE)
+                               AND TRY_CAST(:end_date AS DATE)
+        GROUP BY 1
+        ORDER BY 1 DESC
+    """,
+    # 03_Site Wide Funnel.sql: three labeled grand totals.
+    "site_wide_funnel": """
+        WITH w AS (
+          SELECT view_count, cart_count, purchase_count
+          FROM ref_product_metrics
+          WHERE event_date BETWEEN TRY_CAST(:start_date AS DATE)
+                               AND TRY_CAST(:end_date AS DATE)
+        )
+        SELECT '1. Product Views' AS funnel_stage, SUM(view_count) AS count FROM w
+        UNION ALL
+        SELECT '2. Add to Carts', SUM(cart_count) FROM w
+        UNION ALL
+        SELECT '3. Purchases', SUM(purchase_count) FROM w
+        ORDER BY count DESC, funnel_stage
+    """,
+    # 04_Customer 360.sql: VIP/churn tiering over the active window.
+    "customer_360": """
+        SELECT customer_id, name, country, total_orders,
+            ROUND(customer_total_revenue, 2) AS lifetime_revenue,
+            average_order_value,
+            days_since_signup,
+            CAST(last_active_ts AS DATE) AS last_active_date,
+            CASE WHEN customer_total_revenue >= 1000 THEN 'Platinum VIP'
+                 WHEN customer_total_revenue >= 500 THEN 'Gold Member'
+                 WHEN total_orders > 0 THEN 'Standard Customer'
+                 ELSE 'Window Shopper'
+            END AS customer_tier
+        FROM ref_customer_360
+        WHERE CAST(last_active_ts AS DATE)
+              BETWEEN TRY_CAST(:start_date AS DATE)
+                  AND TRY_CAST(:end_date AS DATE)
+        ORDER BY lifetime_revenue DESC, customer_id
+        LIMIT 1000
+    """,
+}
+
+
+def run_reference_dashboards(
+    spark: SparkSession,
+    tables: dict[str, DataFrame],
+    start_date: str,
+    end_date: str,
+) -> dict[str, DataFrame]:
+    """Run the reference's four dashboard queries over the native gold
+    models with named parameters. The funnel reuses one scan via a CTE
+    (the per-branch re-scan in the original is an I/O bug at scale;
+    rows are identical), and every LIMIT carries a deterministic
+    tiebreak."""
+    for name in ("product_metrics", "session_metrics", "customer_360"):
+        tables[name].createOrReplaceTempView(f"ref_{name}")
+    args = {"start_date": start_date, "end_date": end_date}
+    return {
+        name: spark.sql(q, args=args)
+        for name, q in REFERENCE_DASHBOARD_SQL.items()
+    }
+
+
 # --- end-to-end runner -------------------------------------------------------
 
 def run_reference_native(

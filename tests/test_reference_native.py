@@ -8,6 +8,7 @@ from __future__ import annotations
 import pytest
 
 from ecommerce_lakehouse_platform_spark.plans.reference_native import (
+    run_reference_dashboards,
     run_reference_native,
 )
 
@@ -62,6 +63,33 @@ def test_dq_gate_passes_on_sample_data(ref_run):
     _, checks = ref_run
     assert [c.failures for c in checks] == [0, 0, 0, 0]
     assert all(c.passed for c in checks)
+
+
+def test_reference_dashboards_run_with_named_params(spark, ref_run):
+    tables, _ = ref_run
+    dashes = run_reference_dashboards(
+        spark, tables, start_date="2025-01-01", end_date="2025-12-31"
+    )
+    pp = dashes["product_performance"]
+    rows = pp.collect()
+    # sales-side metrics exist in the sample window; views are zero
+    # (events.csv absent) so the zero-safe rates must all be 0.0
+    assert 0 < len(rows) <= 100
+    assert all(r.view_to_cart_rate == 0.0 for r in rows)
+    assert [r.total_revenue for r in rows] == sorted(
+        (r.total_revenue for r in rows), reverse=True
+    )
+    funnel = dashes["site_wide_funnel"].collect()
+    assert [r.funnel_stage for r in funnel[1:]] == sorted(
+        r.funnel_stage for r in funnel[1:]
+    )
+    assert len(funnel) == 3
+    # session-driven dashboards are empty without events/sessions data,
+    # but must still produce their full schemas
+    assert dashes["sales_overview"].count() == 0
+    assert dashes["customer_360"].count() == 0
+    assert len(dashes["sales_overview"].columns) == 6
+    assert len(dashes["customer_360"].columns) == 9
 
 
 def test_order_items_backfill_and_positive_quantity(ref_run):
