@@ -1,0 +1,100 @@
+"""Property-based differential tests (SURVEY.md §5.3): hypothesis
+generates adversarial inputs, and Spark and DuckDB must agree exactly
+on the semantics the oracle gate depends on — clean_id normalization
+and the portable half-up rounding.
+
+Each example runs a whole batch through one Spark job to keep the
+Spark-per-example overhead sane.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from ecommerce_lakehouse_platform_spark.functions.cleaning import clean_id
+from ecommerce_lakehouse_platform_spark.functions.math import roundn
+
+# numeric-ish strings, garbage, whitespace oddities, overflow, NULLs
+_ID_STRINGS = st.one_of(
+    st.from_regex(r"-?[0-9]{1,18}(\.[0-9]{0,6})?", fullmatch=True),
+    st.from_regex(r"-?[0-9]{1,5}[eE][+-]?[0-9]{1,2}", fullmatch=True),
+    st.sampled_from(
+        ["", " ", "  42  ", "abc", "12abc", "-", ".", "1.2.3", "NaN", "nan",
+         "Infinity", "-Infinity", "inf", "1e308", "1e309", "9" * 25,
+         "0x1A", "+7", "--3", "1_000", "١٢٣"]
+    ),
+    st.none(),
+)
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    return duckdb.connect()
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_ID_STRINGS, min_size=1, max_size=80))
+def test_clean_id_matches_duckdb(spark, ddb, values):
+    got = [
+        r.out
+        for r in spark.createDataFrame(
+            [(v,) for v in values], "v string"
+        ).select(clean_id("v").alias("out")).collect()
+    ]
+    want = [
+        r[0]
+        for r in ddb.execute(
+            """
+            SELECT CAST(TRY_CAST(TRUNC(TRY_CAST(v AS DOUBLE)) AS BIGINT) AS VARCHAR)
+            FROM (SELECT unnest(?::VARCHAR[]) AS v)
+            """,
+            [values],
+        ).fetchall()
+    ]
+    assert got == want, f"diverged on {values}"
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.floats(
+            min_value=0.0,
+            max_value=1e9,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_roundn_matches_duckdb_floor_formula(spark, ddb, values):
+    """roundn is defined as floor(x*100+0.5)/100 in BOTH engines —
+    the formula itself must agree bit-for-bit on doubles (this is why
+    the oracles use it rather than each engine's ROUND)."""
+    got = [
+        r.out
+        for r in spark.createDataFrame(
+            [(v,) for v in values], "v double"
+        ).select(roundn(F.col("v"), 2).alias("out")).collect()
+    ]
+    want = [
+        r[0]
+        for r in ddb.execute(
+            "SELECT FLOOR(v * 100.0 + 0.5) / 100.0 "
+            "FROM (SELECT unnest(?::DOUBLE[]) AS v)",
+            [values],
+        ).fetchall()
+    ]
+    assert got == want, f"diverged on {values}"
