@@ -41,3 +41,48 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for spark.sql use."""
     for name in FIXTURE_TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def register_sql_workspace(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Register the full three-layer SQL surface as temp views —
+    bronze fixtures (raw names), silver models (``silver_*``), and
+    gold models (``gold_*``) — so any layer is queryable with plain
+    ``spark.sql``. Views are lazy logical plans: nothing materializes
+    until a query runs, and Catalyst prunes/pushes through them, so
+    registering the workspace costs nothing at any scale.
+
+    Replaces the reference's Unity Catalog namespace
+    (ecom_catalog.{bronze,silver,gold}.*) for path-based deployments.
+    Returns the registered view names.
+    """
+    from ..plans import gold, silver  # local import to avoid a cycle
+
+    register_views(spark, sf_dir)
+    t = load_tables(spark, sf_dir)
+    sv = {
+        "silver_customers": silver.silver_customers(t["customer"]),
+        "silver_orders": silver.silver_orders(t["orders"]),
+        "silver_events": silver.silver_events(t["events"]),
+        "silver_products": silver.silver_products(t["part"]),
+    }
+    sv["silver_order_items"] = silver.silver_order_items(
+        t["lineitem"], sv["silver_orders"]
+    )
+    gd = {
+        "gold_daily_metrics": gold.gold_daily_metrics(
+            sv["silver_events"], sv["silver_orders"]
+        ),
+        "gold_product_metrics": gold.gold_product_metrics(
+            sv["silver_order_items"], sv["silver_products"]
+        ),
+        "gold_product_funnel": gold.gold_product_funnel(sv["silver_events"]),
+        "gold_session_metrics": gold.gold_session_metrics(
+            sv["silver_events"], customers_clean=sv["silver_customers"]
+        ),
+        "gold_customer_360": gold.gold_customer_360(
+            sv["silver_customers"], sv["silver_orders"]
+        ),
+    }
+    for name, df in {**sv, **gd}.items():
+        df.createOrReplaceTempView(name)
+    return list(FIXTURE_TABLES) + list(sv) + list(gd)

@@ -76,3 +76,21 @@ def test_csv_bronze_ingest(spark):
         assert all(r._ingest_ts is not None for r in rows)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_sql_workspace_three_layers(spark):
+    from ecommerce_lakehouse_platform_spark.sources.catalog import (
+        register_sql_workspace,
+    )
+
+    views = register_sql_workspace(spark, SF_SMOKE)
+    assert {"lineitem", "silver_order_items", "gold_customer_360"} <= set(views)
+    # all three layers answer plain SQL, and layers compose
+    n_bad = spark.sql(
+        "SELECT COUNT(*) AS n FROM silver_order_items WHERE quantity <= 0"
+    ).first().n
+    assert n_bad == 0
+    tiers = spark.sql(
+        "SELECT COUNT(DISTINCT customer_tier) AS n FROM gold_customer_360"
+    ).first().n
+    assert tiers >= 2
