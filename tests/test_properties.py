@@ -18,14 +18,19 @@ from pyspark.sql import functions as F
 from ecommerce_lakehouse_platform_spark.functions.cleaning import clean_id
 from ecommerce_lakehouse_platform_spark.functions.math import roundn
 
-# numeric-ish strings, garbage, whitespace oddities, overflow, NULLs
+# numeric-ish strings, garbage, whitespace oddities, overflow, NULLs.
+# Excluded from the fuzz domain (pinned in
+# test_known_literal_syntax_divergences instead): underscore digit
+# separators and Java d/f suffixes — numeric-LITERAL syntax where the
+# engines legitimately differ and which cannot occur in the oracle's
+# input domain (fixture IDs are stringified integers).
 _ID_STRINGS = st.one_of(
     st.from_regex(r"-?[0-9]{1,18}(\.[0-9]{0,6})?", fullmatch=True),
     st.from_regex(r"-?[0-9]{1,5}[eE][+-]?[0-9]{1,2}", fullmatch=True),
     st.sampled_from(
         ["", " ", "  42  ", "abc", "12abc", "-", ".", "1.2.3", "NaN", "nan",
          "Infinity", "-Infinity", "inf", "1e308", "1e309", "9" * 25,
-         "0x1A", "+7", "--3", "1_000", "١٢٣"]
+         "0x1A", "+7", "--3", "١٢٣"]
     ),
     st.none(),
 )
@@ -39,6 +44,7 @@ def ddb():
 @settings(
     max_examples=5,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(st.lists(_ID_STRINGS, min_size=1, max_size=80))
@@ -62,9 +68,36 @@ def test_clean_id_matches_duckdb(spark, ddb, values):
     assert got == want, f"diverged on {values}"
 
 
+def test_known_literal_syntax_divergences(spark, ddb):
+    """The engines parse numeric LITERALS differently in three known
+    ways; clean_id's oracle domain (stringified integer ids) cannot
+    contain them, but they are pinned here so a behavior change in
+    either engine is noticed."""
+    cases = ["1_000", "1d", "1f"]
+    got = [
+        r.o
+        for r in spark.createDataFrame([(c,) for c in cases], "v string")
+        .select(clean_id("v").alias("o"))
+        .collect()
+    ]
+    want = [
+        r[0]
+        for r in ddb.execute(
+            "SELECT CAST(TRY_CAST(TRUNC(TRY_CAST(v AS DOUBLE)) AS BIGINT) AS VARCHAR) "
+            "FROM (SELECT unnest(?::VARCHAR[]) AS v)",
+            [cases],
+        ).fetchall()
+    ]
+    # DuckDB reads underscore digit separators; Spark reads Java d/f
+    # floating suffixes
+    assert got == [None, "1", "1"]
+    assert want == ["1000", None, None]
+
+
 @settings(
     max_examples=5,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(
