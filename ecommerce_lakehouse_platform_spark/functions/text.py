@@ -67,6 +67,19 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     )).otherwise(F.array().cast("array<string>"))
 
 
+def normalized_text(text: Column | str) -> Column:
+    """Canonical form for normalized-exact dedup: lowercase, strip
+    everything but [a-z0-9 ], collapse runs of whitespace, trim.
+    Catches trivially-reformatted duplicates (case, punctuation,
+    spacing) that byte-exact dedup misses — the cheap tier below
+    MinHash in a training-data dedup ladder. Pure JVM regex; the
+    character classes used behave identically in Java and RE2, so
+    the DuckDB oracle matches byte-for-byte."""
+    col = F.col(text) if isinstance(text, str) else text
+    stripped = F.regexp_replace(F.lower(col), "[^a-z0-9 \\t\\n\\r]", "")
+    return F.trim(F.regexp_replace(stripped, "[ \\t\\n\\r]+", " "))
+
+
 def token_fingerprint(text: Column | str) -> Column:
     """Order-sensitive polynomial rolling hash over tokens (document
     fingerprint). Pure integer arithmetic mod 2^31-1 so any ANSI-SQL

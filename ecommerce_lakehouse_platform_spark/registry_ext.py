@@ -255,6 +255,74 @@ def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ext_dedup_normalized",
+    oracle="""
+    WITH canon AS (
+      SELECT doc_id,
+        trim(regexp_replace(
+          regexp_replace(lower(text), '[^a-z0-9 \t\n\r]', '', 'g'),
+          '[ \t\n\r]+', ' ', 'g')) AS norm
+      FROM documents
+    )
+    SELECT doc_id,
+      MIN(doc_id) OVER (PARTITION BY norm) AS canonical_doc_id,
+      doc_id != MIN(doc_id) OVER (PARTITION BY norm) AS is_duplicate
+    FROM canon
+    """,
+)
+def ext_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-exact dedup: canonical-id mapping over
+    case/punctuation/whitespace-normalized text — the cheap tier
+    between byte-exact and MinHash in a dedup ladder (one window,
+    no pairs)."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = T.normalized_text(F.col("text"))
+    w = Window.partitionBy(norm)
+    canonical = F.min("doc_id").over(w)
+    return docs.select(
+        "doc_id",
+        canonical.alias("canonical_doc_id"),
+        (F.col("doc_id") != canonical).alias("is_duplicate"),
+    )
+
+
+@query(
+    "ext_text_vocab",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+      FROM documents
+    )
+    SELECT token, COUNT(*) AS term_freq,
+      COUNT(DISTINCT doc_id) AS doc_freq
+    FROM toks WHERE token != ''
+    GROUP BY token
+    ORDER BY term_freq DESC, token
+    LIMIT 100
+    """,
+)
+def ext_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 tokens by term frequency with
+    document frequency — the counting pass behind BPE-style vocab
+    builds and TF-IDF stats. Explode → one partial+final agg →
+    TakeOrderedAndProject; tiebroken for determinism."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", F.explode(T.tokens(F.col("text"))).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("term_freq"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.col("term_freq").desc(), "token")
+        .limit(100)
+    )
+
+
+@query(
     "ext_dedup_ngram_jaccard",
     oracle="""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
