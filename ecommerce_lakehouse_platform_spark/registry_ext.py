@@ -255,6 +255,48 @@ def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ext_text_length_quantiles",
+    oracle="""
+    WITH t AS (
+      SELECT lang, len(string_split(text, ' ')) AS n, length(text) AS chars
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+      quantile_cont(n, 0.25) AS p25_tokens,
+      quantile_cont(n, 0.5) AS p50_tokens,
+      quantile_cont(n, 0.75) AS p75_tokens,
+      quantile_cont(n, 0.99) AS p99_tokens,
+      AVG(chars) AS avg_chars
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+)
+def ext_text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length profile: exact interpolated token
+    quantiles + mean char length — the distribution pass behind
+    length-based corpus filtering. Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` share the linear-interpolation definition, so
+    the comparison is bit-exact."""
+    docs = _t(spark, sf_dir, "documents")
+    stats = docs.select(
+        "lang",
+        T.token_count(F.col("text")).alias("n"),
+        F.length("text").alias("chars"),
+    )
+    return (
+        stats.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("percentile(n, 0.25)").alias("p25_tokens"),
+            F.expr("percentile(n, 0.5)").alias("p50_tokens"),
+            F.expr("percentile(n, 0.75)").alias("p75_tokens"),
+            F.expr("percentile(n, 0.99)").alias("p99_tokens"),
+            F.avg("chars").alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
     "ext_dedup_normalized",
     oracle="""
     WITH canon AS (
