@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from .functions import text as T
 from .multimodal.binary import attach_binary_payload, binary_metadata
 from .operators import neardup, similarity
+from .operators.dedupe import keep_latest
 from .plans.silver import silver_events, silver_orders
 from .registry import _t, query
 from .streaming.sessions import session_rollup
@@ -251,6 +252,78 @@ def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         canonical.alias("canonical_doc_id"),
         (F.col("doc_id") != canonical).alias("is_duplicate"),
+    )
+
+
+@query(
+    "ext_asof_attribution",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+      WHERE event_type = 'view'
+    ), p0 AS (
+      SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+        ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts)
+                           ORDER BY event_id DESC) AS rn
+      FROM events WHERE event_type = 'purchase'
+    ), p AS (SELECT user_id, event_id, value, ts_us FROM p0 WHERE rn = 1)
+    SELECT v.user_id, v.event_id,
+      CAST(v.ts_us // 1000000 AS BIGINT) AS view_sec,
+      p.event_id AS matched_event_id,
+      p.value AS matched_value,
+      CAST((v.ts_us - p.ts_us) // 1000000 AS BIGINT) AS lag_sec
+    FROM v ASOF LEFT JOIN p
+      ON v.user_id = p.user_id AND p.ts_us <= v.ts_us
+    """,
+)
+def ext_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): every view event attributed to
+    the user's most recent purchase at-or-before it. Purchases are
+    deduped to one per (user, microsecond) in both engines because
+    native ASOF tie-breaking is unspecified; timestamps compare at
+    microsecond precision (silver's nanos→micros truncation mirrored
+    via epoch_us)."""
+    from .operators.asof import as_of_join
+
+    ev = silver_events(_t(spark, sf_dir, "events"))
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("event_ts").alias("view_ts"),
+    )
+    purchases = keep_latest(
+        ev.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("event_id").cast("long").alias("event_id"),
+            F.col("amount_usd").alias("value"),
+            F.col("event_ts").alias("purchase_ts"),
+        ),
+        ["user_id", "purchase_ts"],
+        ["event_id"],
+    )
+    joined = as_of_join(
+        views,
+        purchases,
+        keys=["user_id"],
+        left_ts="view_ts",
+        right_ts="purchase_ts",
+        right_tiebreak="event_id",
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        F.col("view_ts").cast("long").alias("view_sec"),
+        F.col("matched_event_id"),
+        F.col("matched_value"),
+        (
+            F.floor(
+                (
+                    F.unix_micros("view_ts")
+                    - F.unix_micros("matched_purchase_ts")
+                )
+                / 1_000_000
+            ).cast("long")
+        ).alias("lag_sec"),
     )
 
 
