@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions import text as T
+from .functions.math import dec_sum
 from .multimodal.binary import attach_binary_payload, binary_metadata
 from .operators import neardup, similarity
 from .operators.dedupe import keep_latest
@@ -252,6 +253,39 @@ def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         canonical.alias("canonical_doc_id"),
         (F.col("doc_id") != canonical).alias("is_duplicate"),
+    )
+
+
+@query(
+    "ext_time_bucket_rollup",
+    oracle="""
+    SELECT CAST(FLOOR(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_sec,
+      event_type,
+      COUNT(*) AS n_events,
+      COUNT(DISTINCT user_id) AS n_users,
+      CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ext_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly time-bucket rollup per event type (the hypertable /
+    continuous-aggregate pattern): date_trunc bucketing keeps the agg
+    a single partial+final pass, and the bucket key is the natural
+    partition column for a materialized rollup at scale."""
+    ev = silver_events(_t(spark, sf_dir, "events"))
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("event_ts"))
+            .cast("long")
+            .alias("bucket_sec"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dec_sum(F.col("amount_usd")).alias("total_value"),
+        )
     )
 
 
