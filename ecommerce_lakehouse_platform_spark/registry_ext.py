@@ -257,6 +257,70 @@ def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ext_interval_join_errors",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us
+      FROM events WHERE event_type = 'purchase'
+    ), e AS (
+      SELECT user_id, event_id AS error_id, epoch_us(ts) AS e_us
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT p.user_id, purchase_id, error_id,
+      CAST((e_us - p_us) // 1000000 AS BIGINT) AS lag_sec
+    FROM p JOIN e ON p.user_id = e.user_id
+      AND e_us >= p_us AND e_us < p_us + 3600000000
+    """,
+)
+def ext_interval_join_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (operators/rangejoin.py): error events landing
+    inside the 1-hour window after each purchase by the same user —
+    executed as a bucketed hash EQUI-join + refine, never a
+    BroadcastNestedLoopJoin. Oracle is the plain inequality join."""
+    from .operators.rangejoin import interval_join
+
+    ev = silver_events(_t(spark, sf_dir, "events"))
+    base = ev.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+        "event_ts",
+    )
+    windows = (
+        base.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("event_ts").alias("window_start"),
+            (F.col("event_ts") + F.expr("INTERVAL 1 HOUR")).alias("window_end"),
+        )
+    )
+    errors = base.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.col("event_ts").alias("error_ts"),
+    )
+    joined = interval_join(
+        errors,
+        windows,
+        keys=["user_id"],
+        point_ts="error_ts",
+        start_ts="window_start",
+        end_ts="window_end",
+        bucket_width_sec=3600,
+    )
+    return joined.select(
+        "user_id",
+        "purchase_id",
+        "error_id",
+        F.floor(
+            (F.unix_micros("error_ts") - F.unix_micros("window_start"))
+            / 1_000_000
+        ).cast("long").alias("lag_sec"),
+    )
+
+
+@query(
     "ext_time_bucket_rollup",
     oracle="""
     SELECT CAST(FLOOR(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_sec,

@@ -58,3 +58,35 @@ def test_asof_plan_single_shuffle(spark):
     # formulation would add a join exchange plus an aggregation
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_interval_join_boundaries(spark):
+    from ecommerce_lakehouse_platform_spark.operators.rangejoin import (
+        interval_join,
+    )
+
+    points = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), "on_start"),   # == start → in
+            (1, _ts("2024-01-01 11:00:00"), "on_end"),     # == end → out
+            (1, _ts("2024-01-01 10:59:59"), "inside"),
+            (1, _ts("2024-01-01 09:59:59"), "before"),
+            (2, _ts("2024-01-01 10:30:00"), "wrong_key"),
+            (1, _ts("2024-01-02 03:30:00"), "long_iv"),    # multi-bucket interval
+        ],
+        "k long, pts timestamp, tag string",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), _ts("2024-01-01 11:00:00"), "w1"),
+            (1, _ts("2024-01-02 00:00:00"), _ts("2024-01-02 06:00:00"), "w6h"),
+            (1, _ts("2024-01-03 00:00:00"), _ts("2024-01-03 00:00:00"), "empty"),
+        ],
+        "k long, s timestamp, e timestamp, wname string",
+    )
+    out = interval_join(
+        points, intervals, keys=["k"], point_ts="pts", start_ts="s",
+        end_ts="e", bucket_width_sec=3600,
+    )
+    got = {(r.tag, r.wname) for r in out.collect()}
+    assert got == {("on_start", "w1"), ("inside", "w1"), ("long_iv", "w6h")}
