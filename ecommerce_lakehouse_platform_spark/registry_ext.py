@@ -257,6 +257,72 @@ def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ext_corpus_curation",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (
+      SELECT doc_id, len(toks) AS n,
+        LEAST(1.0, len(toks) / 100.0) * 0.4
+          + (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.3
+          + LEAST(1.0, (CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE) / len(toks)) * 5.0) * 0.3
+          AS q
+      FROM t
+    )
+    SELECT doc_id,
+      CASE WHEN n < 25 THEN 'too_short'
+           WHEN q < 0.5 THEN 'low_quality' END AS drop_reason,
+      n < 25 OR q < 0.5 AS dropped
+    FROM s
+    """,
+)
+def ext_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation filter ladder with reasons — the keep/drop decision
+    pass of a training-data pipeline, composed from the token-count
+    and quality-score primitives. First failing rule names the drop
+    reason; the reason column makes filter-rate dashboards and ablation
+    audits one groupBy away."""
+    docs = _t(spark, sf_dir, "documents")
+    n = T.token_count(F.col("text"))
+    q = T.quality_score(F.col("text"))
+    reason = (
+        F.when(n < 25, "too_short")
+        .when(q < 0.5, "low_quality")
+    )
+    return docs.select(
+        "doc_id",
+        reason.alias("drop_reason"),
+        ((n < 25) | (q < 0.5)).alias("dropped"),
+    )
+
+
+@query(
+    "ext_train_test_split",
+    oracle="""
+    SELECT doc_id,
+      CASE WHEN CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90
+           THEN 'train' ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def ext_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 train/test assignment by salted MD5 of the
+    document id — stable across runs, engines, partitionings, and
+    corpus growth (a doc's split never changes when new docs arrive),
+    which is the property random sampling lacks. MD5 is in both
+    engines, so the oracle reproduces the exact assignment."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return docs.select(
+        "doc_id",
+        F.when(bucket < 90, "train").otherwise("test").alias("split"),
+    )
+
+
+@query(
     "ext_interval_join_errors",
     oracle="""
     WITH p AS (
