@@ -1,0 +1,139 @@
+"""Connected components over an edge list — the clustering step that
+turns near-duplicate *pairs* (MinHash/SimHash/Jaccard output) into
+dedup *groups* with one canonical representative per group.
+
+Reference scope note: the reference pipeline has no graph operator at
+all (its dedup is keep-latest-by-key,
+/root/reference/02_silver/02_silver_transform.py:66-69); this is a
+north-star extension for training-data curation, where transitive
+closure matters (A≈B, B≈C ⇒ {A,B,C} is one group even when A and C
+are not directly similar).
+
+Algorithm: iterative min-label propagation with a path-compression
+(pointer-jumping) step each round, entirely in DataFrame ops:
+
+  labels(node) ← node
+  repeat:
+    labels(node) ← min(labels(node), min over neighbors' labels)   # 1 hop
+    labels(node) ← labels(labels(node))                            # jump
+  until no label changed
+
+Plain propagation needs O(diameter) rounds; the pointer-jumping step
+cuts that to O(log diameter) (the classic Shiloach–Vishkin shortcut,
+same idea as the large-star/small-star MapReduce formulation of
+Kiveris et al., "Connected Components in MapReduce and Beyond").
+Near-dup graphs additionally have tiny diameters in practice, so the
+loop converges in a handful of rounds.
+
+Scale design (100 TB):
+- each round is two shuffle joins + one partial+final min-agg, all on
+  the node key — no collect, no per-node driver state;
+- ``localCheckpoint`` after every round truncates the lineage so the
+  plan does not grow with iterations (an unbounded iterative lineage
+  re-executes the whole history each action and eventually overflows
+  the planner);
+- the convergence probe is a ``limit(1).count()`` on the changed-label
+  frame — it short-circuits on the first changed row rather than
+  counting them all;
+- edges are symmetrized + distinct'd once up front, so skewy duplicate
+  pairs collapse before the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components", "dedup_clusters"]
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    comp_col: str = "component",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Return ``(node_col, comp_col)`` where ``comp_col`` is the
+    minimum node id reachable from ``node_col`` (undirected).
+
+    Only nodes that appear in ``edges`` are returned; callers attach
+    singletons with a left join + ``coalesce`` (see
+    :func:`dedup_clusters`).
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    und = und.localCheckpoint(eager=True)
+
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        # 1-hop: every node offers its label to each neighbor
+        msgs = und.join(labels, und["a"] == labels["node"]).select(
+            F.col("b").alias("node"), "label"
+        )
+        new = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        # pointer jump: follow the label's own label (labels ⊆ nodes)
+        parent = new.select(
+            F.col("node").alias("p_node"), F.col("label").alias("p_label")
+        )
+        new = (
+            new.join(parent, new["label"] == parent["p_node"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("p_label", "label")).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+
+    return labels.select(
+        F.col("node").alias(node_col), F.col("label").alias(comp_col)
+    )
+
+
+def dedup_clusters(
+    items: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    pair_a: str = "doc_a",
+    pair_b: str = "doc_b",
+) -> DataFrame:
+    """Full-corpus cluster assignment from a near-dup pair list.
+
+    Every row of ``items`` gets: ``cluster_id`` (min id of its
+    connected component — its own id for singletons) and
+    ``is_canonical`` (the single keeper row per cluster). Downstream
+    dedup is then ``filter(is_canonical)``.
+    """
+    comp = connected_components(pairs, src=pair_a, dst=pair_b, node_col="__node")
+    out = items.join(
+        comp, items[id_col] == comp["__node"], "left"
+    ).drop("__node")
+    cluster = F.coalesce(F.col("component"), F.col(id_col))
+    return out.select(
+        *[c for c in items.columns],
+        cluster.alias("cluster_id"),
+        (cluster == F.col(id_col)).alias("is_canonical"),
+    )

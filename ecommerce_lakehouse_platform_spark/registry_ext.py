@@ -669,6 +669,59 @@ def ext_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ext_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+        unnest(list_transform(range(1, len(t)-1), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+      FROM toks WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM shared
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= 0.2
+    ),
+    und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+    walk(node, reach) AS (
+      SELECT a, a FROM und
+      UNION
+      SELECT w.node, u.b FROM walk w JOIN und u ON w.reach = u.a
+    ),
+    comp AS (SELECT node, MIN(reach) AS component FROM walk GROUP BY node)
+    SELECT d.doc_id,
+      COALESCE(c.component, d.doc_id) AS cluster_id,
+      COALESCE(c.component, d.doc_id) = d.doc_id AS is_canonical
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    """,
+)
+def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup *clustering*: exact 3-gram-Jaccard pairs (≥ 0.2) →
+    connected components (operators/cluster.py, min-label propagation
+    with pointer jumping) → every doc mapped to its cluster's minimum
+    id, singletons to themselves, one canonical keeper per cluster.
+    Transitive closure is the step pair-listing misses: A≈B≈C collapses
+    to one group even when A and C are not directly similar. Oracle is
+    a DuckDB recursive-CTE transitive closure over the same pairs."""
+    from .operators.cluster import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = neardup.ngram_jaccard_pairs(docs, threshold=0.2).select(
+        "doc_a", "doc_b"
+    )
+    return dedup_clusters(
+        docs.select("doc_id"), pairs, id_col="doc_id"
+    ).select("doc_id", "cluster_id", "is_canonical")
+
+
 @query("ext_dedup_simhash")  # xxhash64-based → rows-only check
 def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-banded near-dup pairs with exact Hamming verify."""
