@@ -1,0 +1,277 @@
+"""Relational-surface extensions beyond the reference's operator set:
+pivot/unpivot, ROLLUP/CUBE grouping sets, semi/anti joins, set
+operations, and window-frame (moving/cumulative) aggregates.
+
+The reference exercises none of these (SURVEY.md §2.7: "No INTERSECT /
+EXCEPT / UNION DISTINCT anywhere"; §2.5: row_number is its entire
+window surface; its pivot is the conditional-count idiom,
+/root/reference/03_gold/03_gold_aggregate.py:48-54) — but a user
+switching engines expects the full relational vocabulary, so each gets
+a first-class, oracle-checked query here.
+
+Cross-engine exactness (registry.py rules): every money sum — including
+WINDOW sums, where double accumulation order differs between engines —
+runs in DECIMAL(30,6); day arithmetic uses explicit integer
+epoch-days; DuckDB ``GROUPING(a, b)`` produces the same
+leftmost-is-MSB bitmask as Spark's ``grouping_id()`` (verified).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.math import dec_sum
+from .plans.silver import silver_events
+from .registry import _t, query
+
+_DEC = "decimal(30,6)"
+
+_EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
+
+
+# ---------------------------------------------------------------------------
+# Pivot / unpivot
+# ---------------------------------------------------------------------------
+
+_PIVOT_CELLS = ",\n      ".join(
+    f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}_events"
+    for t in _EVENT_TYPES
+)
+
+@query(
+    "ext_pivot_events",
+    oracle=f"""
+    SELECT CAST(CAST(user_id AS BIGINT) AS VARCHAR) AS user_id,
+      {_PIVOT_CELLS},
+      CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS DECIMAL(30,6))) AS DOUBLE) AS purchase_revenue
+    FROM events GROUP BY 1
+    """,
+)
+def ext_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True relational PIVOT: one row per user, one column per event
+    type (``groupBy().pivot(values=...)``). Passing the explicit value
+    list matters twice over: it skips the driver-side distinct pass
+    Spark otherwise runs to discover the columns, and it keeps the
+    output schema static — both requirements at 100 TB. The reference
+    only ever hand-rolled this with conditional sums
+    (03_gold_aggregate.py:48-54)."""
+    ev = silver_events(_t(spark, sf_dir, "events"))
+    pivoted = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("amount_usd")).otherwise(0.0).cast(_DEC)).alias("rev"),
+        )
+    )
+    return pivoted.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(f"{t}_n"), F.lit(0)).cast("long").alias(f"{t}_events")
+            for t in _EVENT_TYPES
+        ],
+        sum(
+            (F.coalesce(F.col(f"{t}_rev"), F.lit(0).cast(_DEC)) for t in _EVENT_TYPES),
+            F.lit(0).cast(_DEC),
+        ).cast("double").alias("purchase_revenue"),
+    )
+
+
+@query(
+    "ext_unpivot_lineitem",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
+    """,
+)
+def ext_unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long melt) of the lineitem measures via the
+    native ``DataFrame.unpivot`` — a single Expand node, one scan, no
+    self-union (the UNION-ALL oracle re-reads the table four times;
+    the Spark plan must not)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).withColumn(
+        "metric", F.regexp_replace("metric", "^l_", "")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets: ROLLUP / CUBE
+# ---------------------------------------------------------------------------
+
+@query(
+    "ext_rollup_revenue",
+    oracle="""
+    SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS order_year,
+      o_orderstatus AS status,
+      CAST(GROUPING(CAST(year(CAST(o_orderdate AS DATE)) AS INT), o_orderstatus) AS BIGINT) AS gid,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_revenue,
+      COUNT(*) AS order_count
+    FROM orders
+    GROUP BY ROLLUP (1, 2)
+    """,
+)
+def ext_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (year, status): detail + per-year subtotal + grand total
+    in ONE aggregation pass (Spark plans a single Expand + partial/final
+    HashAggregate — not three scans), with ``grouping_id`` to tell the
+    levels apart."""
+    orders = _t(spark, sf_dir, "orders")
+    year = F.year(F.col("o_orderdate").cast("date")).alias("order_year")
+    return (
+        orders.select(year, F.col("o_orderstatus").alias("status"), "o_totalprice")
+        .rollup("order_year", "status")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            dec_sum(F.col("o_totalprice")).alias("total_revenue"),
+            F.count(F.lit(1)).alias("order_count"),
+        )
+    )
+
+
+@query(
+    "ext_cube_returns",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+      CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+      COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def ext_cube_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (returnflag, linestatus): all 2^2 grouping sets in one
+    pass — the TPC-H Q1 surface extended with subtotal planes."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            dec_sum(F.col("l_quantity")).alias("sum_qty"),
+            dec_sum(F.col("l_extendedprice")).alias("sum_price"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins and set operations
+# ---------------------------------------------------------------------------
+
+@query(
+    "ext_join_semi_anti",
+    oracle="""
+    SELECT c_custkey AS customer_id, 'buyer' AS cohort FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND year(CAST(o.o_orderdate AS DATE)) = 1996)
+    UNION ALL
+    SELECT c_custkey, 'non_buyer' FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND year(CAST(o.o_orderdate AS DATE)) = 1996)
+    """,
+)
+def ext_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI + LEFT ANTI join (EXISTS / NOT EXISTS): 1996 buyers
+    vs non-buyers. Semi/anti never duplicate the left side and never
+    materialize right-side columns — at scale this is the correct plan
+    for existence checks, not a join+distinct."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("customer_id")
+    )
+    orders_96 = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.year(F.col("o_orderdate").cast("date")) == 1996)
+        .select(F.col("o_custkey").alias("customer_id"))
+    )
+    buyers = cust.join(orders_96, "customer_id", "left_semi").withColumn(
+        "cohort", F.lit("buyer")
+    )
+    non_buyers = cust.join(orders_96, "customer_id", "left_anti").withColumn(
+        "cohort", F.lit("non_buyer")
+    )
+    return buyers.unionByName(non_buyers)
+
+
+@query(
+    "ext_setops_users",
+    oracle="""
+    WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+    p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT user_id, 'view_and_purchase' AS cohort FROM (SELECT * FROM v INTERSECT SELECT * FROM p)
+    UNION ALL
+    SELECT user_id, 'view_only' FROM (SELECT * FROM v EXCEPT SELECT * FROM p)
+    """,
+)
+def ext_setops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set ops (SURVEY.md §2.7 gap): users who both
+    viewed and purchased vs viewed-only. Spark plans these as
+    semi/anti hash joins over pre-aggregated sets."""
+    ev = _t(spark, sf_dir, "events")
+    viewers = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    both = viewers.intersect(buyers).withColumn(
+        "cohort", F.lit("view_and_purchase")
+    )
+    view_only = viewers.subtract(buyers).withColumn("cohort", F.lit("view_only"))
+    return both.unionByName(view_only)
+
+
+# ---------------------------------------------------------------------------
+# Window frames: moving + cumulative aggregates
+# ---------------------------------------------------------------------------
+
+@query(
+    "ext_moving_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS order_date,
+        datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+        SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS rev
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT order_date,
+      CAST(rev AS DOUBLE) AS daily_revenue,
+      CAST(SUM(rev) OVER (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_7d_revenue,
+      CAST(COUNT(*) OVER (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing_7d_days,
+      CAST(SUM(rev) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cumulative_revenue
+    FROM daily
+    """,
+)
+def ext_moving_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving 7-day and cumulative revenue via explicit window FRAMES
+    (``rangeBetween`` on integer epoch-days + ``rowsBetween``) — the
+    frame surface the reference never touches. The frame sums stay in
+    DECIMAL so accumulation order (running scan in Spark vs segment
+    tree in DuckDB) cannot change the result. The unpartitioned window
+    is safe by construction: it runs AFTER the daily rollup, whose
+    cardinality is days-not-rows (bounded at any data scale)."""
+    orders = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    daily = (
+        orders.groupBy(d.alias("order_date"))
+        .agg(F.sum(F.col("o_totalprice").cast(_DEC)).alias("rev"))
+        .withColumn("day", F.unix_date(F.col("order_date")))
+    )
+    w7 = Window.orderBy("day").rangeBetween(-6, 0)
+    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "order_date",
+        F.col("rev").cast("double").alias("daily_revenue"),
+        F.sum("rev").over(w7).cast("double").alias("trailing_7d_revenue"),
+        F.count(F.lit(1)).over(w7).cast("long").alias("trailing_7d_days"),
+        F.sum("rev").over(wcum).cast("double").alias("cumulative_revenue"),
+    )
