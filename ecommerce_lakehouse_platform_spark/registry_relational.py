@@ -231,6 +231,116 @@ def ext_setops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SCD Type 2 + MERGE upsert (operators/scd.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "ext_scd2_user_state",
+    oracle="""
+    WITH ev AS (
+      SELECT CAST(user_id AS BIGINT) AS user_id, event_type AS state,
+             epoch_us(ts) AS ts_us, event_id
+      FROM events
+    ), f AS (
+      SELECT user_id, state, ts_us, event_id,
+        CASE WHEN state IS DISTINCT FROM
+               LAG(state) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+             THEN 1 ELSE 0 END AS chg
+      FROM ev
+    ), r AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS run
+      FROM f
+    ), iv AS (
+      SELECT user_id, run, MIN(state) AS state, MIN(ts_us) AS valid_from_us
+      FROM r GROUP BY 1, 2
+    )
+    SELECT user_id, state, valid_from_us,
+      LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY run) AS valid_to_us,
+      LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY run) IS NULL AS is_current
+    FROM iv
+    """,
+)
+def ext_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 collapse (operators/scd.py, gaps-and-islands): each
+    user's event-type history folded into consecutive-state validity
+    intervals with ``valid_from``/``valid_to``/``is_current`` — the
+    dimension-history build the reference's overwrite pipeline never
+    materializes. Timestamps compare at microseconds; event_id breaks
+    ordering ties."""
+    from .operators.scd import scd2_collapse
+
+    ev = silver_events(_t(spark, sf_dir, "events")).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_type").alias("state"),
+        F.unix_micros("event_ts").alias("ts_us"),
+        F.col("event_id").cast("long").alias("event_id"),
+    )
+    out = scd2_collapse(
+        ev,
+        key_cols=["user_id"],
+        state_cols=["state"],
+        order_col="ts_us",
+        tiebreak_cols=["event_id"],
+    )
+    return out.select(
+        "user_id",
+        "state",
+        F.col("valid_from").alias("valid_from_us"),
+        F.col("valid_to").alias("valid_to_us"),
+        "is_current",
+    )
+
+
+@query(
+    "ext_merge_upsert",
+    oracle="""
+    WITH target AS (
+      SELECT o_orderkey AS order_id, o_orderstatus AS status, o_totalprice AS total
+      FROM orders
+    ), src AS (
+      SELECT o_orderkey AS order_id, o_orderstatus AS status,
+             o_totalprice * 1.1 AS total
+      FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1996
+      UNION ALL
+      SELECT o_orderkey + 1000000000, o_orderstatus, o_totalprice
+      FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1997
+    )
+    SELECT t.* FROM target t
+    WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.order_id = t.order_id)
+    UNION ALL
+    SELECT * FROM src
+    """,
+)
+def ext_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE upsert (operators/scd.py): a change-set of corrected 1996
+    totals (matched → update) plus brand-new 1997-derived keys
+    (unmatched → insert) merged into the orders snapshot via
+    anti-join ∪ source. The double multiply is IEEE-deterministic, so
+    the oracle reproduces updated totals bit-for-bit."""
+    from .operators.scd import merge_upsert
+
+    orders = _t(spark, sf_dir, "orders")
+    year = F.year(F.col("o_orderdate").cast("date"))
+    target = orders.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("total"),
+    )
+    updates = orders.filter(year == 1996).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderstatus").alias("status"),
+        (F.col("o_totalprice") * 1.1).alias("total"),
+    )
+    inserts = orders.filter(year == 1997).select(
+        (F.col("o_orderkey") + 1000000000).alias("order_id"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("total"),
+    )
+    return merge_upsert(target, updates.unionByName(inserts), ["order_id"])
+
+
+# ---------------------------------------------------------------------------
 # Window frames: moving + cumulative aggregates
 # ---------------------------------------------------------------------------
 
