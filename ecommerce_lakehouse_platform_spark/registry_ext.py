@@ -602,6 +602,124 @@ def ext_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ext_text_tfidf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM toks WHERE token != ''
+      GROUP BY 1, 2
+    ), df AS (
+      SELECT token, COUNT(*) AS df FROM tf GROUP BY 1
+    ), n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        FLOOR((tf.tf * (ln((CAST(n.n AS DOUBLE) + 1.0) / (CAST(df.df AS DOUBLE) + 1.0)) + 1.0)) * 1000000 + 0.5) / 1000000 AS tfidf
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tf, df, tfidf FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY tfidf DESC, token) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def ext_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (smoothed idf
+    ``ln((N+1)/(df+1)) + 1``): explode → two key-partitioned aggs →
+    broadcast of the 1-row corpus count (a plan-side cross join, not a
+    driver collect) → windowed top-k per doc. ``ln`` differs by 1 ULP
+    between Spark (fdlibm) and DuckDB (libm) on some inputs, so scores
+    floor-round at 6 dp in BOTH engines before the hash compare and
+    before top-k ordering (ties then break on the token)."""
+    from .functions.math import roundn
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("token")
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    idf = F.log((F.col("n").cast("double") + 1.0) / (F.col("df").cast("double") + 1.0)) + 1.0
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            roundn(F.col("tf") * idf, 6).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
+_STRATA_RATES = {"en": 5000, "es": 2500, "fr": 2500, "de": 1000}  # per-10k
+_STRATA_SQL = " ".join(
+    f"WHEN lang = '{lang}' THEN {per10k}" for lang, per10k in _STRATA_RATES.items()
+)
+
+@query(
+    "ext_sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang FROM documents
+    WHERE CAST(('0x' || substring(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+          < CASE {_STRATA_SQL} ELSE 0 END
+    """,
+)
+def ext_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-language keep rates
+    (en 50%, es/fr 25%, de 10%) applied via salted-MD5 bucketing — the
+    rebalancing pass of corpus curation. Unlike ``sampleBy``, the
+    decision is a pure function of the doc id: stable across runs,
+    engines, partitionings, and corpus growth, and the oracle
+    reproduces the exact sample."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    rate = F.lit(0)
+    for lang, per10k in _STRATA_RATES.items():
+        rate = F.when(F.col("lang") == lang, per10k).otherwise(rate)
+    return docs.filter(bucket < rate).select("doc_id", "lang")
+
+
+@query("ext_sketch_profile")  # approximate (HLL / KLL sketches) → rows-only
+def ext_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based corpus profile per language: HyperLogLog++ distinct
+    counts (``approx_count_distinct``) and KLL-style quantiles
+    (``approx_percentile``) — the mergeable-sketch scale path for
+    profiling 100 TB where exact distinct/percentile would shuffle
+    every value. Bounded error vs the exact answers is asserted in
+    tests/test_sketches.py; no SQL oracle because sketch outputs are
+    implementation-defined."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.approx_count_distinct("text", 0.02).alias("approx_distinct_texts"),
+        F.approx_count_distinct("source", 0.02).alias("approx_distinct_sources"),
+        F.expr("approx_percentile(n_chars, array(0.5, 0.95), 5000)").alias(
+            "approx_chars_p50_p95"
+        ),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@query(
     "ext_dedup_ngram_jaccard",
     oracle="""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
