@@ -1041,6 +1041,35 @@ _SESSION_ORACLE = """
     """
 
 
+@query(
+    "stream_time_window_rollup",
+    oracle="""
+    SELECT CAST(FLOOR(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_sec,
+      event_type,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_time_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup via ``F.window`` (streaming/sessions.py
+    windowed_rollup) — the §2.9 fixed-window operator. The same
+    expressions run under readStream + watermark in
+    tests/test_streaming.py; hour windows align to epoch hours, so the
+    oracle is a date_trunc groupBy."""
+    from .streaming.sessions import windowed_rollup
+
+    ev = silver_events(_t(spark, sf_dir, "events"))
+    roll = windowed_rollup(ev, "event_ts", "1 hour")
+    return roll.select(
+        F.col("win.start").cast("long").alias("bucket_sec"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
 @query("stream_session_stateful", oracle=_SESSION_ORACLE)
 def stream_session_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful sessionization via ``applyInPandasWithState``

@@ -45,6 +45,36 @@ def write_table(
     writer.save(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: str | list[str],
+    n_buckets: int,
+    sort_cols: str | list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed-table write: pre-shuffles once at write time so
+    every later equi-join/aggregation on the bucket key runs with NO
+    exchange (and, with ``sort_cols``, no sort) — the co-located-join
+    layout for fact-fact joins at 100 TB, where the repeated shuffle of
+    the big side is the dominant cost. Bucket both sides with the same
+    key and bucket count; tests/test_bucketing.py asserts the
+    shuffle-free plan.
+
+    Bucketing requires ``saveAsTable`` (bucket metadata lives in the
+    catalog, not the parquet files); Delta ignores Hive bucketing, so
+    this writes parquet explicitly.
+    """
+    bcols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    writer = (
+        df.write.format("parquet").mode(mode).bucketBy(n_buckets, *bcols)
+    )
+    if sort_cols:
+        scols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        writer = writer.sortBy(*scols)
+    writer.saveAsTable(table)
+
+
 def read_table(spark: SparkSession, path: str, fmt: str | None = None) -> DataFrame:
     fmt = fmt or ("delta" if _delta_available(spark) else "parquet")
     return spark.read.format(fmt).load(path)

@@ -52,6 +52,35 @@ def session_rollup(
     )
 
 
+def windowed_rollup(
+    events: DataFrame,
+    ts_col: str = "event_ts",
+    window_len: str = "1 hour",
+    slide: str | None = None,
+    keys: tuple[str, ...] = ("event_type",),
+    revenue_col: str = "amount_usd",
+) -> DataFrame:
+    """Tumbling (or, with ``slide``, sliding/hopping) time-window
+    rollup — the fixed-window twin of ``session_rollup`` and the
+    streaming form of the batch hourly hypertable rollup
+    (registry_ext.ext_time_bucket_rollup). Identical column
+    expressions run in batch and under readStream+watermark; revenue
+    sums in DECIMAL so partition/trigger order cannot change it.
+    Deliberately no countDistinct: it is unsupported in streaming
+    aggs — use approx_count_distinct there (ext_sketch_profile)."""
+    win = (
+        F.window(F.col(ts_col), window_len, slide)
+        if slide
+        else F.window(F.col(ts_col), window_len)
+    )
+    return events.groupBy(win.alias("win"), *[F.col(k) for k in keys]).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col(revenue_col).cast("decimal(30,6)")).cast("double").alias(
+            "total_value"
+        ),
+    )
+
+
 def with_late_data_handling(
     stream: DataFrame,
     ts_col: str = "event_ts",

@@ -56,6 +56,60 @@ def test_streaming_matches_batch_sessionization(spark):
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def test_streaming_windowed_rollup_matches_batch(spark):
+    """Tumbling-window rollup: readStream + watermark must reproduce
+    the batch windowed_rollup bit-for-bit (decimal revenue sums)."""
+    from ecommerce_lakehouse_platform_spark.streaming.sessions import (
+        windowed_rollup,
+    )
+
+    ev = silver_events(load_table(spark, SF_SMOKE, "events"))
+    src_dir = tempfile.mkdtemp(prefix="stream_win_src_")
+    ckpt = tempfile.mkdtemp(prefix="stream_win_ckpt_")
+    try:
+        ev.write.mode("overwrite").parquet(src_dir)
+        schema = spark.read.parquet(src_dir).schema
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        rolled = windowed_rollup(
+            stream.withWatermark("event_ts", "1 hour"), "event_ts", "1 hour"
+        )
+        q = (
+            rolled.writeStream.format("memory")
+            .queryName("win_rollup_out")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        cols = ["win", "event_type", "n_events", "total_value"]
+        got = {
+            (r["win"]["start"], r["event_type"], r["n_events"], r["total_value"])
+            for r in spark.table("win_rollup_out").select(cols).collect()
+        }
+        want = {
+            (r["win"]["start"], r["event_type"], r["n_events"], r["total_value"])
+            for r in windowed_rollup(ev, "event_ts", "1 hour").select(cols).collect()
+        }
+        assert got == want and got
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_sliding_window_covers_each_event_twice(spark):
+    """slide = len/2 → every event lands in exactly two windows."""
+    from ecommerce_lakehouse_platform_spark.streaming.sessions import (
+        windowed_rollup,
+    )
+
+    ev = silver_events(load_table(spark, SF_SMOKE, "events"))
+    n = ev.count()
+    slid = windowed_rollup(ev, "event_ts", "1 hour", slide="30 minutes")
+    total = slid.agg(F.sum("n_events").alias("s")).collect()[0]["s"]
+    assert total == 2 * n
+
+
 def test_stateful_sessionizer_matches_batch_bit_exact(spark):
     """applyInPandasWithState sessionizer == batch session_window,
     including revenue doubles bit-for-bit (integer-micros
