@@ -36,9 +36,15 @@ HEADLINE = [
     "stream_session_window",
     "ext_dedup_minhash_lsh",
     "ext_dedup_ngram_jaccard",
+    "ext_dedup_clusters",
     "ext_similarity_topk",
     "ext_text_stats",
+    "ext_text_tfidf",
     "ext_json_extract",
+    "ext_pivot_events",
+    "ext_topk_per_group",
+    "ext_scd2_user_state",
+    "ext_moving_revenue",
 ]
 
 

@@ -231,6 +231,121 @@ def ext_setops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Histogram, per-group top-k, correlated scalar subquery
+# ---------------------------------------------------------------------------
+
+@query(
+    "ext_histogram_totals",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bin,
+      CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) * 25000.0 AS bin_lo,
+      (CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) + 1) * 25000.0 AS bin_hi,
+      COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS bin_revenue
+    FROM orders GROUP BY 1
+    """,
+)
+def ext_histogram_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (width-bucket binning):
+    one partial+final agg over floor(x/width) — the profiling pass
+    behind outlier fences and price-band dashboards. Fixed origin 0
+    keeps it single-pass (a data-dependent min would need a second
+    scan); the bin arithmetic is identical IEEE ops in both engines."""
+    orders = _t(spark, sf_dir, "orders")
+    bin_ = F.floor(F.col("o_totalprice") / 25000.0).cast("long")
+    return (
+        orders.groupBy(bin_.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dec_sum(F.col("o_totalprice")).alias("bin_revenue"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * 25000.0).alias("bin_lo"),
+            ((F.col("bin") + 1) * 25000.0).alias("bin_hi"),
+            "n_orders",
+            "bin_revenue",
+        )
+    )
+
+
+@query(
+    "ext_topk_per_group",
+    oracle="""
+    WITH rev AS (
+      SELECT p.p_brand, l.l_partkey,
+        SUM(CAST(l.l_extendedprice AS DECIMAL(30,6))) AS rev_dec
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    )
+    SELECT p_brand, l_partkey AS part_key,
+      CAST(rev_dec AS DOUBLE) AS part_revenue, rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY p_brand
+                ORDER BY rev_dec DESC, l_partkey) AS rk
+      FROM rev
+    ) WHERE rk <= 3
+    """,
+)
+def ext_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts per brand by revenue: key-partitioned agg →
+    windowed rank. The rank ORDER BY runs on the exact DECIMAL (not
+    the double projection) so cross-engine ordering can't diverge on
+    sub-ULP ties; partkey breaks exact ties. The part dim joins
+    broadcast (plan-asserted for gold models in test_plan_shapes.py)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast(_DEC)).alias("rev_dec"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("rev_dec").desc(), "l_partkey"
+    )
+    return (
+        rev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "p_brand",
+            F.col("l_partkey").alias("part_key"),
+            F.col("rev_dec").cast("double").alias("part_revenue"),
+            "rk",
+        )
+    )
+
+
+@query(
+    "ext_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey AS order_id, o_custkey AS customer_id,
+           o_totalprice AS total
+    FROM orders o
+    WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders o2
+                          WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def ext_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (each customer's largest order),
+    run through the SQL entry point so Catalyst's decorrelation
+    rewrites it into an aggregate + join — no per-row re-execution
+    (the §4 'built-in: subquery decorrelation' claim, exercised).
+    MAX of doubles is order-independent, so no decimal routing is
+    needed."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq")
+    return spark.sql(
+        """
+        SELECT o_orderkey AS order_id, o_custkey AS customer_id,
+               o_totalprice AS total
+        FROM orders_sq o
+        WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders_sq o2
+                              WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # SCD Type 2 + MERGE upsert (operators/scd.py)
 # ---------------------------------------------------------------------------
 
