@@ -1042,6 +1042,115 @@ _SESSION_ORACLE = """
 
 
 @query(
+    "ext_incremental_rollup",
+    oracle="""
+    SELECT CAST(FLOOR(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_sec,
+      event_type,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ext_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance (operators/rollup.py): the
+    hourly rollup computed as ``merge(partial(first half),
+    partial(second half))`` — the refresh path that touches only new
+    partitions at scale. Additive DECIMAL state makes the merged
+    result bit-identical to the one-shot rollup, which is exactly what
+    the oracle computes directly."""
+    from .operators.rollup import merge_rollups, partial_rollup
+
+    ev = silver_events(_t(spark, sf_dir, "events")).withColumn(
+        "bucket_sec", F.date_trunc("hour", F.col("event_ts")).cast("long")
+    )
+    halves = [
+        ev.filter(F.col("event_date") < "2024-01-15"),
+        ev.filter(F.col("event_date") >= "2024-01-15"),
+    ]
+    states = [
+        partial_rollup(
+            h,
+            ["bucket_sec", "event_type"],
+            {"total_value_dec": F.col("amount_usd")},
+            count_col="n_events",
+        )
+        for h in halves
+    ]
+    merged = merge_rollups(states, ["bucket_sec", "event_type"], count_col="n_events")
+    return merged.select(
+        "bucket_sec",
+        "event_type",
+        "n_events",
+        F.col("total_value_dec").cast("double").alias("total_value"),
+    )
+
+
+@query(
+    "stream_interval_join",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us
+      FROM events WHERE event_type = 'purchase'
+    ), e AS (
+      SELECT user_id, event_id AS error_id, epoch_us(ts) AS e_us
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT p.user_id, purchase_id, error_id,
+      CAST((e_us - p_us) // 1000000 AS BIGINT) AS lag_sec
+    FROM p JOIN e ON p.user_id = e.user_id
+      AND e_us >= p_us AND e_us < p_us + 3600000000
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join (streaming/joins.py): errors within
+    one hour of a purchase by the same user, computed by a real
+    Structured Streaming job — two watermarked streams, range-bounded
+    join state, append output. Same semantics (and same oracle) as the
+    batch ext_interval_join_errors; the streaming planner keeps the
+    range predicate for state eviction where the batch operator
+    bucket-hashes it."""
+    from .streaming.joins import run_stream_stream_join_bounded
+
+    ev = silver_events(_t(spark, sf_dir, "events"))
+    base = ev.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+        "event_ts",
+    )
+    errors = base.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.col("event_ts").alias("error_ts"),
+    )
+    purchases = base.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("event_ts").alias("purchase_ts"),
+    )
+    joined = run_stream_stream_join_bounded(
+        spark,
+        errors,
+        purchases,
+        key="user_id",
+        left_ts="error_ts",
+        right_ts="purchase_ts",
+        window="1 hour",
+        watermark="1 hour",
+    )
+    return joined.select(
+        "user_id",
+        "purchase_id",
+        "error_id",
+        F.floor(
+            (F.unix_micros("error_ts") - F.unix_micros("purchase_ts"))
+            / 1_000_000
+        ).cast("long").alias("lag_sec"),
+    )
+
+
+@query(
     "stream_time_window_rollup",
     oracle="""
     SELECT CAST(FLOOR(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_sec,

@@ -110,6 +110,48 @@ def test_sliding_window_covers_each_event_twice(spark):
     assert total == 2 * n
 
 
+def test_stream_stream_join_matches_batch(spark):
+    """Watermarked stream-stream interval join == the batch inequality
+    join on the same bounded events."""
+    from ecommerce_lakehouse_platform_spark.streaming.joins import (
+        run_stream_stream_join_bounded,
+    )
+
+    ev = silver_events(load_table(spark, SF_SMOKE, "events")).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+        "event_ts",
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.col("event_ts").alias("error_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("event_ts").alias("purchase_ts"),
+    )
+    got = {
+        (r["user_id"], r["purchase_id"], r["error_id"])
+        for r in run_stream_stream_join_bounded(
+            spark, errors, purchases, "user_id", "error_ts", "purchase_ts"
+        ).collect()
+    }
+    batch = errors.alias("e").join(
+        purchases.alias("p"),
+        (F.col("e.user_id") == F.col("p.user_id"))
+        & (F.col("e.error_ts") >= F.col("p.purchase_ts"))
+        & (F.col("e.error_ts") < F.col("p.purchase_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    want = {
+        (r["user_id"], r["purchase_id"], r["error_id"])
+        for r in batch.select("e.user_id", "purchase_id", "error_id").collect()
+    }
+    assert got == want and got
+
+
 def test_stateful_sessionizer_matches_batch_bit_exact(spark):
     """applyInPandasWithState sessionizer == batch session_window,
     including revenue doubles bit-for-bit (integer-micros
