@@ -662,6 +662,152 @@ def ext_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ext_text_repetition",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    b AS (
+      SELECT doc_id,
+        list_transform(range(1, len(toks)), i -> concat_ws(' ', toks[i], toks[i+1])) AS bigrams
+      FROM t WHERE len(toks) >= 2
+    )
+    SELECT doc_id,
+      CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+      CAST(len(list_distinct(bigrams)) AS BIGINT) AS n_distinct_bigrams,
+      1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams) AS repetition_ratio
+    FROM b
+    """,
+)
+def ext_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram repetition ratio (1 − distinct/total bigrams) — the
+    duplicate-n-gram quality signal from published LLM-corpus filters
+    (Gopher-style repetition rules): high values flag boilerplate and
+    degenerate repetition that unigram stats miss. Pure higher-order
+    functions, one scan, no explode shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    bigrams = T.shingles(F.col("text"), 2)
+    n = F.size(bigrams).cast("long")
+    nd = F.size(F.array_distinct(bigrams)).cast("long")
+    return (
+        docs.filter(F.size(T.tokens(F.col("text"))) >= 2)
+        .select(
+            "doc_id",
+            n.alias("n_bigrams"),
+            nd.alias("n_distinct_bigrams"),
+            (1.0 - nd.cast("double") / n).alias("repetition_ratio"),
+        )
+    )
+
+
+@query(
+    "ext_decontamination",
+    oracle="""
+    WITH split AS (
+      SELECT doc_id, text,
+        CASE WHEN CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90
+             THEN 'train' ELSE 'test' END AS split
+      FROM documents
+    ), toks AS (SELECT doc_id, split, string_split(text, ' ') AS t FROM split),
+    sh AS (
+      SELECT DISTINCT doc_id, split,
+        unnest(list_transform(range(1, len(t)-1), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+      FROM toks WHERE len(t) >= 3
+    ),
+    test_sh AS (SELECT DISTINCT s FROM sh WHERE split = 'test'),
+    train_sh AS (SELECT doc_id, s FROM sh WHERE split = 'train'),
+    hits AS (
+      SELECT doc_id, COUNT(*) AS n_contaminated
+      FROM train_sh WHERE s IN (SELECT s FROM test_sh) GROUP BY 1
+    ),
+    totals AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train_sh GROUP BY 1)
+    SELECT t.doc_id, t.n_shingles,
+      COALESCE(h.n_contaminated, 0) AS n_contaminated,
+      CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / t.n_shingles AS contamination_ratio,
+      CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / t.n_shingles >= 0.5 AS is_contaminated
+    FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    """,
+)
+def ext_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per TRAIN doc, the fraction of its
+    distinct 3-grams that also occur anywhere in the TEST split (the
+    n-gram-overlap contamination check used before training on a
+    corpus that must not leak eval data). The test-side shingle set is
+    bounded by the benchmark size, so the membership probe is a
+    broadcast LEFT SEMI join against the fact-side shingles — no
+    all-pairs comparison, one shuffle for the per-doc counts."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    tagged = docs.select(
+        "doc_id",
+        F.when(bucket < 90, "train").otherwise("test").alias("split"),
+        T.shingles(F.col("text"), 3).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    exploded = tagged.select(
+        "doc_id", "split", F.explode(F.array_distinct("sh")).alias("s")
+    )
+    train_sh = exploded.filter(F.col("split") == "train").select("doc_id", "s")
+    test_sh = exploded.filter(F.col("split") == "test").select("s").distinct()
+    hits = (
+        train_sh.join(F.broadcast(test_sh), "s", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    totals = train_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    ratio = F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("double") / F.col(
+        "n_shingles"
+    )
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("long").alias(
+                "n_contaminated"
+            ),
+            ratio.alias("contamination_ratio"),
+            (ratio >= 0.5).alias("is_contaminated"),
+        )
+    )
+
+
+@query(
+    "ext_skew_salted_join",
+    oracle="""
+    SELECT p.p_brand,
+      COUNT(*) AS n_items,
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1
+    """,
+)
+def ext_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join (operators/skew.py): fact side scattered by a
+    deterministic hash salt, dim side exploded ×8, join on (key, salt)
+    — the explicit hot-key mitigation for when the dim can't broadcast
+    and AQE's skew splitting isn't enough. The oracle is the PLAIN
+    join: salting must be result-invisible."""
+    from .operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    joined = salted_join(
+        li, part, on=["l_partkey"], fact_unique_col="l_orderkey", how="inner",
+        salt_buckets=8,
+    )
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dec_sum(F.col("l_extendedprice")).alias("revenue"),
+    )
+
+
 _STRATA_RATES = {"en": 5000, "es": 2500, "fr": 2500, "de": 1000}  # per-10k
 _STRATA_SQL = " ".join(
     f"WHEN lang = '{lang}' THEN {per10k}" for lang, per10k in _STRATA_RATES.items()
