@@ -89,3 +89,52 @@ def test_session_rollup_single_shuffle(spark):
     stage at 100 TB."""
     plan = _plan(spark, "stream_session_window", mode="simple")
     assert plan.count("Exchange") == 1
+
+
+def test_unpivot_is_one_scan_expand(spark):
+    """Native unpivot: ONE parquet scan + Expand — the UNION-ALL
+    formulation would scan the fact table once per measure."""
+    plan = _plan(spark, "ext_unpivot_lineitem", mode="simple")
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan
+
+
+def test_grouping_sets_are_one_pass(spark):
+    """ROLLUP/CUBE: one scan + one Expand + partial/final aggregate —
+    not a scan per grouping set."""
+    for name in ("ext_rollup_revenue", "ext_cube_returns"):
+        plan = _plan(spark, name, mode="simple")
+        assert plan.count("Scan parquet") == 1, name
+        assert "Expand" in plan, name
+        assert plan.count("HashAggregate") >= 2, name
+
+
+def test_semi_anti_joins_plan_as_semi_anti(spark):
+    """Existence checks plan as LeftSemi/LeftAnti — never a full join
+    that duplicates and rematerializes the left side."""
+    plan = _plan(spark, "ext_join_semi_anti", mode="simple")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_decontamination_probe_is_broadcast_semi(spark):
+    """The benchmark-shingle membership probe broadcasts the bounded
+    test-side set and plans as a broadcast LeftSemi — shuffling the
+    full train-side shingle stream against it would be the 100-TB
+    bottleneck."""
+    plan = _plan(spark, "ext_decontamination", mode="simple")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_topk_per_group_broadcasts_the_dim(spark):
+    """The part dim joins broadcast under the per-group rank."""
+    plan = _plan(spark, "ext_topk_per_group", mode="simple")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_scalar_subquery_is_decorrelated(spark):
+    """The correlated scalar subquery must be rewritten to an
+    aggregate + join (no per-row subquery execution)."""
+    plan = _plan(spark, "ext_scalar_subquery", mode="simple")
+    assert "Join" in plan
+    assert "Subquery" not in plan
