@@ -456,6 +456,83 @@ def ext_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Z-order layout + blocked fuzzy join (operators/zorder.py, linkage.py)
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 10
+_Z_TERMS = " + ".join(
+    f"(((x >> {i}) & 1) << {2 * i}) + (((y >> {i}) & 1) << {2 * i + 1})"
+    for i in range(_Z_BITS)
+)
+
+@query(
+    "ext_zorder_layout",
+    oracle=f"""
+    WITH b AS (
+      SELECT o_orderkey,
+        o_custkey % 1024 AS x,
+        datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 1024 AS y
+      FROM orders
+    )
+    SELECT o_orderkey, CAST(x AS BIGINT) AS cust_bucket,
+      CAST(y AS BIGINT) AS day_bucket,
+      CAST({_Z_TERMS} AS BIGINT) AS zvalue
+    FROM b
+    """,
+)
+def ext_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key (operators/zorder.py): customer
+    and order-day buckets bit-interleaved into one sort key, so a
+    z-sorted file layout carries tight min/max on BOTH dimensions and
+    parquet skipping fires for either predicate — what date
+    partitioning alone can't give. Pure shift/and arithmetic,
+    reproduced bit-for-bit by the oracle; the locality property itself
+    is asserted in tests/test_zorder.py."""
+    from .operators.zorder import z_value
+
+    orders = _t(spark, sf_dir, "orders")
+    x = F.pmod(F.col("o_custkey"), F.lit(1024)).cast("long")
+    y = F.pmod(
+        F.unix_date(F.col("o_orderdate").cast("date")), F.lit(1024)
+    ).cast("long")
+    return orders.select(
+        "o_orderkey",
+        x.alias("cust_bucket"),
+        y.alias("day_bucket"),
+        z_value([x, y], bits=_Z_BITS).alias("zvalue"),
+    )
+
+
+@query(
+    "ext_fuzzy_blocked_join",
+    oracle="""
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+      a.c_name AS text_a, b.c_name AS text_b,
+      CAST(levenshtein(a.c_name, b.c_name) AS INT) AS distance
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def ext_fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage (operators/linkage.py): near-identical customer
+    names within a nation block — equi-join on the blocking key (hash
+    join, no cross product), exact levenshtein refine (verified
+    bit-compatible across engines). The LSH-free end of the fuzzy-
+    matching spectrum; blocking selectivity is the scale knob."""
+    from .operators.linkage import blocked_fuzzy_join
+
+    cust = _t(spark, sf_dir, "customer")
+    return blocked_fuzzy_join(
+        cust,
+        id_col="c_custkey",
+        text_col="c_name",
+        block_cols=["c_nationkey"],
+        max_distance=1,
+    ).select("id_a", "id_b", "text_a", "text_b", "distance")
+
+
+# ---------------------------------------------------------------------------
 # Window frames: moving + cumulative aggregates
 # ---------------------------------------------------------------------------
 
