@@ -456,6 +456,178 @@ def ext_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact statistics, ordered funnel, table profile
+# ---------------------------------------------------------------------------
+
+@query(
+    "ext_stats_correlation",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+        COUNT(*) AS n,
+        SUM(CAST(l_quantity AS DECIMAL(19,6))) AS sx,
+        SUM(CAST(l_extendedprice AS DECIMAL(19,6))) AS sy,
+        SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS sxx,
+        SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS syy,
+        SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS sxy
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, n,
+      (n * CAST(CAST(sxy AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+        / (sqrt(n * CAST(CAST(sxx AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+           * sqrt(n * CAST(CAST(syy AS VARCHAR) AS DOUBLE) - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE)))
+        AS qty_price_corr,
+      sqrt((n * CAST(CAST(sxx AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE)) / (CAST(n AS DOUBLE) * n)) AS qty_stddev_pop
+    FROM m
+    """,
+)
+def ext_stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + population stddev per group, EXACT across
+    engines: built-in ``corr``/``stddev`` accumulate co-moments in
+    doubles (order-dependent → never hash-comparable), so the
+    co-moments are computed as DECIMAL sums — exact and
+    order-independent — and only the final closed-form division runs
+    in double (deterministic IEEE on identical inputs). Still one
+    partial+final aggregate pass. Oracle gotcha: DuckDB's wide-decimal
+    → double cast divides in floating point and is NOT correctly
+    rounded (2540249026.99 → ...9900002), so the oracle routes the
+    cast through VARCHAR (strtod is correctly rounded, matching
+    Spark's decimal→double)."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(19,6)")
+    y = F.col("l_extendedprice").cast("decimal(19,6)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        ((n * sxy - sx * sy)
+         / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+         ).alias("qty_price_corr"),
+        F.sqrt((n * sxx - sx * sx) / (n.cast("double") * n)).alias(
+            "qty_stddev_pop"
+        ),
+    )
+
+
+@query(
+    "ext_ordered_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS v_us FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), c AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS c_us
+      FROM events e JOIN v ON e.user_id = v.user_id AND epoch_us(e.ts) > v.v_us
+      WHERE e.event_type = 'click' GROUP BY 1
+    ), p AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_us
+      FROM events e JOIN c ON e.user_id = c.user_id AND epoch_us(e.ts) > c.c_us
+      WHERE e.event_type = 'purchase' GROUP BY 1
+    )
+    SELECT v.user_id,
+      v.v_us // 1000000 AS first_view_sec,
+      c.c_us // 1000000 AS first_click_sec,
+      p.p_us // 1000000 AS first_purchase_sec,
+      c.user_id IS NOT NULL AS reached_click,
+      p.user_id IS NOT NULL AS reached_purchase
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def ext_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-sensitive conversion funnel: first view, first click
+    STRICTLY AFTER that view, first purchase strictly after that click
+    — the sequence-matching funnel (the reference's funnel counts
+    stages independently, analysis/dashboard_queries/03:4-18, so a
+    purchase before any view still counts; this one requires the
+    v→c→p ordering). Each stage is a key-partitioned min-agg joined
+    back on the key — three shuffles on user_id total, no windows over
+    raw events."""
+    ev = silver_events(_t(spark, sf_dir, "events")).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+        F.unix_micros("event_ts").alias("ts_us"),
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("v_us"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts_us") > F.col("v_us"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("c_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_us") > F.col("c_us"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("p_us"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.floor(F.col("v_us") / 1_000_000).cast("long").alias("first_view_sec"),
+            F.floor(F.col("c_us") / 1_000_000).cast("long").alias("first_click_sec"),
+            F.floor(F.col("p_us") / 1_000_000).cast("long").alias("first_purchase_sec"),
+            F.col("c_us").isNotNull().alias("reached_click"),
+            F.col("p_us").isNotNull().alias("reached_purchase"),
+        )
+    )
+
+
+@query(
+    "ext_profile_orders",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+      CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderkey_nulls,
+      CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_custkey_nulls,
+      CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_totalprice_nulls,
+      CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderstatus_nulls,
+      MIN(o_totalprice) AS o_totalprice_min,
+      MAX(o_totalprice) AS o_totalprice_max,
+      MIN(CAST(o_orderdate AS DATE)) AS order_date_min,
+      MAX(CAST(o_orderdate AS DATE)) AS order_date_max
+    FROM orders
+    """,
+)
+def ext_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profile (operators/profile.py): row count,
+    per-column null counts, numeric/date min-max — a single
+    partial+final aggregate, the systematic replacement for the
+    reference's display(limit(5)) eyeballing."""
+    from .operators.profile import profile_table
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "order_date", F.col("o_orderdate").cast("date")
+    )
+    return profile_table(
+        orders,
+        null_cols=["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"],
+        minmax_cols=["o_totalprice", "order_date"],
+    )
+
+
+# ---------------------------------------------------------------------------
 # Z-order layout + blocked fuzzy join (operators/zorder.py, linkage.py)
 # ---------------------------------------------------------------------------
 
