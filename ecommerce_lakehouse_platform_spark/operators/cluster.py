@@ -73,7 +73,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # 1-hop: every node offers its label to each neighbor
         msgs = und.join(labels, und["a"] == labels["node"]).select(
             F.col("b").alias("node"), "label"
@@ -97,16 +97,20 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        # round 0 always changes labels on any non-trivial graph — skip
+        # the probe job there and only pay for it from round 1 on
+        if it > 0:
+            changed = (
+                new.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                labels = new
+                break
         labels = new
-        if changed == 0:
-            break
 
     return labels.select(
         F.col("node").alias(node_col), F.col("label").alias(comp_col)

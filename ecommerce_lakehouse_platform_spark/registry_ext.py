@@ -808,6 +808,114 @@ def ext_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ext_text_unk_replace",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+      FROM documents
+    ), freq AS (
+      SELECT token, COUNT(*) AS tf FROM toks WHERE token != '' GROUP BY 1
+    ), top AS (
+      SELECT list(token) AS lst FROM (
+        SELECT token FROM freq ORDER BY tf DESC, token LIMIT 10
+      )
+    )
+    SELECT doc_id,
+      array_to_string(
+        list_transform(string_split_regex(text, '\\s+'),
+          t -> CASE WHEN list_contains(top.lst, t) THEN t ELSE '<unk>' END),
+        ' ') AS unk_text,
+      CAST(len(list_filter(string_split_regex(text, '\\s+'),
+        t -> NOT list_contains(top.lst, t))) AS BIGINT) AS n_replaced
+    FROM documents CROSS JOIN top
+    """,
+)
+def ext_text_unk_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary truncation: rebuild every document with
+    out-of-vocabulary tokens (outside the corpus top-10 by term
+    frequency) replaced by ``<unk>`` — the closed-vocab preprocessing
+    pass of classic LM training. Two aggregation passes (term counts →
+    top-k) and a broadcast of the bounded vocabulary into a
+    higher-order rewrite; the document rewrite itself is one map
+    stage, no explode."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(T.tokens(F.col("text"))).alias("token")).filter(
+        F.col("token") != ""
+    )
+    top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.col("tf").desc(), "token")
+        .limit(10)
+        .agg(F.collect_list("token").alias("lst"))
+    )
+    with_vocab = docs.crossJoin(F.broadcast(top))
+    tcol = T.tokens(F.col("text"))
+    rewritten = F.transform(
+        tcol,
+        lambda t: F.when(F.array_contains(F.col("lst"), t), t).otherwise(
+            F.lit("<unk>")
+        ),
+    )
+    n_replaced = F.size(
+        F.filter(tcol, lambda t: ~F.array_contains(F.col("lst"), t))
+    ).cast("long")
+    return with_vocab.select(
+        "doc_id",
+        F.concat_ws(" ", rewritten).alias("unk_text"),
+        n_replaced.alias("n_replaced"),
+    )
+
+
+@query(
+    "ext_shard_packing",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+        CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, lang, n_tokens,
+        SUM(n_tokens) OVER (PARTITION BY lang
+          ORDER BY md5('shard:' || CAST(doc_id AS VARCHAR)), doc_id
+          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT doc_id, lang, n_tokens,
+      CAST((cum - n_tokens) // 2000 AS BIGINT) AS shard_id
+    FROM c
+    """,
+)
+def ext_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard packing: assign documents to ~2000-token shards
+    per language, deterministically (docs ordered by salted MD5 —
+    a stable pseudo-shuffle — then packed by cumulative token count).
+    Partitioned by lang so the running sum shuffles once on the
+    partition key; at scale the same pattern runs per date/bucket
+    partition, keeping every window bounded. Pure integer arithmetic,
+    bit-exact across engines."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        T.token_count(F.col("text")).alias("n_tokens"),
+    )
+    order_key = F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(order_key, "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return t.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / 2000).cast("long").alias("shard_id"),
+    )
+
+
 _STRATA_RATES = {"en": 5000, "es": 2500, "fr": 2500, "de": 1000}  # per-10k
 _STRATA_SQL = " ".join(
     f"WHEN lang = '{lang}' THEN {per10k}" for lang, per10k in _STRATA_RATES.items()
