@@ -27,7 +27,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["scd2_collapse", "merge_upsert"]
+__all__ = ["scd2_collapse", "snapshot_diff", "merge_upsert"]
 
 
 def scd2_collapse(
@@ -74,6 +74,45 @@ def scd2_collapse(
         intervals.withColumn("valid_to", F.lead("valid_from").over(w_runs))
         .withColumn("is_current", F.col("valid_to").isNull())
         .drop("__run")
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """CDC-style diff of two snapshot versions: full-outer join on the
+    key, keep only rows whose key exists on one side only (insert /
+    delete) or whose ``value_cols`` differ null-safely (update).
+    Returns the key columns plus ``change_type`` and ``old_<c>`` /
+    ``new_<c>`` for each value column. Inverse of :func:`merge_upsert`
+    (without deletes): ``snapshot_diff(t, merge_upsert(t, delta))``
+    recovers exactly the rows of ``delta`` that changed something."""
+    keys = list(key_cols)
+    vals = list(value_cols)
+    o = old.select(*keys, *vals).alias("o")
+    n = new.select(*keys, *vals).alias("n")
+    cond = None
+    for k in keys:
+        c = F.col(f"o.{k}") == F.col(f"n.{k}")
+        cond = c if cond is None else cond & c
+    joined = o.join(n, cond, "full_outer")
+    o_key, n_key = F.col(f"o.{keys[0]}"), F.col(f"n.{keys[0]}")
+    changed = o_key.isNull() | n_key.isNull()
+    for v in vals:
+        changed = changed | ~F.col(f"o.{v}").eqNullSafe(F.col(f"n.{v}"))
+    change = (
+        F.when(o_key.isNull(), "insert")
+        .when(n_key.isNull(), "delete")
+        .otherwise("update")
+    )
+    return joined.filter(changed).select(
+        *[F.coalesce(F.col(f"o.{k}"), F.col(f"n.{k}")).alias(k) for k in keys],
+        change.alias("change_type"),
+        *[F.col(f"o.{v}").alias(f"old_{v}") for v in vals],
+        *[F.col(f"n.{v}").alias(f"new_{v}") for v in vals],
     )
 
 

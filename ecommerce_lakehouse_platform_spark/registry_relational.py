@@ -456,6 +456,120 @@ def ext_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Snapshot diff (CDC) + event path analysis
+# ---------------------------------------------------------------------------
+
+@query(
+    "ext_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey AS order_id, o_orderstatus AS status, o_totalprice AS total
+      FROM orders
+    ), new AS (
+      SELECT o_orderkey AS order_id, o_orderstatus AS status,
+             o_totalprice * 1.1 AS total
+      FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1996
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE year(CAST(o_orderdate AS DATE)) != 1996
+        AND year(CAST(o_orderdate AS DATE)) != 1998
+    )
+    SELECT COALESCE(o.order_id, n.order_id) AS order_id,
+      CASE WHEN o.order_id IS NULL THEN 'insert'
+           WHEN n.order_id IS NULL THEN 'delete'
+           ELSE 'update' END AS change_type,
+      o.total AS old_total, n.total AS new_total
+    FROM old o FULL OUTER JOIN new n ON o.order_id = n.order_id
+    WHERE o.order_id IS NULL OR n.order_id IS NULL
+       OR o.status IS DISTINCT FROM n.status
+       OR o.total IS DISTINCT FROM n.total
+    """,
+)
+def ext_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (CDC without a log): full-outer join of two table
+    versions keyed on the PK, emitting only insert/update/delete rows
+    — the change feed you reconstruct when the source has no CDC. The
+    inverse of ext_merge_upsert: diff(old, merge(old, delta)) ≡ delta.
+    Here the 'new' version re-prices 1996 orders and drops 1998 ones;
+    null-safe comparisons make NULL attribute flips visible."""
+    orders = _t(spark, sf_dir, "orders")
+    year = F.year(F.col("o_orderdate").cast("date"))
+    old = orders.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("total"),
+    )
+    new = (
+        orders.filter(year == 1996)
+        .select(
+            F.col("o_orderkey").alias("order_id"),
+            F.col("o_orderstatus").alias("status"),
+            (F.col("o_totalprice") * 1.1).alias("total"),
+        )
+        .unionByName(
+            orders.filter((year != 1996) & (year != 1998)).select(
+                F.col("o_orderkey").alias("order_id"),
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_totalprice").alias("total"),
+            )
+        )
+    )
+    from .operators.scd import snapshot_diff
+
+    return snapshot_diff(
+        old, new, key_cols=["order_id"], value_cols=["status", "total"]
+    ).select("order_id", "change_type", "old_total", "new_total")
+
+
+@query(
+    "ext_event_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+        string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM events GROUP BY user_id
+    )
+    SELECT path, COUNT(*) AS n_users
+    FROM seq GROUP BY 1
+    ORDER BY n_users DESC, path
+    LIMIT 20
+    """,
+)
+def ext_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path analysis: each user's full ordered event-type
+    sequence (ties broken by event_id for a total order) → top-20
+    paths by frequency. The ordered collect is
+    ``sort_array(collect_list(struct(...)))`` — per-key arrays, never
+    a driver-side collect — and path frequencies are one further
+    partial+final agg feeding a TakeOrderedAndProject."""
+    ev = silver_events(_t(spark, sf_dir, "events")).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+        F.unix_micros("event_ts").alias("ts_us"),
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct("ts_us", "event_id", "event_type")
+                    )
+                ),
+                lambda s: s["event_type"],
+            ),
+        ).alias("path")
+    )
+    return (
+        seq.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Exact statistics, ordered funnel, table profile
 # ---------------------------------------------------------------------------
 

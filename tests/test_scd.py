@@ -74,6 +74,27 @@ def test_merge_upsert_update_insert_passthrough(spark):
     assert got == [(1, 10.0), (2, 99.0), (3, 30.0), (4, 40.0)]
 
 
+def test_diff_of_merge_recovers_the_delta(spark):
+    """snapshot_diff(t, merge_upsert(t, delta)) == the changing rows
+    of delta — merge and diff are inverses (no deletes involved)."""
+    from ecommerce_lakehouse_platform_spark.operators.scd import snapshot_diff
+
+    target = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "id long, v double"
+    )
+    # row 2 changes, row 3 is re-asserted unchanged, row 4 is new
+    delta = spark.createDataFrame(
+        [(2, 99.0), (3, 30.0), (4, 40.0)], "id long, v double"
+    )
+    merged = merge_upsert(target, delta, ["id"])
+    diff = snapshot_diff(target, merged, ["id"], ["v"])
+    got = {
+        (r["id"], r["change_type"], r["old_v"], r["new_v"])
+        for r in diff.collect()
+    }
+    assert got == {(2, "update", 20.0, 99.0), (4, "insert", None, 40.0)}
+
+
 def test_merge_upsert_empty_source_is_identity(spark):
     target = spark.createDataFrame([(1, 10.0)], "id long, v double")
     source = target.filter("id < 0")
