@@ -456,6 +456,63 @@ def ext_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IQR outlier fences
+# ---------------------------------------------------------------------------
+
+@query(
+    "ext_outlier_iqr",
+    oracle="""
+    WITH q AS (
+      SELECT o_orderstatus AS status,
+        quantile_cont(o_totalprice, 0.25) AS p25,
+        quantile_cont(o_totalprice, 0.75) AS p75
+      FROM orders GROUP BY 1
+    )
+    SELECT o.o_orderkey AS order_id, q.status, o.o_totalprice AS total,
+      q.p25 - 0.5 * (q.p75 - q.p25) AS fence_lo,
+      q.p75 + 0.5 * (q.p75 - q.p25) AS fence_hi,
+      o.o_totalprice > q.p75 + 0.5 * (q.p75 - q.p25) AS is_high
+    FROM orders o JOIN q ON o.o_orderstatus = q.status
+    WHERE o.o_totalprice < q.p25 - 0.5 * (q.p75 - q.p25)
+       OR o.o_totalprice > q.p75 + 0.5 * (q.p75 - q.p25)
+    """,
+)
+def ext_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier detection per group: exact interpolated
+    quartiles (Spark ``percentile`` == DuckDB ``quantile_cont``
+    bit-for-bit) → k×IQR fences → flagged rows. k = 0.5 rather than
+    Tukey's 1.5 because the synthetic fixture's totals are near-
+    uniform (no heavy tail — 1.5 flags nothing at any SF); the
+    operator shape is multiplier-independent. The per-group
+    quantile frame is tiny and broadcast back onto the facts, so
+    flagging costs one scan + one map-side join at any scale."""
+    orders = _t(spark, sf_dir, "orders")
+    q = (
+        orders.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.expr("percentile(o_totalprice, 0.25)").alias("p25"),
+            F.expr("percentile(o_totalprice, 0.75)").alias("p75"),
+        )
+    )
+    lo = F.col("p25") - 0.5 * (F.col("p75") - F.col("p25"))
+    hi = F.col("p75") + 0.5 * (F.col("p75") - F.col("p25"))
+    return (
+        orders.join(
+            F.broadcast(q), orders["o_orderstatus"] == q["status"]
+        )
+        .filter((F.col("o_totalprice") < lo) | (F.col("o_totalprice") > hi))
+        .select(
+            F.col("o_orderkey").alias("order_id"),
+            "status",
+            F.col("o_totalprice").alias("total"),
+            lo.alias("fence_lo"),
+            hi.alias("fence_hi"),
+            (F.col("o_totalprice") > hi).alias("is_high"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Snapshot diff (CDC) + event path analysis
 # ---------------------------------------------------------------------------
 

@@ -44,6 +44,58 @@ def test_pointer_jumping_converges_fast(spark):
     assert set(got.values()) == {0}
 
 
+def _union_find_components(edges):
+    """Reference implementation: classic union-find."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    # canonical = min of component
+    comp = {}
+    for x in list(parent):
+        root = find(x)
+        comp.setdefault(root, []).append(x)
+    out = {}
+    for members in comp.values():
+        m = min(members)
+        for x in members:
+            out[x] = m
+    return out
+
+
+def test_random_graphs_match_union_find(spark):
+    """Property check vs a union-find reference on deterministic
+    pseudo-random graphs of varying density (a regression here means
+    the distributed label propagation breaks transitivity)."""
+    import random
+
+    for seed, n_nodes, n_edges in [(1, 30, 15), (2, 40, 60), (3, 25, 5)]:
+        rng = random.Random(seed)
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(n_edges)
+        ]
+        want = _union_find_components(edges)
+        got = _cc_dict(
+            connected_components(
+                spark.createDataFrame(edges, "src long, dst long")
+            )
+        )
+        assert got == want, (seed, got, want)
+
+
 def test_dedup_clusters_singletons_and_canonical(spark):
     items = spark.createDataFrame(
         [(i,) for i in range(6)], "doc_id long"
