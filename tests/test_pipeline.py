@@ -58,6 +58,41 @@ def test_partition_pruning_fires(spark):
         shutil.rmtree(warehouse, ignore_errors=True)
 
 
+def test_dynamic_partition_pruning_fires(spark):
+    """DPP: a selective dim filter joined on the fact's PARTITION
+    column must inject a runtime pruning subquery into the fact scan
+    (SURVEY.md §4 'partition pruning: static + dynamic') — at 100 TB
+    this is the difference between scanning one date and all of them
+    when the date list only becomes known at runtime."""
+    warehouse = tempfile.mkdtemp(prefix="dpp_")
+    try:
+        fact = spark.range(0, 1000).select(
+            F.col("id").alias("event_id"),
+            F.date_add(
+                F.lit("2024-01-01").cast("date"), (F.col("id") % 10).cast("int")
+            ).alias("event_date"),
+        )
+        write_table(fact, f"{warehouse}/fact", partition_by="event_date")
+        dim = spark.range(0, 10).select(
+            F.date_add(
+                F.lit("2024-01-01").cast("date"), F.col("id").cast("int")
+            ).alias("event_date"),
+            F.col("id").cast("int").alias("cat"),
+        )
+        write_table(dim, f"{warehouse}/dim")
+        f = spark.read.parquet(f"{warehouse}/fact")
+        # NOTE: the dim predicate must be one Spark's isLikelySelective
+        # heuristic recognizes (equality/IN/LIKE on a literal) — a bare
+        # boolean attribute filter silently disables DPP.
+        d = spark.read.parquet(f"{warehouse}/dim").filter("cat = 3")
+        joined = f.join(d, "event_date")
+        assert joined.count() == 100
+        plan = joined._jdf.queryExecution().sparkPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan
+    finally:
+        shutil.rmtree(warehouse, ignore_errors=True)
+
+
 def test_csv_bronze_ingest(spark):
     tmp = tempfile.mkdtemp(prefix="csv_")
     try:
