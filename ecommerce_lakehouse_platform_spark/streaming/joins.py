@@ -33,9 +33,12 @@ def stream_stream_interval_join(
     right_ts: str,
     window: str = "1 hour",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner-join two streams on ``key`` where ``left_ts`` lands in
-    ``[right_ts, right_ts + window)``.
+    """Join two streams on ``key`` where ``left_ts`` lands in
+    ``[right_ts, right_ts + window)``. ``how`` may be ``inner`` or
+    ``left_outer`` (outer nulls emit once the watermark proves no
+    match can still arrive).
 
     Column names (other than ``key``) must be disjoint. Both inputs
     get ``withWatermark``; the range condition gives the state store
@@ -52,7 +55,7 @@ def stream_stream_interval_join(
             < F.col(f"r.{right_ts}") + F.expr(f"INTERVAL {window}")
         )
     )
-    return l.join(r, cond, "inner").drop(F.col(f"r.{key}"))
+    return l.join(r, cond, how).drop(F.col(f"r.{key}"))
 
 
 def run_stream_stream_join_bounded(
@@ -64,6 +67,7 @@ def run_stream_stream_join_bounded(
     right_ts: str,
     window: str = "1 hour",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Run the stream-stream join over BOUNDED inputs via a real
     Structured Streaming job (parquet temp sources, availableNow,
@@ -71,7 +75,13 @@ def run_stream_stream_join_bounded(
     batch-equivalence harness; production use is
     ``stream_stream_interval_join`` on real streams. Inner joins emit
     every match once both sides' rows have arrived, so no sentinel is
-    needed (watermarks only drive state eviction here)."""
+    needed (watermarks only drive state eviction there). LEFT OUTER
+    null-rows only emit when the watermark passes their match window,
+    so a far-future sentinel row is appended to BOTH sides (keyed off
+    the valid id space) to flush every real unmatched row before the
+    trailing no-data micro-batch ends; sentinel rows are filtered from
+    the returned frame."""
+    import datetime
     import shutil
     import tempfile
 
@@ -83,14 +93,34 @@ def run_stream_stream_join_bounded(
     src_r = tempfile.mkdtemp(prefix="ssj_right_")
     ckpt = tempfile.mkdtemp(prefix="ssj_ckpt_")
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    sentinel_key = None
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
+        if how != "inner":
+            far = (
+                left.agg(F.max(left_ts)).first()[0]
+                + datetime.timedelta(days=30)
+            )
+            sentinel_key = -(1 << 60)
+
+            def _with_sentinel(df: DataFrame, ts_col: str) -> DataFrame:
+                row = [
+                    far if c == ts_col else (sentinel_key if c == key else None)
+                    for c in df.columns
+                ]
+                return df.unionByName(
+                    spark.createDataFrame([tuple(row)], schema=df.schema)
+                )
+
+            left = _with_sentinel(left, left_ts)
+            right = _with_sentinel(right, right_ts)
         left.write.mode("overwrite").parquet(src_l)
         right.write.mode("overwrite").parquet(src_r)
         ls = spark.readStream.schema(left.schema).parquet(src_l)
         rs = spark.readStream.schema(right.schema).parquet(src_r)
         joined = stream_stream_interval_join(
-            ls, rs, key, left_ts, right_ts, window=window, watermark=watermark
+            ls, rs, key, left_ts, right_ts, window=window,
+            watermark=watermark, how=how,
         )
         q = (
             joined.writeStream.format("memory")
@@ -101,7 +131,10 @@ def run_stream_stream_join_bounded(
             .start()
         )
         q.awaitTermination(300)
-        return spark.table(name)
+        out = spark.table(name)
+        if sentinel_key is not None:
+            out = out.filter(F.col(key) != F.lit(sentinel_key))
+        return out
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
         shutil.rmtree(src_l, ignore_errors=True)

@@ -152,6 +152,53 @@ def test_stream_stream_join_matches_batch(spark):
     assert got == want and got
 
 
+def test_stream_stream_left_outer_join_matches_batch(spark):
+    """LEFT OUTER stream-stream join: unmatched errors must surface
+    with null purchase columns once the watermark flushes them
+    (sentinel-driven in the bounded harness) — and match the batch
+    left join exactly."""
+    from ecommerce_lakehouse_platform_spark.streaming.joins import (
+        run_stream_stream_join_bounded,
+    )
+
+    ev = silver_events(load_table(spark, SF_SMOKE, "events")).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+        "event_ts",
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.col("event_ts").alias("error_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("event_ts").alias("purchase_ts"),
+    )
+    got = {
+        (r["user_id"], r["error_id"], r["purchase_id"])
+        for r in run_stream_stream_join_bounded(
+            spark, errors, purchases, "user_id", "error_ts", "purchase_ts",
+            how="left_outer",
+        ).collect()
+    }
+    batch = errors.alias("e").join(
+        purchases.alias("p"),
+        (F.col("e.user_id") == F.col("p.user_id"))
+        & (F.col("e.error_ts") >= F.col("p.purchase_ts"))
+        & (F.col("e.error_ts") < F.col("p.purchase_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    want = {
+        (r["user_id"], r["error_id"], r["purchase_id"])
+        for r in batch.select("e.user_id", "error_id", "purchase_id").collect()
+    }
+    assert got == want
+    assert any(p is None for _, _, p in got)  # outer rows present
+
+
 def test_stateful_sessionizer_matches_batch_bit_exact(spark):
     """applyInPandasWithState sessionizer == batch session_window,
     including revenue doubles bit-for-bit (integer-micros
