@@ -963,12 +963,13 @@ def ext_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_sketches.py; no SQL oracle because sketch outputs are
     implementation-defined."""
     docs = _t(spark, sf_dir, "documents")
+    # Scalar columns only: the driver's rows-only canonicalizer sorts every
+    # column, and a list-typed cell breaks the pandas lexsort (round-1 err).
     return docs.groupBy("lang").agg(
         F.approx_count_distinct("text", 0.02).alias("approx_distinct_texts"),
         F.approx_count_distinct("source", 0.02).alias("approx_distinct_sources"),
-        F.expr("approx_percentile(n_chars, array(0.5, 0.95), 5000)").alias(
-            "approx_chars_p50_p95"
-        ),
+        F.expr("approx_percentile(n_chars, 0.5, 5000)").alias("approx_chars_p50"),
+        F.expr("approx_percentile(n_chars, 0.95, 5000)").alias("approx_chars_p95"),
         F.count(F.lit(1)).alias("n_docs"),
     )
 

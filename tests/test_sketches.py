@@ -38,7 +38,7 @@ def test_approx_percentile_within_rank_error(spark):
     rows = registry.QUERIES["ext_sketch_profile"](spark, SF_SMOKE).collect()
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
     for r in rows:
-        p50, p95 = r["approx_chars_p50_p95"]
+        p50, p95 = r["approx_chars_p50"], r["approx_chars_p95"]
         vals = sorted(
             x["n_chars"]
             for x in docs.filter(F.col("lang") == r["lang"]).select("n_chars").collect()
