@@ -766,3 +766,4 @@ def dq_bounded_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # multimodal) register themselves on import.
 from . import registry_ext  # noqa: E402,F401  (import-for-side-effect)
 from . import registry_relational  # noqa: E402,F401  (import-for-side-effect)
+from . import registry_curation  # noqa: E402,F401  (import-for-side-effect)

@@ -1,0 +1,413 @@
+"""Round-2 curation-operator registry: quality-aware dedup retention,
+duplicate-span coverage, percentile quality banding, identifier
+pseudonymization, temperature-balanced language resampling, exact
+prefix-filter similarity join, and kNN label prediction.
+
+These extend the training-data-pipeline surface (BASELINE.json north
+star) beyond round 1's dedup/similarity/text set. Same cross-engine
+determinism rules as registry.py: integer or correctly-rounded IEEE
+arithmetic only (sqrt/division are correctly rounded in both engines;
+ln/pow are NOT and are avoided), md5 for portable bucketing, explicit
+tiebreaks under every window/LIMIT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import text as T
+from .operators import neardup, similarity
+from .registry import _t, query
+
+# ---------------------------------------------------------------------------
+# Duplicate-span coverage (Gopher-style memorization-risk signal)
+# ---------------------------------------------------------------------------
+
+_SHINGLE8 = (
+    "list_transform(range(1, len(t)-6), i -> concat_ws(' ', "
+    "t[i], t[i+1], t[i+2], t[i+3], t[i+4], t[i+5], t[i+6], t[i+7]))"
+)
+
+@query(
+    "ext_dup_span_coverage",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, unnest({_SHINGLE8}) AS s
+      FROM toks WHERE len(t) >= 8
+    ),
+    freq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1)
+    SELECT doc_id,
+      COUNT(*) AS n_spans,
+      CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+      CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_ratio
+    FROM sh JOIN freq USING (s)
+    GROUP BY 1
+    """,
+)
+def ext_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span coverage: the fraction of a doc's
+    distinct 8-gram spans that also occur in at least one other doc —
+    the span-level memorization-risk metric behind substring-level
+    dedup (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better"). Two shuffles (span df, per-doc rollup), both on
+    high-cardinality keys; no all-pairs join anywhere, so it scales
+    linearly with corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    ds = neardup._doc_shingles(docs, "doc_id", "text", 8)
+    freq = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    dup = F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).cast("long")
+    return (
+        ds.join(freq, ["shingle"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            dup.alias("n_dup_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            (F.col("n_dup_spans").cast("double") / F.col("n_spans")).alias(
+                "dup_ratio"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware cluster retention (dedup keeps the BEST doc, not the min-id)
+# ---------------------------------------------------------------------------
+
+_CC_PAIRS_02 = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+        unnest(list_transform(range(1, len(t)-1), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+      FROM toks WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM shared
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= 0.2
+    ),
+    und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+    walk(node, reach) AS (
+      SELECT a, a FROM und
+      UNION
+      SELECT w.node, u.b FROM walk w JOIN und u ON w.reach = u.a
+    ),
+    comp AS (SELECT node, MIN(reach) AS component FROM walk GROUP BY node)
+"""
+
+@query(
+    "ext_dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_CC_PAIRS_02},
+    assigned AS (
+      SELECT d.doc_id, d.n_chars,
+             COALESCE(c.component, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    )
+    SELECT doc_id, cluster_id,
+      ROW_NUMBER() OVER (PARTITION BY cluster_id
+                         ORDER BY n_chars DESC, doc_id) = 1 AS is_kept
+    FROM assigned
+    """,
+)
+def ext_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup retention: near-dup clusters (3-gram
+    Jaccard ≥ 0.2 → connected components) keep their LONGEST member
+    (n_chars desc, doc_id tiebreak) instead of the arbitrary min-id —
+    the retention policy real curation pipelines use (keep the most
+    complete variant, drop truncations). One extra window over the
+    cluster key on top of ext_dedup_clusters."""
+    from .operators.cluster import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = neardup.ngram_jaccard_pairs(docs, threshold=0.2).select(
+        "doc_a", "doc_b"
+    )
+    clustered = dedup_clusters(
+        docs.select("doc_id", "n_chars"), pairs, id_col="doc_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    return clustered.select(
+        "doc_id", "cluster_id", (F.row_number().over(w) == 1).alias("is_kept")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact prefix-filter set-similarity join (PPJoin candidate rule)
+# ---------------------------------------------------------------------------
+
+@query(
+    "ext_dedup_prefix_filter",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+        unnest(list_transform(range(1, len(t)-1), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+      FROM toks WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_shared,
+      sa.n AS n_a, sb.n AS n_b,
+      CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) AS jaccard
+    FROM shared
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= 0.5
+    """,
+)
+def ext_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard ≥ 0.5 via prefix filtering — same answer
+    as the all-pairs shingle join (the oracle IS the all-pairs SQL:
+    prefix filtering has no false negatives, exact verify kills false
+    positives) with a quadratically smaller candidate join at scale.
+    See operators/neardup.prefix_filter_jaccard_pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    return neardup.prefix_filter_jaccard_pairs(docs, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Global-percentile quality banding (two-pass broadcast-back filter)
+# ---------------------------------------------------------------------------
+
+_Q_TOKS = "string_split(text, ' ')"
+_Q_SCORE = (
+    "LEAST(1.0, len(toks) / 100.0) * 0.4"
+    " + (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.3"
+    " + LEAST(1.0, (CAST(len(list_filter(toks, s ->"
+    " list_contains(['the','a','of','and','to','in','is'], s))) AS DOUBLE)"
+    " / len(toks)) * 5.0) * 0.3"
+)
+
+@query(
+    "ext_quality_band_filter",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_Q_SCORE} AS quality_score
+      FROM (SELECT doc_id, {_Q_TOKS} AS toks FROM documents)
+    ),
+    b AS (
+      SELECT quantile_cont(quality_score, 0.05) AS q_lo,
+             quantile_cont(quality_score, 0.95) AS q_hi
+      FROM t
+    )
+    SELECT doc_id, quality_score, q_lo, q_hi
+    FROM t, b
+    WHERE quality_score >= q_lo AND quality_score <= q_hi
+    """,
+)
+def ext_quality_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-band quality filter: drop the bottom and top 5% of
+    the corpus by quality score (junk below, boilerplate/templates
+    above). Two-pass global-statistic pattern: pass 1 computes the
+    exact p05/p95 (Spark ``percentile`` == DuckDB ``quantile_cont``,
+    bit-exact linear interpolation), pass 2 broadcasts the 1-row
+    bounds back over the corpus — the scale-correct way to apply a
+    corpus-global threshold without collecting anything."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", T.quality_score(F.col("text")).alias("quality_score")
+    )
+    bounds = scored.agg(
+        F.expr("percentile(quality_score, 0.05)").alias("q_lo"),
+        F.expr("percentile(quality_score, 0.95)").alias("q_hi"),
+    )
+    return (
+        scored.join(F.broadcast(bounds))
+        .filter(
+            (F.col("quality_score") >= F.col("q_lo"))
+            & (F.col("quality_score") <= F.col("q_hi"))
+        )
+        .select("doc_id", "quality_score", "q_lo", "q_hi")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Identifier pseudonymization (privacy scrubbing pass)
+# ---------------------------------------------------------------------------
+
+@query(
+    "ext_pii_pseudonymize",
+    oracle="""
+    SELECT event_id,
+      md5('pii:' || CAST(user_id AS VARCHAR)) AS user_pseudo,
+      regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS props_masked,
+      CAST(length(props) - length(regexp_replace(props, '[0-9]', '', 'g')) AS BIGINT)
+        AS n_digits_masked
+    FROM events
+    """,
+)
+def ext_pii_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy scrubbing over an event stream: salted-hash
+    pseudonymization of the user id (stable join key, irreversible
+    without the salt) + masking of every digit run in the free-form
+    props payload, with an auditable masked-character count. Pure
+    map-side JVM regex — character-class patterns behave identically
+    in Java regex and RE2, and md5 hex is lowercase in both engines.
+    The real-PII variant (emails/phones) is the same plan with richer
+    patterns; fixtures carry no such strings, so digit runs are the
+    testable stand-in."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.md5(F.concat(F.lit("pii:"), F.col("user_id").cast("string"))).alias(
+            "user_pseudo"
+        ),
+        F.regexp_replace("props", "[0-9]+", "<NUM>").alias("props_masked"),
+        (
+            F.length("props") - F.length(F.regexp_replace("props", "[0-9]", ""))
+        ).cast("long").alias("n_digits_masked"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-balanced language resampling (multilingual mixing)
+# ---------------------------------------------------------------------------
+
+@query(
+    "ext_lang_temperature_sample",
+    oracle="""
+    WITH c AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY 1),
+    m AS (SELECT MIN(n_l) AS n_min FROM c),
+    r AS (
+      SELECT lang,
+        CAST(FLOOR(10000 * sqrt(CAST(n_min AS DOUBLE) / CAST(n_l AS DOUBLE))) AS BIGINT)
+          AS rate_per10k
+      FROM c, m
+    )
+    SELECT d.doc_id, d.lang, r.rate_per10k
+    FROM documents d JOIN r USING (lang)
+    WHERE CAST(('0x' || substring(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 10000 < rate_per10k
+    """,
+)
+def ext_lang_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced multilingual resampling (α = 0.5): keep
+    rate per language ∝ sqrt(n_min/n_l), so head languages are
+    downsampled toward the tail (the mBERT/XLM-R exponent-smoothing
+    recipe). Two-pass like the quality band: tiny per-language rate
+    table broadcast back over the corpus; the keep decision is a pure
+    salted-MD5 function of doc_id — stable across runs, engines, and
+    corpus growth. sqrt and double division are correctly-rounded IEEE
+    ops in both engines, so the rates are bit-identical (pow/ln would
+    not be)."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    n_min = counts.agg(F.min("n_l").alias("n_min"))
+    rates = counts.join(F.broadcast(n_min)).select(
+        "lang",
+        F.floor(
+            10000
+            * F.sqrt(F.col("n_min").cast("double") / F.col("n_l").cast("double"))
+        ).alias("rate_per10k"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("temp:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    return (
+        docs.join(F.broadcast(rates), ["lang"])
+        .filter(bucket < F.col("rate_per10k"))
+        .select("doc_id", "lang", "rate_per10k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# kNN label prediction over embeddings (majority vote of top-k neighbors)
+# ---------------------------------------------------------------------------
+
+_COS = """
+      list_reduce(list_transform(range(1, len(q.embedding)+1),
+        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), (x,y) -> x+y)
+      / (sqrt(list_reduce(list_transform(range(1, len(q.embedding)+1),
+           i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)), (x,y) -> x+y))
+         * sqrt(list_reduce(list_transform(range(1, len(c.embedding)+1),
+             i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), (x,y) -> x+y)))
+"""
+
+@query(
+    "ext_knn_label_predict",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, q.label AS true_label,
+             c.vec_id AS neighbor_id, c.label AS vote,
+             {_COS} AS cosine_sim
+      FROM e q JOIN e c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < 100
+    ),
+    topk AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cosine_sim DESC, neighbor_id) AS rn
+        FROM scored
+      ) WHERE rn <= 5
+    ),
+    votes AS (
+      SELECT query_id, true_label, vote, COUNT(*) AS n_votes
+      FROM topk GROUP BY 1, 2, 3
+    )
+    SELECT query_id AS vec_id, true_label, vote AS predicted_label, n_votes
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY n_votes DESC, vote) AS rn
+      FROM votes
+    ) WHERE rn = 1
+    """,
+)
+def ext_knn_label_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification over the embedding column: each query vector
+    (vec_id < 100) takes the majority label of its 5 exact-cosine
+    nearest neighbors (ties: larger vote count, then smaller label).
+    The weak-supervision / label-propagation primitive of embedding-
+    based curation. Reuses the broadcast top-k kernel
+    (operators/similarity.cosine_topk); the fold cosine is bit-exact
+    across engines, so the oracle checks values, not just shape."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 100)
+    topk = similarity.cosine_topk(emb, queries_df, k=5)
+    votes = (
+        topk.join(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("label").alias("vote")
+            ),
+            ["neighbor_id"],
+        )
+        .groupBy("query_id", "vote")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("n_votes").desc(), "vote")
+    pred = votes.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    return (
+        pred.join(
+            emb.select(F.col("vec_id"), F.col("label").alias("true_label")),
+            pred["query_id"] == F.col("vec_id"),
+        )
+        .select("vec_id", "true_label", F.col("vote").alias("predicted_label"), "n_votes")
+    )
