@@ -32,9 +32,11 @@ Scale design (100 TB):
   plan does not grow with iterations (an unbounded iterative lineage
   re-executes the whole history each action and eventually overflows
   the planner);
-- the convergence probe is a ``limit(1).count()`` on the changed-label
-  frame — it short-circuits on the first changed row rather than
-  counting them all;
+- the convergence probe exploits monotonicity: every node's label is
+  non-increasing under min-propagation, so Σlabels strictly decreases
+  until the fixed point — comparing one exact DECIMAL sum per round
+  (a map-side partial agg over the checkpointed labels) replaces the
+  changed-row shuffle join a naive new-vs-old diff would need;
 - edges are symmetrized + distinct'd once up front, so skewy duplicate
   pairs collapse before the loop.
 """
@@ -73,6 +75,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    prev_sum = None
     for it in range(max_iter):
         # 1-hop: every node offers its label to each neighbor
         msgs = und.join(labels, und["a"] == labels["node"]).select(
@@ -97,20 +100,16 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        # round 0 always changes labels on any non-trivial graph — skip
-        # the probe job there and only pay for it from round 1 on
-        if it > 0:
-            changed = (
-                new.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .limit(1)
-                .count()
-            )
-            if changed == 0:
-                labels = new
-                break
         labels = new
+        # monotone-sum convergence probe: labels only decrease, so an
+        # unchanged exact Σlabels means a fixed point (DECIMAL keeps
+        # the sum exact at any node-id magnitude / corpus size)
+        cur_sum = new.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        if prev_sum is not None and cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
 
     return labels.select(
         F.col("node").alias(node_col), F.col("label").alias(comp_col)
