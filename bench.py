@@ -45,6 +45,11 @@ HEADLINE = [
     "ext_topk_per_group",
     "ext_scd2_user_state",
     "ext_moving_revenue",
+    # round 2 additions
+    "ext_dedup_prefix_filter",
+    "ext_dup_span_coverage",
+    "ext_doc_chunking",
+    "ext_embedding_centroids",
 ]
 
 

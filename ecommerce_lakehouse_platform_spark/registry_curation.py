@@ -77,6 +77,46 @@ def ext_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BPE-ish subword unit counting (token-budget estimation)
+# ---------------------------------------------------------------------------
+
+# disjoint character-class alternatives ⇒ identical matching in Java
+# regex (Spark) and RE2 (DuckDB): letter runs capped at 4 chars (a
+# BPE-like subword unit), digit runs, any other non-space symbol
+_SUBWORD_RE = r"[a-z]{1,4}|[0-9]+|[^a-z0-9\s]"
+
+@query(
+    "ext_text_subword_stats",
+    oracle=rf"""
+    SELECT doc_id,
+      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      CAST(len(regexp_extract_all(text, '{_SUBWORD_RE}')) AS BIGINT) AS n_subword_units,
+      CAST(len(regexp_extract_all(text, '{_SUBWORD_RE}')) AS DOUBLE)
+        / len(string_split(text, ' ')) AS units_per_word,
+      CAST(n_chars AS DOUBLE)
+        / len(regexp_extract_all(text, '{_SUBWORD_RE}')) AS chars_per_unit
+    FROM documents
+    """,
+)
+def ext_text_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget estimation with a BPE-ish subword proxy: letter
+    runs capped at 4 chars + digit runs + symbols. ``units_per_word``
+    and ``chars_per_unit`` are the fertility / compression stats used
+    to size training shards and context windows before running a real
+    tokenizer. Map-side only (regexp_count per row, no shuffle)."""
+    docs = _t(spark, sf_dir, "documents")
+    units = F.regexp_count(F.col("text"), F.lit(_SUBWORD_RE)).cast("long")
+    words = F.size(F.split(F.col("text"), " ")).cast("long")
+    return docs.select(
+        "doc_id",
+        words.alias("n_words"),
+        units.alias("n_subword_units"),
+        (units.cast("double") / words).alias("units_per_word"),
+        (F.col("n_chars").cast("double") / units).alias("chars_per_unit"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Quality-aware cluster retention (dedup keeps the BEST doc, not the min-id)
 # ---------------------------------------------------------------------------
 
@@ -145,6 +185,61 @@ def ext_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustered.select(
         "doc_id", "cluster_id", (F.row_number().over(w) == 1).alias("is_kept")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup clusters (embedding-space transitive closure)
+# ---------------------------------------------------------------------------
+
+_COS_AB = """
+        list_reduce(list_transform(range(1, len(a.embedding)+1),
+          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x,y) -> x+y)
+        / (sqrt(list_reduce(list_transform(range(1, len(a.embedding)+1),
+             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x,y) -> x+y))
+           * sqrt(list_reduce(list_transform(range(1, len(b.embedding)+1),
+               i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x,y) -> x+y)))
+"""
+
+@query(
+    "ext_dedup_semantic_clusters",
+    oracle=f"""
+    WITH RECURSIVE e AS (SELECT vec_id, embedding FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE {_COS_AB} >= 0.4
+    ),
+    und AS (SELECT id_a AS x, id_b AS y FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    walk(node, reach) AS (
+      SELECT x, x FROM und
+      UNION
+      SELECT w.node, u.y FROM walk w JOIN und u ON w.reach = u.x
+    ),
+    comp AS (SELECT node, MIN(reach) AS component FROM walk GROUP BY node)
+    SELECT v.vec_id,
+      COALESCE(c.component, v.vec_id) AS cluster_id,
+      COALESCE(c.component, v.vec_id) = v.vec_id AS is_canonical
+    FROM embeddings v LEFT JOIN comp c ON v.vec_id = c.node
+    """,
+)
+def ext_dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: embedding-cosine pairs (≥ 0.4)
+    → connected components → one canonical vector per semantic
+    cluster. Same clustering kernel as the lexical path
+    (operators/cluster.py) fed by a different pair generator — at
+    corpus scale the generator swaps to the IVF/LSH candidate path so
+    the pair list stays near-linear. The double left-fold cosine is
+    bit-identical across engines, so the closure is oracle-exact."""
+    from .operators.cluster import dedup_clusters
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = neardup.embedding_neardup_pairs(emb, threshold=0.4).select(
+        "id_a", "id_b"
+    )
+    return dedup_clusters(
+        emb.select("vec_id"), pairs, id_col="vec_id", pair_a="id_a", pair_b="id_b"
+    ).select("vec_id", "cluster_id", "is_canonical")
 
 
 # ---------------------------------------------------------------------------
@@ -333,6 +428,116 @@ def ext_lang_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(F.broadcast(rates), ["lang"])
         .filter(bucket < F.col("rate_per10k"))
         .select("doc_id", "lang", "rate_per10k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window document chunking (context-window packing / RAG prep)
+# ---------------------------------------------------------------------------
+
+@query(
+    "ext_doc_chunking",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    starts AS (
+      SELECT doc_id, toks, unnest(range(1, len(toks)+1, 48)) AS start
+      FROM t
+    )
+    SELECT doc_id,
+      CAST((start - 1) // 48 AS BIGINT) AS chunk_id,
+      array_to_string(toks[start:start+63], ' ') AS chunk_text,
+      CAST(LEAST(64, len(toks) - start + 1) AS INT) AS n_chunk_tokens
+    FROM starts
+    """,
+)
+def ext_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: split each document into 64-token
+    chunks with stride 48 (16-token overlap) — the tokenize-and-pack
+    step before embedding or context-window training. One explode of
+    a per-row integer sequence (no join, no shuffle: chunk count and
+    boundaries are pure functions of the token count), so the plan is
+    a single map stage that scales linearly and preserves the input
+    partitioning."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    with_starts = docs.select(
+        "doc_id",
+        toks.alias("_toks"),
+        F.explode(F.sequence(F.lit(1), F.size(toks), F.lit(48))).alias("_start"),
+    )
+    return with_starts.select(
+        "doc_id",
+        ((F.col("_start") - 1) / 48).cast("long").alias("chunk_id"),
+        F.concat_ws(" ", F.slice("_toks", F.col("_start"), F.lit(64))).alias(
+            "chunk_text"
+        ),
+        F.least(
+            F.lit(64), F.size("_toks") - F.col("_start") + 1
+        ).cast("int").alias("n_chunk_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point class centroids over the embedding column
+# ---------------------------------------------------------------------------
+
+_SCALE = 1048576  # 2^20: exact in double, ~1e-6 quantization
+
+@query(
+    "ext_embedding_centroids",
+    oracle=f"""
+    WITH comp AS (
+      SELECT label, s.pos AS pos,
+        CAST(FLOOR(CAST(s.v AS DOUBLE) * {_SCALE}) AS BIGINT) AS q
+      FROM (
+        SELECT label,
+          unnest(list_transform(range(1, len(embedding)+1),
+                 i -> struct_pack(pos := i-1, v := embedding[i]))) AS s
+        FROM embeddings
+      )
+    )
+    SELECT label, pos,
+      CAST(SUM(q) AS BIGINT) AS sum_scaled,
+      COUNT(*) AS n,
+      CAST(SUM(q) AS BIGINT) / (COUNT(*) * CAST({_SCALE} AS DOUBLE)) AS centroid
+    FROM comp
+    GROUP BY 1, 2
+    """,
+)
+def ext_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column — the class-prototype
+    primitive behind embedding-space curation (cluster purity checks,
+    centroid-distance outlier pruning, IVF coarse quantizers).
+
+    Element-wise mean via posexplode → groupBy(label, pos): partial
+    aggregation makes it one shuffle of ~n_labels×dim rows regardless
+    of corpus size. Cross-engine exactness: each float component is
+    quantized to 2^-20 fixed point (float→double exact, ×2^20 exact,
+    floor exact), summed as integers (order-independent), and the
+    final division by n·2^20 is one correctly-rounded IEEE op — so the
+    centroid is bit-identical in both engines with no decimal routing.
+    At 100 TB the long sum would route through DECIMAL(38,0); fixture
+    magnitudes stay far inside long range."""
+    emb = _t(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "_v")
+    ).select(
+        "label",
+        "pos",
+        F.floor(F.col("_v").cast("double") * _SCALE).cast("long").alias("q"),
+    )
+    return comp.groupBy("label", "pos").agg(
+        F.sum("q").alias("sum_scaled"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        "label",
+        "pos",
+        "sum_scaled",
+        "n",
+        (
+            F.col("sum_scaled").cast("double")
+            / (F.col("n") * F.lit(float(_SCALE)))
+        ).alias("centroid"),
     )
 
 

@@ -139,3 +139,39 @@ def test_knn_prediction_votes_bounded(spark):
     assert len(rows) == 100
     for r in rows:
         assert 1 <= r["n_votes"] <= 5
+
+
+def test_chunking_covers_and_overlaps(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = registry.QUERIES["ext_doc_chunking"](spark, SF_SMOKE)
+    # chunk 0 starts at token 1; consecutive chunks overlap by 16
+    first = out.filter("doc_id = 0").orderBy("chunk_id").collect()
+    toks = docs.filter("doc_id = 0").collect()[0]["text"].split(" ")
+    assert first[0]["chunk_text"].split(" ")[0] == toks[0]
+    for a, b in zip(first, first[1:]):
+        ta, tb = a["chunk_text"].split(" "), b["chunk_text"].split(" ")
+        if len(ta) == 64:  # full chunk: 16-token overlap with successor
+            assert ta[48:] == tb[: len(ta[48:])]
+    # every token position is covered by at least one chunk
+    total = sum(1 for _ in toks)
+    last = first[-1]
+    assert 48 * last["chunk_id"] + last["n_chunk_tokens"] == total
+
+
+def test_centroids_match_plain_mean_within_quantization(spark):
+    from pyspark.sql import functions as F
+
+    out = registry.QUERIES["ext_embedding_centroids"](spark, SF_SMOKE)
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    plain = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("mean"))
+    )
+    joined = out.join(plain, ["label", "pos"])
+    # fixed-point floor at 2^-20 ⇒ centroid ∈ (mean - 2^-20, mean]
+    bad = joined.filter(
+        (F.col("centroid") > F.col("mean") + 1e-12)
+        | (F.col("centroid") < F.col("mean") - 1.0 / 1048576 - 1e-12)
+    ).count()
+    assert bad == 0
