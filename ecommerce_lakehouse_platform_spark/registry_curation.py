@@ -542,6 +542,63 @@ def ext_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multimodal → vector bridge: decode payloads, then similarity search
+# ---------------------------------------------------------------------------
+
+@query(
+    "ext_media_embed_topk",
+    oracle="""
+    WITH pay AS (SELECT doc_id AS media_id, encode(text) AS p FROM documents),
+    bl AS (
+      SELECT media_id,
+        list_transform(range(1, octet_length(p)+1),
+                       i -> CAST(('0x' || substr(hex(p), 2*i-1, 2)) AS BIGINT)) AS bytes
+      FROM pay
+    ),
+    feat AS (
+      SELECT media_id,
+        list_transform(range(0, 8), j ->
+          CAST(len(list_filter(bytes, b -> b % 8 = j)) AS DOUBLE) / len(bytes)) AS f
+      FROM bl
+    ),
+    scored AS (
+      SELECT q.media_id AS query_id, c.media_id AS neighbor_id,
+        list_reduce(list_transform(range(1, 9), i -> q.f[i] * c.f[i]), (x,y) -> x+y)
+        / (sqrt(list_reduce(list_transform(range(1, 9), i -> q.f[i] * q.f[i]), (x,y) -> x+y))
+           * sqrt(list_reduce(list_transform(range(1, 9), i -> c.f[i] * c.f[i]), (x,y) -> x+y)))
+        AS cosine_sim
+      FROM feat q JOIN feat c ON q.media_id != c.media_id
+      WHERE q.media_id < 10
+    )
+    SELECT query_id, neighbor_id, cosine_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine_sim DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def ext_media_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal pipeline: opaque binary payloads →
+    Arrow-batched mapInPandas decode (the stubbed codec's byte-
+    histogram feature head) → exact cosine top-5 over the decoded
+    feature vectors. Proves the full plumbing — binary column, Pandas
+    UDF batch shape, array<double> feature handoff, broadcast top-k —
+    under the oracle: the fake decode is integer byte counts + one
+    IEEE division, so the Python-side features are bit-identical to
+    the SQL reconstruction (hex-domain byte extraction in DuckDB)."""
+    from .multimodal.binary import attach_binary_payload, decode_media
+
+    docs = _t(spark, sf_dir, "documents")
+    decoded = decode_media(attach_binary_payload(docs), fake=True).select(
+        "media_id", "feature"
+    )
+    queries_df = decoded.filter(F.col("media_id") < 10)
+    return similarity.cosine_topk(
+        decoded, queries_df, k=5, id_col="media_id", vec_col="feature"
+    )
+
+
+# ---------------------------------------------------------------------------
 # kNN label prediction over embeddings (majority vote of top-k neighbors)
 # ---------------------------------------------------------------------------
 

@@ -131,3 +131,40 @@ def test_roundn_matches_duckdb_floor_formula(spark, ddb, values):
         ).fetchall()
     ]
     assert got == want, f"diverged on {values}"
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filter exactness under adversarial corpora
+# ---------------------------------------------------------------------------
+
+_TINY_VOCAB = ["aa", "bb", "cc", "dd", "ee"]
+_DOC = st.lists(st.sampled_from(_TINY_VOCAB), min_size=0, max_size=12)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_DOC, min_size=1, max_size=10), st.sampled_from([0.3, 0.5, 0.8]))
+def test_prefix_filter_matches_all_pairs_on_random_corpora(spark, docs, threshold):
+    """PPJoin prefix filtering must be exact — no false negatives from
+    the candidate rule, none from ties in the (df, shingle) ordering —
+    on tiny-vocab corpora engineered for maximal shingle collisions,
+    including empty docs and docs shorter than the shingle width."""
+    from ecommerce_lakehouse_platform_spark.operators import neardup
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id LONG, text STRING",
+    )
+    exact = {
+        (r["doc_a"], r["doc_b"], r["n_shared"], r["jaccard"])
+        for r in neardup.ngram_jaccard_pairs(df, threshold=threshold).collect()
+    }
+    pf = {
+        (r["doc_a"], r["doc_b"], r["n_shared"], r["jaccard"])
+        for r in neardup.prefix_filter_jaccard_pairs(df, threshold=threshold).collect()
+    }
+    assert pf == exact
