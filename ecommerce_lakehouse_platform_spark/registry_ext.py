@@ -953,24 +953,80 @@ def ext_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(bucket < rate).select("doc_id", "lang")
 
 
-@query("ext_sketch_profile")  # approximate (HLL / KLL sketches) → rows-only
+@query(
+    "ext_sketch_profile",
+    oracle="""
+    SELECT lang,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      MIN(n_chars) AS chars_min,
+      MAX(n_chars) AS chars_max,
+      quantile_cont(n_chars, 0.5) AS chars_p50,
+      quantile_cont(n_chars, 0.95) AS chars_p95,
+      TRUE AS hll_texts_ok,
+      TRUE AS hll_sources_ok,
+      TRUE AS kll_p50_ok,
+      TRUE AS kll_p95_ok
+    FROM documents GROUP BY lang
+    """,
+)
 def ext_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based corpus profile per language: HyperLogLog++ distinct
     counts (``approx_count_distinct``) and KLL-style quantiles
     (``approx_percentile``) — the mergeable-sketch scale path for
     profiling 100 TB where exact distinct/percentile would shuffle
-    every value. Bounded error vs the exact answers is asserted in
-    tests/test_sketches.py; no SQL oracle because sketch outputs are
-    implementation-defined."""
+    every value.
+
+    Sketch outputs are implementation-defined, so the checkable
+    contract is: exact aggregates (count/min/max and ``percentile``,
+    proven bit-equal to DuckDB ``quantile_cont``) plus ``*_ok``
+    booleans asserting each sketch landed within its configured error
+    of the exact answer, computed side-by-side in the same
+    aggregation. The oracle expects every ``*_ok`` to be TRUE. (The
+    exact columns double as the verification harness; a pure-scale
+    profiling run would keep only the sketch columns.) Tighter rank
+    bounds are asserted in tests/test_sketches.py."""
     docs = _t(spark, sf_dir, "documents")
-    # Scalar columns only: the driver's rows-only canonicalizer sorts every
-    # column, and a list-typed cell breaks the pandas lexsort (round-1 err).
-    return docs.groupBy("lang").agg(
-        F.approx_count_distinct("text", 0.02).alias("approx_distinct_texts"),
-        F.approx_count_distinct("source", 0.02).alias("approx_distinct_sources"),
-        F.expr("approx_percentile(n_chars, 0.5, 5000)").alias("approx_chars_p50"),
-        F.expr("approx_percentile(n_chars, 0.95, 5000)").alias("approx_chars_p95"),
+    agg = docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("chars_min"),
+        F.max("n_chars").alias("chars_max"),
+        F.expr("percentile(n_chars, 0.5)").alias("chars_p50"),
+        F.expr("percentile(n_chars, 0.95)").alias("chars_p95"),
+        F.countDistinct("text").alias("_exact_texts"),
+        F.countDistinct("source").alias("_exact_sources"),
+        F.approx_count_distinct("text", 0.02).alias("_hll_texts"),
+        F.approx_count_distinct("source", 0.02).alias("_hll_sources"),
+        F.expr("approx_percentile(n_chars, 0.5, 5000)").alias("_kll_p50"),
+        F.expr("approx_percentile(n_chars, 0.95, 5000)").alias("_kll_p95"),
+        # Rank-slack windows for the approx percentiles (generous vs
+        # the n/5000 guarantee so coarse tiny groups can't flake).
+        F.expr("percentile(n_chars, 0.48)").alias("_p50_lo"),
+        F.expr("percentile(n_chars, 0.52)").alias("_p50_hi"),
+        F.expr("percentile(n_chars, 0.93)").alias("_p95_lo"),
+        F.expr("percentile(n_chars, 0.97)").alias("_p95_hi"),
+    )
+
+    def _rel_ok(approx: F.Column, exact: F.Column) -> F.Column:
+        # rsd=0.02 → 10% is a ~5-sigma bound; ±2 absolute for tiny groups
+        return F.abs(approx - exact) <= F.greatest(F.lit(2.0), exact * 0.10)
+
+    return agg.select(
+        "lang",
+        "n_docs",
+        "chars_min",
+        "chars_max",
+        "chars_p50",
+        "chars_p95",
+        _rel_ok(F.col("_hll_texts"), F.col("_exact_texts")).alias("hll_texts_ok"),
+        _rel_ok(F.col("_hll_sources"), F.col("_exact_sources")).alias(
+            "hll_sources_ok"
+        ),
+        F.col("_kll_p50").between(F.col("_p50_lo"), F.col("_p50_hi")).alias(
+            "kll_p50_ok"
+        ),
+        F.col("_kll_p95").between(F.col("_p95_lo"), F.col("_p95_hi")).alias(
+            "kll_p95_ok"
+        ),
     )
 
 
