@@ -32,7 +32,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ the
-    north-star extension operators)."""
+    north-star extension operators), driver-window keys first."""
+    registry.apply_driver_window(strict=True)
     return dict(registry.QUERIES)
 
 

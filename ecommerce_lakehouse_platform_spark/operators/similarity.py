@@ -162,21 +162,27 @@ def assign_ivf_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> tuple[DataFrame, DataFrame]:
-    """Deterministic IVF bucketing: centroids are the corpus vectors
-    whose id ≡ 0 (mod ceil(N/C)) — reproducible without RNG or
-    iterative k-means; swap in KMeans fit offline for production.
+    """Deterministic IVF bucketing: centroids are the ``n_centroids``
+    corpus vectors with the smallest seeded ``xxhash64(id)`` — a
+    uniform pseudo-sample of the whole corpus, reproducible without
+    RNG or iterative k-means; swap in KMeans fit offline for
+    production. The pick executes as TakeOrderedAndProject (per-
+    partition partial top-n, driver merge of C rows) — fully parallel,
+    no global sort, no single-partition exchange, and it samples the
+    entire corpus rather than an id prefix.
 
     Returns (centroids, corpus-with-bucket). The assignment is a
     broadcast join + argmax, one map-side pass over the corpus.
     """
     centroids = (
-        corpus.withColumn(
-            "_rank",
-            F.row_number().over(Window.orderBy(F.col(id_col))),
+        corpus.select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("_cvec"),
+            F.xxhash64(F.col(id_col), F.lit("ivf-centroid-pick")).alias("_h"),
         )
-        .filter((F.col("_rank") - 1) % F.greatest(F.lit(1), F.lit(500 // n_centroids)) == 0)
+        .orderBy("_h", "centroid_id")
         .limit(n_centroids)
-        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_cvec"))
+        .drop("_h")
     )
     scored = corpus.crossJoin(F.broadcast(centroids)).select(
         id_col,

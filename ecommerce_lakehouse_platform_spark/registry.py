@@ -836,9 +836,16 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 )
 
 
-def _apply_driver_window() -> None:
+def apply_driver_window(strict: bool = True) -> None:
+    """Reorder QUERIES/ORACLES in place so _DRIVER_WINDOW keys lead.
+
+    ``strict=False`` tolerates missing keys: when a sub-registry
+    module is imported *before* this one (tests do), its registrations
+    land after this module body runs, so the import-time reorder here
+    sees a partial dict. The driver entry point re-applies strictly.
+    """
     missing = [k for k in _DRIVER_WINDOW if k not in QUERIES]
-    if missing:  # fail loudly on a rename, not silently reorder
+    if missing and strict:  # fail loudly on a rename, not silently reorder
         raise KeyError(f"driver-window queries not registered: {missing}")
     for registered in (QUERIES, ORACLES):
         ordered = {k: registered[k] for k in _DRIVER_WINDOW if k in registered}
@@ -849,4 +856,4 @@ def _apply_driver_window() -> None:
         registered.update(ordered)
 
 
-_apply_driver_window()
+apply_driver_window(strict=False)

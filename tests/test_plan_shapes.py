@@ -138,3 +138,29 @@ def test_scalar_subquery_is_decorrelated(spark):
     plan = _plan(spark, "ext_scalar_subquery", mode="simple")
     assert "Join" in plan
     assert "Subquery" not in plan
+
+
+def test_ivf_centroid_pick_is_parallel_topn(spark):
+    """IVF centroid selection must sample the corpus as a parallel
+    per-partition top-n (TakeOrderedAndProject on the seeded hash) —
+    never an unpartitioned window, which plans as a single-partition
+    exchange and funnels the whole corpus through one task at scale."""
+    plan = _plan(spark, "ext_similarity_ivf", mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_driver_window_order_is_applied():
+    """The external harness samples a prefix of queries() insertion
+    order — the entry point must surface _DRIVER_WINDOW keys first
+    regardless of sub-registry import order in this process."""
+    import __spark_entry__ as entry
+    from ecommerce_lakehouse_platform_spark import registry
+
+    keys = list(entry.queries())
+    assert keys[: len(registry._DRIVER_WINDOW)] == list(registry._DRIVER_WINDOW)
+    # every window key except the grandfathered sketch profile is
+    # hash-checkable (has a DuckDB oracle)
+    oracles = entry.oracle_sql()
+    missing = [k for k in registry._DRIVER_WINDOW if k not in oracles]
+    assert missing == []
