@@ -350,10 +350,12 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ t).
 
-    Brute-force all-pairs via broadcast of the smaller side — correct
-    baseline; at corpus scale swap the candidate generator for the IVF
-    bucketing in operators/similarity.py so only same-bucket pairs are
-    scored.
+    Brute-force all-pairs via broadcast of the smaller side — the
+    exact small-corpus baseline and the oracle cross-check for
+    ``embedding_neardup_pairs_bucketed`` (equal output when the
+    bucketed variant runs with ``n_centroids=1``). Never the default
+    at corpus scale: it broadcasts the full table and scores O(n²)
+    pairs.
     """
     from ..functions.vectors import cosine
 
@@ -365,6 +367,59 @@ def embedding_neardup_pairs(
     )
     return (
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine(F.col("_va"), F.col("_vb")).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def embedding_neardup_pairs_bucketed(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_centroids: int = 8,
+) -> DataFrame:
+    """SemDeDup-style bucketed near-dup pairs: IVF-assign every vector
+    to its nearest deterministic centroid (operators/similarity.py),
+    score cosine only for same-bucket pairs, keep pairs ≥ threshold.
+
+    This is the published SemDeDup contract — near-duplicates are
+    detected *within* a cluster; cross-cluster pairs are out of scope
+    by design — and the 100 TB shape: the only broadcast is the
+    C-row centroid table, the self-join is an equi-join on bucket_id,
+    and the scored-pair count drops from O(n²) to Σ_b O(n_b²) ≈
+    n²/C on uniform data (far less on naturally clustered corpora).
+    With ``n_centroids=1`` it degenerates to exact all-pairs, which is
+    the cross-check ``tests/test_neardup.py`` pins against
+    ``embedding_neardup_pairs``.
+
+    Every ingredient (salted-MD5 centroid pick, left-fold cosine,
+    argmax assignment with id tiebreak) is bit-reproducible in DuckDB,
+    so the registry oracle mirrors the bucketing exactly.
+    """
+    from ..functions.vectors import cosine
+    from .similarity import assign_ivf_buckets
+
+    _, assigned = assign_ivf_buckets(
+        embeddings, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        "bucket_id",
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        "bucket_id",
+    )
+    return (
+        a.join(b, "bucket_id")
+        .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",

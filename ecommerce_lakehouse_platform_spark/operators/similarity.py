@@ -163,9 +163,10 @@ def assign_ivf_buckets(
     vec_col: str = "embedding",
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministic IVF bucketing: centroids are the ``n_centroids``
-    corpus vectors with the smallest seeded ``xxhash64(id)`` — a
-    uniform pseudo-sample of the whole corpus, reproducible without
-    RNG or iterative k-means; swap in KMeans fit offline for
+    corpus vectors with the smallest salted ``md5(id)`` — a uniform
+    pseudo-sample of the whole corpus, reproducible without RNG or
+    iterative k-means (and reproducible *cross-engine*: the DuckDB
+    oracles mirror the same pick); swap in KMeans fit offline for
     production. The pick executes as TakeOrderedAndProject (per-
     partition partial top-n, driver merge of C rows) — fully parallel,
     no global sort, no single-partition exchange, and it samples the
@@ -178,7 +179,9 @@ def assign_ivf_buckets(
         corpus.select(
             F.col(id_col).alias("centroid_id"),
             F.col(vec_col).alias("_cvec"),
-            F.xxhash64(F.col(id_col), F.lit("ivf-centroid-pick")).alias("_h"),
+            F.md5(
+                F.concat(F.lit("ivf:"), F.col(id_col).cast("string"))
+            ).alias("_h"),
         )
         .orderBy("_h", "centroid_id")
         .limit(n_centroids)

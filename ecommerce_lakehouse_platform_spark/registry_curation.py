@@ -200,13 +200,42 @@ _COS_AB = """
                i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x,y) -> x+y)))
 """
 
+def _cos_sql(x: str, y: str) -> str:
+    """DuckDB cosine between two embedding-list expressions — the same
+    double-precision left fold the Spark side runs (bit-identical)."""
+    return f"""
+        list_reduce(list_transform(range(1, len({x})+1),
+          i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)), (p,q) -> p+q)
+        / (sqrt(list_reduce(list_transform(range(1, len({x})+1),
+             i -> CAST({x}[i] AS DOUBLE) * CAST({x}[i] AS DOUBLE)), (p,q) -> p+q))
+           * sqrt(list_reduce(list_transform(range(1, len({y})+1),
+               i -> CAST({y}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)), (p,q) -> p+q)))
+    """
+
+
 @query(
     "ext_dedup_semantic_clusters",
     oracle=f"""
-    WITH RECURSIVE e AS (SELECT vec_id, embedding FROM embeddings),
+    WITH RECURSIVE cent AS (
+      SELECT vec_id AS centroid_id, embedding AS cvec
+      FROM embeddings
+      ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 8
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, centroid_id AS bucket_id FROM (
+        SELECT v.vec_id, v.embedding, c.centroid_id,
+          row_number() OVER (
+            PARTITION BY v.vec_id
+            ORDER BY {_cos_sql("v.embedding", "c.cvec")} DESC, c.centroid_id
+          ) AS rn
+        FROM embeddings v CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
     pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      FROM assigned a JOIN assigned b
+        ON a.bucket_id = b.bucket_id AND a.vec_id < b.vec_id
       WHERE {_COS_AB} >= 0.4
     ),
     und AS (SELECT id_a AS x, id_b AS y FROM pairs
@@ -224,19 +253,23 @@ _COS_AB = """
     """,
 )
 def ext_dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style semantic dedup: embedding-cosine pairs (≥ 0.4)
-    → connected components → one canonical vector per semantic
-    cluster. Same clustering kernel as the lexical path
-    (operators/cluster.py) fed by a different pair generator — at
-    corpus scale the generator swaps to the IVF/LSH candidate path so
-    the pair list stays near-linear. The double left-fold cosine is
-    bit-identical across engines, so the closure is oracle-exact."""
+    """SemDeDup-style semantic dedup (Abbas et al., 2023 — public
+    paper): IVF-bucket the embedding space, take cosine pairs ≥ 0.4
+    *within buckets only* → connected components → one canonical
+    vector per semantic cluster. Within-cluster-only pairing is the
+    published SemDeDup contract and the 100 TB shape: the only
+    broadcast is the 8-row centroid table and the pair join is an
+    equi-join on bucket_id (never all-pairs). Same clustering kernel
+    as the lexical path (operators/cluster.py) fed by a different pair
+    generator. The salted-MD5 centroid pick, left-fold cosine, and
+    argmax assignment are all bit-reproducible in DuckDB, so the
+    oracle mirrors the bucketing exactly."""
     from .operators.cluster import dedup_clusters
 
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = neardup.embedding_neardup_pairs(emb, threshold=0.4).select(
-        "id_a", "id_b"
-    )
+    pairs = neardup.embedding_neardup_pairs_bucketed(
+        emb, threshold=0.4, n_centroids=8
+    ).select("id_a", "id_b")
     return dedup_clusters(
         emb.select("vec_id"), pairs, id_col="vec_id", pair_a="id_a", pair_b="id_b"
     ).select("vec_id", "cluster_id", "is_canonical")

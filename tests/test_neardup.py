@@ -47,3 +47,53 @@ def test_embedding_neardup_symmetric_bound(spark):
     pairs = neardup.embedding_neardup_pairs(emb, threshold=0.4).collect()
     assert all(r.id_a < r.id_b for r in pairs)
     assert all(0.4 <= r.cosine_sim <= 1.0 for r in pairs)
+
+
+def test_bucketed_embedding_pairs_degenerate_to_all_pairs(spark):
+    """n_centroids=1 → one bucket → the bucketed generator must equal
+    the exact all-pairs baseline bit-for-bit (same pairs, same
+    cosines)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    exact = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in neardup.embedding_neardup_pairs(emb, threshold=0.4).collect()
+    }
+    bucketed = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in neardup.embedding_neardup_pairs_bucketed(
+            emb, threshold=0.4, n_centroids=1
+        ).collect()
+    }
+    assert exact and bucketed == exact
+
+
+def test_bucketed_embedding_pairs_subset_and_pruned(spark):
+    """With real bucketing: verified pairs ⊆ all-pairs result, and the
+    candidate (scored-pair) count is far below n(n-1)/2 — the whole
+    point of the IVF bucketing at scale."""
+    from ecommerce_lakehouse_platform_spark.operators.similarity import (
+        assign_ivf_buckets,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    n = emb.count()
+    exact = {
+        (r.id_a, r.id_b)
+        for r in neardup.embedding_neardup_pairs(emb, threshold=0.4).collect()
+    }
+    bucketed = {
+        (r.id_a, r.id_b)
+        for r in neardup.embedding_neardup_pairs_bucketed(
+            emb, threshold=0.4, n_centroids=8
+        ).collect()
+    }
+    assert bucketed and bucketed <= exact
+    # scored candidates = same-bucket pairs only
+    _, assigned = assign_ivf_buckets(emb, n_centroids=8)
+    sizes = [
+        r.c for r in assigned.groupBy("bucket_id").agg(F.count("*").alias("c")).collect()
+    ]
+    candidates = sum(c * (c - 1) // 2 for c in sizes)
+    all_pairs = n * (n - 1) // 2
+    assert candidates < 0.5 * all_pairs, (candidates, all_pairs)

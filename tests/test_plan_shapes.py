@@ -164,3 +164,13 @@ def test_driver_window_order_is_applied():
     oracles = entry.oracle_sql()
     missing = [k for k in registry._DRIVER_WINDOW if k not in oracles]
     assert missing == []
+
+
+def test_semantic_dedup_has_no_all_pairs_join(spark):
+    """The semantic-dedup pair generator must be the IVF-bucketed
+    equi-join: the all-pairs formulation plans a BroadcastNestedLoop
+    join of the full corpus against itself (O(n²) at scale), which
+    must never appear; the only broadcasts are the C-row centroid
+    table and the pair list feeding the closure."""
+    plan = _plan(spark, "ext_dedup_semantic_clusters", mode="simple")
+    assert "BroadcastNestedLoopJoin" not in plan
