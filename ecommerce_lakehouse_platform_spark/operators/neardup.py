@@ -45,6 +45,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard ≥ threshold (doc_a < doc_b).
 
@@ -53,9 +54,32 @@ def ngram_jaccard_pairs(
     shared → join per-doc set sizes → |∩| / (|A|+|B|−|∩|).
     The shingle join key is high-cardinality, so the shuffle spreads
     well; stop-shingle skew (a shingle in thousands of docs) is the
-    known hot spot — cap with a frequency filter upstream at scale.
+    known hot spot: a shingle appearing in f docs contributes f²
+    candidate rows to the self-join.
+
+    ``max_df`` is the skew guard for that: shingles appearing in more
+    than ``max_df`` docs are removed from the shingle SETS themselves
+    (stop-shingle removal — sizes and intersections both see the
+    capped sets, so the Jaccard stays internally consistent). With
+    ``max_df`` ≥ the corpus's true max document frequency the output
+    is identical to the uncapped run (property-tested); below it, the
+    similarity is computed over the informative shingles only — the
+    standard trade at web scale, where the top stop-shingles are
+    boilerplate.
+
+    Intermediates use ``localCheckpoint`` rather than ``cache``: a
+    cached plan stays pinned in the CacheManager until explicitly
+    unpersisted (repeated calls accumulate executor memory), while
+    checkpoint blocks are released by the ContextCleaner when the
+    DataFrame is garbage-collected.
     """
-    ds = _doc_shingles(docs, id_col, text_col, n).cache()
+    ds = _doc_shingles(docs, id_col, text_col, n)
+    if max_df is not None:
+        dfreq = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        ds = ds.join(
+            dfreq.filter(F.col("_df") <= max_df).select("shingle"), ["shingle"]
+        )
+    ds = ds.localCheckpoint(eager=False)
     sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = ds.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = ds.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -117,7 +141,10 @@ def prefix_filter_jaccard_pairs(
             F.transform("_ord", lambda x: x["shingle"]).alias("sset"),
             F.size("_ord").alias("n_sh"),
         )
-        .cache()
+        # localCheckpoint, not cache: cached plans pin executor memory
+        # until an explicit unpersist (bench/tests call this at several
+        # thresholds); checkpoint blocks are freed on DataFrame GC.
+        .localCheckpoint(eager=False)
     )
     prefix_len = (
         F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
@@ -202,14 +229,16 @@ def minhash_lsh_pairs(
     """
     rows = num_perm // bands
     # one shared shingle-set plan feeds both the signatures and the
-    # exact verify; cached so the text is parsed once, not three times
+    # exact verify; localCheckpoint (not cache) so the text is parsed
+    # once but the blocks are freed on DataFrame GC instead of pinning
+    # the CacheManager across repeated calls
     sets_df = (
         _spread(docs, id_col)
         .select(
             F.col(id_col).alias("doc_id"),
             F.array_distinct(shingles(F.col(text_col), n)).alias("sset"),
         )
-        .cache()
+        .localCheckpoint(eager=False)
     )
 
     def perm_min(i: int):

@@ -65,31 +65,95 @@ def maintain_rollup_stream(
     return writer.start()
 
 
+_COMMIT_FILE = "COMPACTED"
+
+
+def _commit_info(state_path: str) -> dict:
+    """Compaction manifest: which generation directory is live and the
+    highest epoch id folded into it. Absent = nothing compacted."""
+    import json
+    from pathlib import Path
+
+    p = Path(state_path) / _COMMIT_FILE
+    if p.exists():
+        return json.loads(p.read_text())
+    return {"gen": -1, "through_epoch": -1}
+
+
+def _live_state(state_path: str) -> tuple[str | None, list[str]]:
+    """(compacted base dir or None, epoch dirs newer than the base).
+
+    Epoch ids from Structured Streaming are monotone, so "folded"
+    is simply ``id <= through_epoch`` — leftover folded directories
+    from a crashed cleanup are ignored, never double-counted."""
+    from pathlib import Path
+
+    info = _commit_info(state_path)
+    dirs = [
+        str(child)
+        for child in sorted(Path(state_path).glob("epoch=*"))
+        if int(child.name.split("=", 1)[1]) > info["through_epoch"]
+    ]
+    base = (
+        f"{state_path}/compact_gen={info['gen']}" if info["gen"] >= 0 else None
+    )
+    return base, dirs
+
+
 def read_rollup(
     spark: SparkSession, state_path: str, keys: Sequence[str]
 ) -> DataFrame:
-    """Current rollup = fold of every epoch's partial state."""
-    state = spark.read.option("basePath", state_path).parquet(
-        f"{state_path}/epoch=*"
-    ).drop("epoch")
-    return merge_rollups([state], list(keys))
+    """Current rollup = fold of the compacted base (if any) plus every
+    not-yet-folded epoch's partial state."""
+    base, dirs = _live_state(state_path)
+    frames = [spark.read.parquet(p) for p in ([base] if base else []) + dirs]
+    return merge_rollups(frames, list(keys))
 
 
 def compact_rollup(
     spark: SparkSession, state_path: str, keys: Sequence[str]
 ) -> None:
-    """Fold all epoch directories into a single epoch=-1 state and
-    remove the originals — bounds the read-side fan-in. Runs as a
-    maintenance job between stream restarts (same swap discipline as
-    sources/maintenance.compact_table)."""
+    """Fold the live state into one new generation directory — bounds
+    the read-side fan-in. Runs as a maintenance job between stream
+    restarts.
+
+    Crash-safe commit discipline (the state is ADDITIVE, so a merged
+    copy and its inputs must never both be visible — a partial delete
+    undercounts, a leftover copy double-counts):
+
+    1. write the merged state to a NEW ``compact_gen=<g+1>`` dir —
+       readers still resolve the old manifest, nothing changes;
+    2. commit by atomically replacing the ``COMPACTED`` manifest
+       (``os.replace``) to point at the new generation and record the
+       highest folded epoch id;
+    3. only then delete the folded epoch dirs and the old generation.
+
+    A crash before (2) leaves an orphan generation dir that the next
+    compaction overwrites; a crash after (2) leaves folded dirs that
+    readers ignore via the ``through_epoch`` watermark. At no point
+    does a reader see a double-counted or partial state."""
+    import json
+    import os
     import shutil
-    import tempfile
     from pathlib import Path
 
-    merged = read_rollup(spark, state_path, keys)
-    tmp = tempfile.mkdtemp(prefix="rollup_compact_")
-    merged.write.mode("overwrite").parquet(f"{tmp}/epoch=-1")
-    for child in Path(state_path).glob("epoch=*"):
-        shutil.rmtree(child)
-    shutil.move(f"{tmp}/epoch=-1", f"{state_path}/epoch=-1")
-    shutil.rmtree(tmp, ignore_errors=True)
+    info = _commit_info(state_path)
+    base, dirs = _live_state(state_path)
+    if not dirs:
+        return
+    through = max(int(Path(d).name.split("=", 1)[1]) for d in dirs)
+    gen = info["gen"] + 1
+    merged = merge_rollups(
+        [spark.read.parquet(p) for p in ([base] if base else []) + dirs],
+        list(keys),
+    )
+    merged.write.mode("overwrite").parquet(f"{state_path}/compact_gen={gen}")
+    tmp = Path(state_path) / (_COMMIT_FILE + ".tmp")
+    tmp.write_text(json.dumps({"gen": gen, "through_epoch": through}))
+    os.replace(tmp, Path(state_path) / _COMMIT_FILE)  # commit point
+    for d in dirs:
+        shutil.rmtree(d, ignore_errors=True)
+    if info["gen"] >= 0:
+        shutil.rmtree(
+            Path(state_path) / f"compact_gen={info['gen']}", ignore_errors=True
+        )

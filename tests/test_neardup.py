@@ -97,3 +97,36 @@ def test_bucketed_embedding_pairs_subset_and_pruned(spark):
     candidates = sum(c * (c - 1) // 2 for c in sizes)
     all_pairs = n * (n - 1) // 2
     assert candidates < 0.5 * all_pairs, (candidates, all_pairs)
+
+
+def test_max_df_cap_is_identity_when_loose(spark):
+    """Stop-shingle cap: with max_df ≥ the corpus's true max document
+    frequency the capped run must equal the uncapped run exactly; with
+    an aggressive cap the join never sees the frequent shingles (the
+    f² skew rows are gone) and output pairs carry consistent sizes."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    uncapped = {
+        (r.doc_a, r.doc_b): (r.n_shared, r.n_a, r.n_b)
+        for r in neardup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    max_freq = (
+        neardup._doc_shingles(docs, "doc_id", "text", 3)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.max("df"))
+        .collect()[0][0]
+    )
+    capped = {
+        (r.doc_a, r.doc_b): (r.n_shared, r.n_a, r.n_b)
+        for r in neardup.ngram_jaccard_pairs(
+            docs, threshold=0.5, max_df=max_freq
+        ).collect()
+    }
+    assert uncapped and capped == uncapped
+
+    tight = neardup.ngram_jaccard_pairs(docs, threshold=0.5, max_df=2).collect()
+    for r in tight:
+        assert r.n_shared <= min(r.n_a, r.n_b)
+        assert r.jaccard >= 0.5

@@ -58,3 +58,62 @@ def test_write_read_peek_counts(spark):
         assert read_table(spark, f"{tmp}/t").count() == 100
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_catalog_list_tables(spark):
+    """OP-catalog-list (SHOW TABLES, reference 01_bronze_ingest.py:43):
+    a saved table must appear in the listing; dropping removes it."""
+    from ecommerce_lakehouse_platform_spark.sources.writers import list_tables
+
+    spark.range(5).write.mode("overwrite").saveAsTable("catalog_list_probe")
+    try:
+        assert "catalog_list_probe" in list_tables(spark)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS catalog_list_probe")
+    assert "catalog_list_probe" not in list_tables(spark)
+
+
+def test_delta_write_branch_options():
+    """The Delta branch of write_table (dead in this sandbox — no
+    delta-spark) must still wire the reference's writer contract:
+    format('delta') + overwriteSchema + partitionBy + overwrite mode
+    (reference 02_silver/02_silver_transform.py:33-35). Asserted via a
+    recording stub so the branch is exercised without the runtime."""
+
+    class Recorder:
+        def __init__(self):
+            self.calls = {}
+
+        def format(self, fmt):
+            self.calls["format"] = fmt
+            return self
+
+        def mode(self, m):
+            self.calls["mode"] = m
+            return self
+
+        def option(self, k, v):
+            self.calls.setdefault("options", {})[k] = v
+            return self
+
+        def partitionBy(self, *cols):
+            self.calls["partitionBy"] = cols
+            return self
+
+        def save(self, path):
+            self.calls["save"] = path
+
+    class FakeDF:
+        def __init__(self):
+            self.write = Recorder()
+            self.sparkSession = None
+
+    df = FakeDF()
+    write_table(df, "/tmp/delta_probe", partition_by="event_date", fmt="delta")
+    assert df.write.calls == {
+        "format": "delta",
+        "mode": "overwrite",
+        "options": {"overwriteSchema": "true"},
+        "partitionBy": ("event_date",),
+        "save": "/tmp/delta_probe",
+    }

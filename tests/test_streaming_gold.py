@@ -114,8 +114,19 @@ def test_compact_rollup_preserves_state(spark):
 
         before = _canon(read_rollup(spark, state, KEYS))
         compact_rollup(spark, state, KEYS)
-        after_dirs = list(Path(state).glob("epoch=*"))
-        assert len(after_dirs) == 1
+        assert list(Path(state).glob("epoch=*")) == []
+        assert len(list(Path(state).glob("compact_gen=*"))) == 1
+        assert _canon(read_rollup(spark, state, KEYS)) == before
+
+        # crash-safety: a folded epoch dir left behind by a crashed
+        # cleanup is ignored (through_epoch watermark), never
+        # double-counted — and a second compaction folds new epochs
+        # on top of the committed generation.
+        stale = Path(state) / "epoch=0"
+        stale.mkdir()
+        (stale / "_SUCCESS").touch()
+        assert _canon(read_rollup(spark, state, KEYS)) == before
+        compact_rollup(spark, state, KEYS)  # no live epochs → no-op
         assert _canon(read_rollup(spark, state, KEYS)) == before
     finally:
         for d in (land, state, ckpt):
