@@ -3,15 +3,23 @@
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
 
     {"metric": "headline_total", "value": N, "unit": "sec",
-     "queries": {"q": sec, ...}, "sf": 0.1}
+     "queries": {"q": sec, ...}, "stddev": {"q": sec, ...}, "sf": 0.1}
 
 Execution is forced with the noop sink (full compute, no driver
 collect) so timings measure the distributed plan, not result transfer.
+
+Per-query numbers are the MEDIAN of 3 timed runs in one process
+(the first run absorbs codegen compile; the median ignores it), with
+the per-query sample stddev reported alongside — this sandbox bounces
+±2× run-to-run under load, and a bench that can't show its variance
+can't distinguish a regression from noise (the r1→r2 lesson: every
+shared query read ~1.35× slower purely environmentally).
 """
 
 from __future__ import annotations
 
 import json
+import statistics
 import os
 import sys
 import time
@@ -68,18 +76,17 @@ def main() -> None:
     ).save()
 
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in names:
-        # best of two: the first run of a plan pays one-off codegen
-        # compile; the second is the steady-state number a resident
-        # service would see
-        best = float("inf")
-        for _ in range(2):
+        runs: list[float] = []
+        for _ in range(3):
             start = time.perf_counter()
             registry.QUERIES[name](spark, sf_dir).write.mode("overwrite").format(
                 "noop"
             ).save()
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - start)
+        timings[name] = round(statistics.median(runs), 3)
+        spreads[name] = round(statistics.stdev(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -89,6 +96,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "stddev": spreads,
                 "sf": sf,
             }
         )

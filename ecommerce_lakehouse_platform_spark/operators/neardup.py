@@ -291,16 +291,31 @@ def simhash(
     id_col: str = "doc_id",
     text_col: str = "text",
     bits: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
-    """64-bit SimHash per document: token hash bit j votes ±1; the
-    sign of each bit's vote sum becomes bit j of the fingerprint.
+    """SimHash fingerprint per document: token hash bit j votes ±1;
+    the sign of each bit's vote sum becomes bit j of the fingerprint.
 
-    Explode tokens → one groupBy with 64 conditional sums (all
+    Explode tokens → one groupBy with ``bits`` conditional sums (all
     map-side combinable) → bit reassembly; entirely JVM-side.
+
+    ``portable=False`` (default) hashes tokens with xxhash64 — the
+    fast JVM path. ``portable=True`` derives a 60-bit hash from the
+    leading 15 hex chars of md5 (same one-scan plan, one extra md5
+    per token); md5 is identical in every engine, which makes the
+    whole fingerprint bit-reproducible in DuckDB for differential
+    checks. Use ``bits<=60`` with portable hashing.
     """
+    if portable and bits > 60:
+        raise ValueError("portable simhash supports at most 60 bits")
+    token_hash = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+        if portable
+        else F.xxhash64("tok")
+    )
     tok = _spread(docs, id_col).select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", token_hash)
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -324,17 +339,20 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 8,
     bands: int = 4,
+    bits: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash banding + exact Hamming verify.
 
-    Split the 64-bit fingerprint into ``bands`` 16-bit bands; by
+    Split the ``bits``-wide fingerprint into ``bands`` equal bands; by
     pigeonhole any pair with hamming ≤ bands−1 shares a band, and in
     practice banding recalls most pairs ≤ max_hamming. Exact distance
-    via bit_count(xor).
+    via bit_count(xor). ``portable=True`` swaps the md5-derived token
+    hash in (see :func:`simhash`) so the pair set is engine-portable.
     """
-    width = 64 // bands
+    width = bits // bands
     mask = (1 << width) - 1
-    sh = simhash(docs, id_col, text_col)
+    sh = simhash(docs, id_col, text_col, bits=bits, portable=portable)
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),

@@ -774,39 +774,17 @@ from . import registry_curation  # noqa: E402,F401  (import-for-side-effect)
 # ---------------------------------------------------------------------------
 # The external correctness harness samples a *prefix* of ``queries()``
 # insertion order, so the front of the dict is the most-scrutinized
-# real estate.  Keep the 24 reference-surface operators first (they
-# must stay green every round), then rotate in the operators whose
-# differential checks are newest / highest-risk; everything else keeps
-# registration order behind them.  Rounds rotate this window so every
-# query eventually accumulates an external differential run.
+# real estate.  Round 2's harness run recorded green rows for 49
+# queries (CORRECTNESS_r02.json); this round leads with every query
+# that has NO external differential row yet (46), so the union of the
+# two rounds' harness runs covers all 95 registered queries.  Four
+# reference staples close the window as cross-round canaries;
+# everything else keeps registration order behind the window, and the
+# repo-side sf0.01 oracle suite (tests/test_registry_oracle.py, same
+# gate as the harness) still covers all 95 every session.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # Reference surface (SURVEY.md §2.2-§2.7): silver, gold,
-    # dashboards, DQ — the operators a reference user runs today.
-    "op_clean_id",
-    "op_project_silver_customers",
-    "op_project_silver_orders",
-    "op_join_left_enrich_items",
-    "op_filter_range",
-    "op_dedupe_latest",
-    "op_agg_pivotcount",
-    "op_agg_sales",
-    "op_agg_reviews",
-    "op_agg_having",
-    "gold_daily_metrics",
-    "gold_product_metrics",
-    "gold_product_funnel",
-    "gold_session_metrics",
-    "gold_session_metrics_attrs",
-    "gold_customer_360",
-    "dash_product_performance",
-    "dash_sales_overview",
-    "dash_site_funnel",
-    "dash_customer_360",
-    "dq_notnull_products",
-    "dq_pk_unique_customer",
-    "dq_nonneg_amounts",
-    "dq_bounded_rates",
-    # Rotation slots: ops without an external differential row yet.
+    # No external differential row yet (r2's harness checked its
+    # first 50 keys; ext_sketch_profile's row was err=no_oracle).
     "ext_sketch_profile",
     "ext_dedup_clusters",
     "ext_dedup_semantic_clusters",
@@ -833,6 +811,32 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "ext_lang_temperature_sample",
     "ext_doc_chunking",
     "ext_embedding_centroids",
+    "ext_dedup_simhash",
+    "ext_dedup_embedding",
+    "ext_similarity_ivf",
+    "ext_similarity_lsh",
+    "op_sql_named_params",
+    "ext_incremental_rollup",
+    "ext_pivot_events",
+    "ext_unpivot_lineitem",
+    "ext_histogram_totals",
+    "ext_outlier_iqr",
+    "ext_event_paths",
+    "ext_stats_correlation",
+    "ext_ordered_funnel",
+    "ext_profile_orders",
+    "ext_zorder_layout",
+    "ext_fuzzy_blocked_join",
+    "ext_moving_revenue",
+    "ext_text_subword_stats",
+    "ext_media_embed_topk",
+    "ext_knn_label_predict",
+    # Reference staples: green in r2, kept inside the window as
+    # cross-round regression canaries for the core surface.
+    "op_agg_sales",
+    "op_dedupe_latest",
+    "gold_customer_360",
+    "dash_product_performance",
 )
 
 

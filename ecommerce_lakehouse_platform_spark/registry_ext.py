@@ -3,15 +3,20 @@
 sessionization, multimodal) — SURVEY.md §7 phase E / BASELINE.json
 north star.
 
-Same determinism rules as registry.py. Hash-dependent operators
-(MinHash/SimHash LSH — xxhash64 is Spark-specific) register no oracle
-and get the driver's rows-only check; everything else is exact, and
-the float cosine fold was verified bit-identical between Spark's
-``aggregate``/``zip_with`` and DuckDB's ``list_reduce``/
-``list_transform`` (both strict left folds in double).
+Same determinism rules as registry.py. Every query here carries a
+DuckDB oracle: even the hash/LSH paths are differential-checked by
+construction — MinHash carries an exact-Jaccard verify, SimHash runs
+its portable md5-hash mode, IVF's centroid pick is salted-md5
+deterministic, and RH-LSH's seeded hyperplanes are inlined into the
+oracle SQL as double literals (repr round-trips exactly). The float
+cosine fold was verified bit-identical between Spark's ``aggregate``/
+``zip_with`` and DuckDB's ``list_reduce``/``list_transform`` (both
+strict left folds in double).
 """
 
 from __future__ import annotations
+
+import random
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -1151,11 +1156,57 @@ def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "cluster_id", "is_canonical")
 
 
-@query("ext_dedup_simhash")  # xxhash64-based → rows-only check
+@query(
+    "ext_dedup_simhash",
+    # Mirrors the portable (md5-token-hash, 60-bit) SimHash pipeline
+    # exactly: per-token 60-bit hash → ±1 bit votes → sign fingerprint
+    # → 4×15-bit band join → bit_count(xor) Hamming verify.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id,
+        CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h
+      FROM toks
+    ),
+    bitvals AS (
+      SELECT doc_id, j,
+        CASE WHEN SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) > 0
+             THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END AS bitval
+      FROM hashed CROSS JOIN (SELECT unnest(range(0, 60)) AS j) bit_positions
+      GROUP BY doc_id, j
+    ),
+    fp AS (
+      SELECT doc_id, CAST(SUM(bitval) AS BIGINT) AS simhash
+      FROM bitvals GROUP BY doc_id
+    ),
+    buckets AS (
+      SELECT doc_id, simhash, b, (simhash >> (b * 15)) & 32767 AS bucket
+      FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS b) band_ids
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+             l.simhash AS sh_a, r.simhash AS sh_b
+      FROM buckets l JOIN buckets r
+        ON l.b = r.b AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sh_a, sh_b)) <= 8
+    """,
+)
 def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-banded near-dup pairs with exact Hamming verify."""
+    """SimHash-banded near-dup pairs with exact Hamming verify, in the
+    portable 60-bit md5-hash mode so the full pipeline (votes, sign
+    fingerprint, banding, Hamming) is bit-reproducible in DuckDB. The
+    xxhash64 fast path stays the operator default and is covered by
+    tests/test_neardup.py."""
     docs = _t(spark, sf_dir, "documents")
-    return neardup.simhash_pairs(docs, max_hamming=8, bands=4)
+    return neardup.simhash_pairs(
+        docs, max_hamming=8, bands=4, bits=60, portable=True
+    )
 
 
 @query(
@@ -1218,20 +1269,135 @@ def ext_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, queries_df, k=5)
 
 
-@query("ext_similarity_ivf")  # approximate (recall<1) → rows-only check
+def _cos_sql(a: str, b: str) -> str:
+    """DuckDB cosine fragment mirroring functions/vectors.py: strict
+    left fold of the element products / norms in double."""
+    def _dot(x: str, y: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, len({x})+1), "
+            f"i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)), (x,y) -> x+y)"
+        )
+    return f"{_dot(a, b)} / (sqrt({_dot(a, a)}) * sqrt({_dot(b, b)}))"
+
+
+@query(
+    "ext_similarity_ivf",
+    # Approximate by design (recall<1 vs brute force) yet fully
+    # deterministic: the salted-md5 centroid pick, argmax bucket
+    # assignment, nprobe probe ranking, and final top-k all mirror
+    # bit-for-bit, so the oracle replays the whole IVF pipeline.
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    cent AS (
+      SELECT vec_id AS centroid_id, embedding AS cvec
+      FROM e
+      ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 16
+    ),
+    asn AS (
+      SELECT vec_id, embedding, centroid_id AS bucket_id FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC, c.centroid_id
+               ) AS rn
+        FROM e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, qvec, bucket_id FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS qvec,
+               c.centroid_id AS bucket_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_cos_sql('q.embedding', 'c.cvec')} DESC, c.centroid_id
+               ) AS rn
+        FROM e q CROSS JOIN cent c WHERE q.vec_id < 10
+      ) WHERE rn <= 4
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             {_cos_sql('p.qvec', 'a.embedding')} AS cosine_sim
+      FROM asn a JOIN probes p ON a.bucket_id = p.bucket_id
+      WHERE a.vec_id != p.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id
+      ) AS rn FROM scored
+    ) WHERE rn <= 5
+    """,
+)
 def ext_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-5 for the same query set; recall
-    vs the exact path is asserted in tests/test_similarity.py."""
+    vs the exact path is asserted in tests/test_similarity.py, and the
+    deterministic pipeline is replayed whole by the DuckDB oracle."""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
     return similarity.cosine_topk_ivf(emb, queries_df, k=5, n_centroids=16, nprobe=4)
 
 
-@query("ext_similarity_lsh")  # approximate (recall<1) → rows-only check
+def _rh_hyperplanes_sql(n_bits: int = 32, dim: int = 64) -> str:
+    """VALUES rows for the RH-LSH hyperplanes, regenerated with the
+    same seed as operators/similarity.py:cosine_topk_rhlsh. ``repr``
+    of a Python float is shortest-round-trip, and DuckDB's literal
+    parser is correctly rounded, so each literal lands on the exact
+    same double the Spark plan broadcasts."""
+    rnd = random.Random(0xC05EED)
+    rows = []
+    for i in range(n_bits):
+        vec = ", ".join(repr(rnd.uniform(-1.0, 1.0)) for _ in range(dim))
+        rows.append(f"({i}, [{vec}])")
+    return ",\n      ".join(rows)
+
+
+@query(
+    "ext_similarity_lsh",
+    # Approximate (recall<1) yet deterministic: seeded hyperplanes are
+    # inlined as exact double literals, so sign bits, band buckets,
+    # the candidate join, and the top-k all mirror bit-for-bit.
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    hp(bit_idx, hvec) AS (VALUES
+      {_rh_hyperplanes_sql(n_bits=32, dim=64)}
+    ),
+    bits AS (
+      SELECT e.vec_id, hp.bit_idx,
+        CASE WHEN list_reduce(list_transform(range(1, len(e.embedding)+1),
+               i -> CAST(e.embedding[i] AS DOUBLE) * hp.hvec[i]), (x,y) -> x+y) >= 0
+             THEN 1 ELSE 0 END AS bit
+      FROM e CROSS JOIN hp
+    ),
+    buckets AS (
+      SELECT vec_id, bit_idx // 4 AS band,
+             CAST(SUM(bit * (1 << (bit_idx % 4))) AS BIGINT) AS bucket
+      FROM bits GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+      FROM (SELECT * FROM buckets WHERE vec_id < 10) qb
+      JOIN buckets cb ON qb.band = cb.band AND qb.bucket = cb.bucket
+      WHERE cb.vec_id != qb.vec_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             {_cos_sql('q.embedding', 'n.embedding')} AS cosine_sim
+      FROM cand c
+      JOIN e q ON q.vec_id = c.query_id
+      JOIN e n ON n.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id
+      ) AS rn FROM scored
+    ) WHERE rn <= 5
+    """,
+)
 def ext_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH approximate top-5 for the same query set
     — the stateless, append-friendly ANN scale path (no centroid
-    model); recall vs exact is asserted in tests/test_similarity.py."""
+    model); recall vs exact is asserted in tests/test_similarity.py
+    and the seeded pipeline is replayed whole by the DuckDB oracle."""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
     return similarity.cosine_topk_rhlsh(emb, queries_df, k=5, n_bits=32, bands=8)
