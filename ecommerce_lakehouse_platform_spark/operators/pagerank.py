@@ -1,0 +1,81 @@
+"""Fixed-point PageRank over a DataFrame edge list.
+
+Iterative graph algorithms are the classic "Spark can, notebooks
+can't" workload: each iteration is one equi-join (edges × ranks) plus
+one aggregation (sum of contributions per destination) — both
+shuffle-partitioned on the node key, so a 100 TB edge list runs as W
+well-spread stages rather than a single-machine adjacency walk.
+
+Arithmetic is **integer micro-units** (rank 1.0 ≡ 1_000_000), with
+floor division for the per-edge split and the damping multiply:
+
+    contribution = rank DIV outdeg
+    new_rank     = (1-d)·scale + (d_pct · Σ contributions) DIV 100
+
+Every operation is exact BIGINT math, so the result is deterministic,
+order-independent (integer sums commute), and bit-reproducible in any
+engine — the DuckDB oracle unrolls the same iterations as chained
+CTEs. Float PageRank would make the sum order-dependent and the
+cross-engine comparison approximate; fixed-point makes convergence
+checks and differential tests exact. (Same trick as the bit-exact
+embedding centroids in registry_curation.)
+
+Dangling nodes (no out-edges) simply contribute nothing; their mass
+is not redistributed — acceptable for ranking use and stated in the
+contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank_int(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    scale: int = 1_000_000,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """PageRank in integer micro-units. Returns (node, rank_micros).
+
+    ``nodes`` must contain every vertex (isolated vertices keep the
+    base (1-d) mass); ``edges`` is a directed, deduplicated edge list.
+    The edge×outdegree join is checkpointed once and reused by every
+    iteration, so the per-iteration work is join + partial/final sum
+    on the destination key.
+    """
+    base = (100 - damping_pct) * scale // 100
+    outdeg = edges.groupBy(src_col).agg(F.count(F.lit(1)).alias("_deg"))
+    ed = edges.join(outdeg, [src_col]).localCheckpoint(eager=False)
+    ranks = nodes.select(
+        F.col(node_col).alias("node"), F.lit(scale).cast("long").alias("rank_micros")
+    )
+    for _ in range(iterations):
+        contrib = (
+            ed.join(ranks, ed[src_col] == ranks["node"])
+            .select(
+                F.col(dst_col).alias("node"),
+                F.expr("rank_micros DIV _deg").alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_incoming"))
+        )
+        ranks = (
+            nodes.select(F.col(node_col).alias("node"))
+            .join(contrib, ["node"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(
+                        f"({damping_pct} * coalesce(_incoming, 0L)) DIV 100"
+                    )
+                ).alias("rank_micros"),
+            )
+        )
+    return ranks

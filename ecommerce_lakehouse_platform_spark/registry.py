@@ -767,6 +767,7 @@ def dq_bounded_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 from . import registry_ext  # noqa: E402,F401  (import-for-side-effect)
 from . import registry_relational  # noqa: E402,F401  (import-for-side-effect)
 from . import registry_curation  # noqa: E402,F401  (import-for-side-effect)
+from . import registry_scale  # noqa: E402,F401  (import-for-side-effect)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,168 @@
+"""Scale-pattern registry: operators whose point is the 100 TB
+execution shape — bounded-memory frequency sketching, corpus-level
+token statistics for tokenizer training, iterative graph ranking, and
+exactly-once streaming dedup.
+
+Same determinism rules as registry.py: integer / DECIMAL-routed
+arithmetic everywhere a float sum would be order-dependent, explicit
+tiebreaks on every LIMIT, and a DuckDB oracle per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import text as T
+from .operators.frequency import heavy_hitters
+from .operators.neardup import _spread
+from .operators.pagerank import pagerank_int
+from .registry import _t, query
+
+
+@query(
+    "ext_heavy_hitters",
+    oracle="""
+    WITH items AS (SELECT CAST(l_partkey AS VARCHAR) AS item FROM lineitem),
+    tot AS (SELECT COUNT(*) AS n FROM items)
+    SELECT item, CAST(COUNT(*) AS BIGINT) AS item_count
+    FROM items CROSS JOIN tot
+    GROUP BY item, n
+    HAVING COUNT(*) >= ceil(0.0005 * n)
+    """,
+)
+def ext_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (frequency ≥ ⌈0.0005·N⌉) over the lineitem
+    part key via the two-pass Misra-Gries plan
+    (operators/frequency.py): bounded-memory per-partition candidate
+    summaries, then exact verification of candidates only. The output
+    is bit-identical to plain GROUP BY + HAVING — which is exactly
+    what the oracle runs — while the aggregation state at scale is
+    bounded by the candidate count, not the key cardinality."""
+    li = _t(spark, sf_dir, "lineitem")
+    return heavy_hitters(li, "l_partkey", phi=0.0005)
+
+
+@query(
+    "ext_bpe_pair_counts",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    wf AS (SELECT tok, COUNT(*) AS wcount FROM toks GROUP BY tok),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, length(tok)),
+                    i -> substr(tok, i, 2))) AS pair,
+             wcount
+      FROM wf WHERE length(tok) >= 2
+    )
+    SELECT pair, CAST(SUM(wcount) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY pair
+    ORDER BY pair_count DESC, pair
+    LIMIT 100
+    """,
+)
+def ext_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training merge step at corpus scale: count adjacent
+    symbol pairs (2-char substrings of whitespace words), weighted by
+    word frequency. The classic tokenizer-training inner loop: the
+    word-frequency table is tiny relative to the corpus, so the heavy
+    explode runs over |vocab| rows, not |corpus| rows — aggregate
+    first, explode second. Top-100 pairs with a lexical tiebreak."""
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
+    wf = (
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("wcount"))
+    )
+    pairs = wf.filter(F.length("tok") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("tok") - 1),
+                lambda i: F.col("tok").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "wcount",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wcount").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "pair")
+        .limit(100)
+    )
+
+
+def _pagerank_oracle(iterations: int = 3) -> str:
+    """Unrolled DuckDB mirror of operators/pagerank.py: same integer
+    micro-unit arithmetic (floor division splits, damping multiply),
+    one CTE pair per iteration."""
+    sql = """
+    WITH nodes AS (SELECT DISTINCT l_partkey AS node FROM lineitem),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+    ),
+    outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micros FROM nodes)"""
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        sql += f""",
+    c{i} AS (
+      SELECT e.dst AS node, SUM(r.rank_micros // o.deg) AS incoming
+      FROM edges e
+      JOIN {prev} r ON e.src = r.node
+      JOIN outdeg o ON e.src = o.src
+      GROUP BY e.dst
+    ),
+    r{i} AS (
+      SELECT n.node,
+             CAST(150000 + (85 * COALESCE(c.incoming, 0)) // 100 AS BIGINT)
+               AS rank_micros
+      FROM nodes n LEFT JOIN c{i} c ON n.node = c.node
+    )"""
+        prev = f"r{i}"
+    return sql + f"\n    SELECT node AS part_key, rank_micros FROM {prev}"
+
+
+@query("ext_pagerank_copurchase", oracle=_pagerank_oracle(3))
+def ext_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 iterations, d=0.85) over the product co-purchase
+    graph: parts are vertices, distinct same-order part pairs are
+    directed edges both ways. Integer micro-unit arithmetic makes the
+    iterative result bit-exact and order-independent, so the oracle
+    replays the same iterations as unrolled CTEs. Per iteration the
+    plan is one equi-join + one sum shuffle on the node key — the
+    scalable shape for iterative graph ranking."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    nodes = li.select(F.col("l_partkey").alias("node")).distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, ["ok"])
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    ranks = pagerank_int(nodes, edges, iterations=3)
+    return ranks.select(F.col("node").alias("part_key"), "rank_micros")
+
+
+@query(
+    "stream_dedup_exactly_once",
+    oracle="SELECT DISTINCT event_id FROM events",
+)
+def stream_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once event ids from an at-least-once source: the
+    fixture events are delivered TWICE (union) through a real
+    Structured Streaming job with state-store dedup on the delivery
+    key (streaming/dedup.py). The reference handles duplicates by
+    rerunning batch overwrites (/root/reference/README.md:26-33);
+    this is the streaming-native equivalent. The watermark-bounded
+    variant (state pruned to the delay horizon) is exercised in
+    tests/test_streaming_dedup.py."""
+    from .streaming.dedup import run_stream_dedup_bounded
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    doubled = ev.unionAll(ev)
+    return run_stream_dedup_bounded(spark, doubled, ["event_id"])
