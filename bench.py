@@ -80,6 +80,12 @@ def main() -> None:
     for name in names:
         runs: list[float] = []
         for _ in range(3):
+            # cold per run: some operators cache() shared subplans
+            # (shingle tables); clearing between runs keeps every
+            # timed invocation self-contained, bounds CacheManager
+            # growth across the loop, and stops run N's cache from
+            # flattering run N+1
+            spark.catalog.clearCache()
             start = time.perf_counter()
             registry.QUERIES[name](spark, sf_dir).write.mode("overwrite").format(
                 "noop"

@@ -51,7 +51,11 @@ def pagerank_int(
     """
     base = (100 - damping_pct) * scale // 100
     outdeg = edges.groupBy(src_col).agg(F.count(F.lit(1)).alias("_deg"))
-    ed = edges.join(outdeg, [src_col]).localCheckpoint(eager=False)
+    # cache (not localCheckpoint): the InMemoryRelation keeps the
+    # Catalyst plan for the per-iteration joins; lineage depth is fine
+    # at small fixed iteration counts (contrast operators/cluster.py,
+    # whose unbounded loop does need checkpoint truncation)
+    ed = edges.join(outdeg, [src_col]).cache()
     ranks = nodes.select(
         F.col(node_col).alias("node"), F.lit(scale).cast("long").alias("rank_micros")
     )
