@@ -58,6 +58,10 @@ HEADLINE = [
     "ext_dup_span_coverage",
     "ext_doc_chunking",
     "ext_embedding_centroids",
+    # round 3 additions
+    "ext_heavy_hitters",
+    "ext_bpe_pair_counts",
+    "ext_pagerank_copurchase",
 ]
 
 

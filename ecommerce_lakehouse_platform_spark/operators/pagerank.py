@@ -56,8 +56,12 @@ def pagerank_int(
     # at small fixed iteration counts (contrast operators/cluster.py,
     # whose unbounded loop does need checkpoint truncation)
     ed = edges.join(outdeg, [src_col]).cache()
-    ranks = nodes.select(
-        F.col(node_col).alias("node"), F.lit(scale).cast("long").alias("rank_micros")
+    # nodes is read once per iteration for the left-join realignment;
+    # cache the projected vertex set so each iteration scans the
+    # in-memory relation instead of rebuilding the distinct
+    nd = nodes.select(F.col(node_col).alias("node")).cache()
+    ranks = nd.select(
+        "node", F.lit(scale).cast("long").alias("rank_micros")
     )
     for _ in range(iterations):
         contrib = (
@@ -70,8 +74,7 @@ def pagerank_int(
             .agg(F.sum("_c").alias("_incoming"))
         )
         ranks = (
-            nodes.select(F.col(node_col).alias("node"))
-            .join(contrib, ["node"], "left")
+            nd.join(contrib, ["node"], "left")
             .select(
                 "node",
                 (

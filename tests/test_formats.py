@@ -43,3 +43,26 @@ def test_silver_orders_round_trips(spark, fmt):
         assert _canon(back) == _canon(base)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_silver_orders_round_trips_xml(spark):
+    """XML (built-in since Spark 4) round-trip under explicit schema;
+    rowTag is mandatory on both edges. Avro is NOT bundled in this
+    runtime (external spark-avro module) — a switcher bringing Avro
+    data needs the package on the classpath; nothing else changes."""
+    base = silver_orders(load_table(spark, SF_SMOKE, "orders")).drop("order_ts")
+    tmp = tempfile.mkdtemp(prefix="fmt_xml_")
+    try:
+        base.write.mode("overwrite").format("xml").option(
+            "rootTag", "orders"
+        ).option("rowTag", "order").save(tmp)
+        back = (
+            spark.read.format("xml")
+            .schema(base.schema)
+            .option("rowTag", "order")
+            .load(tmp)
+        )
+        assert back.schema == base.schema
+        assert _canon(back) == _canon(base)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
