@@ -213,6 +213,74 @@ def minhash_signatures(
     ).select("doc_id", *[perm_min(i) for i in range(num_perm)])
 
 
+def _minhash_band_buckets(
+    sets_df: DataFrame, num_perm: int, bands: int
+) -> DataFrame:
+    """(doc_id, band, bucket) rows from a (doc_id, sset) frame:
+    per-permutation min over seeded xxhash64 of the shingles, bands
+    hashed into one bucket key each. Entirely map-side."""
+    rows = num_perm // bands
+
+    def perm_min(i: int):
+        return F.array_min(
+            F.transform(F.col("sset"), lambda s: F.xxhash64(F.lit(i), s))
+        ).alias(f"mh_{i}")
+
+    sigs = sets_df.select("doc_id", *[perm_min(i) for i in range(num_perm)])
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias(
+                "bucket"
+            ),
+        )
+        for b in range(bands)
+    ]
+    return sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def _shingle_sets(
+    docs: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(doc_id, sset) distinct-shingle arrays, cached: one shared plan
+    feeds both the signatures and the exact verify. cache (not
+    localCheckpoint) keeps the Catalyst plan and is measurably
+    faster; loopy callers clearCache between invocations to bound
+    CacheManager growth."""
+    return (
+        _spread(docs, id_col)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.array_distinct(shingles(F.col(text_col), n)).alias("sset"),
+        )
+        .cache()
+    )
+
+
+def _verify_exact_jaccard(
+    candidates: DataFrame, sets_df: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verify on CANDIDATES ONLY (the whole point of
+    LSH: never score all pairs). Each pair joins its two distinct-
+    shingle arrays and intersects them JVM-side — per-pair
+    O(|shingles|), no shuffle amplification."""
+    sa = sets_df.select(F.col("doc_id").alias("doc_a"), F.col("sset").alias("_sa"))
+    sb = sets_df.select(F.col("doc_id").alias("doc_b"), F.col("sset").alias("_sb"))
+    return (
+        candidates.join(sa, ["doc_a"]).join(sb, ["doc_b"])
+        .withColumn("n_shared", F.size(F.array_intersect("_sa", "_sb")))
+        .withColumn(
+            "jaccard",
+            F.col("n_shared").cast("double")
+            / (F.size("_sa") + F.size("_sb") - F.col("n_shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -230,38 +298,8 @@ def minhash_lsh_pairs(
     with exact shingle-set Jaccard so the output has no false
     positives (recall < 1 remains, as for any LSH).
     """
-    rows = num_perm // bands
-    # one shared shingle-set plan feeds both the signatures and the
-    # exact verify; cache (not localCheckpoint) keeps the Catalyst
-    # plan and is measurably faster — loopy callers clearCache
-    # between invocations to bound CacheManager growth
-    sets_df = (
-        _spread(docs, id_col)
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.array_distinct(shingles(F.col(text_col), n)).alias("sset"),
-        )
-        .cache()
-    )
-
-    def perm_min(i: int):
-        return F.array_min(
-            F.transform(F.col("sset"), lambda s: F.xxhash64(F.lit(i), s))
-        ).alias(f"mh_{i}")
-
-    sigs = sets_df.select("doc_id", *[perm_min(i) for i in range(num_perm)])
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias(
-                "bucket"
-            ),
-        )
-        for b in range(bands)
-    ]
-    buckets = sigs.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    sets_df = _shingle_sets(docs, id_col, text_col, n)
+    buckets = _minhash_band_buckets(sets_df, num_perm, bands)
     a = buckets.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     b = buckets.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     candidates = (
@@ -270,23 +308,53 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # Exact-Jaccard verify on CANDIDATES ONLY (the whole point of LSH:
-    # never score all pairs). Each pair joins its two distinct-shingle
-    # arrays and intersects them JVM-side — per-pair O(|shingles|),
-    # no shuffle amplification.
-    sa = sets_df.select(F.col("doc_id").alias("doc_a"), F.col("sset").alias("_sa"))
-    sb = sets_df.select(F.col("doc_id").alias("doc_b"), F.col("sset").alias("_sb"))
-    verified = (
-        candidates.join(sa, ["doc_a"]).join(sb, ["doc_b"])
-        .withColumn("n_shared", F.size(F.array_intersect("_sa", "_sb")))
-        .withColumn(
-            "jaccard",
-            F.col("n_shared").cast("double")
-            / (F.size("_sa") + F.size("_sb") - F.col("n_shared")),
+    return _verify_exact_jaccard(candidates, sets_df, threshold)
+
+
+def minhash_lsh_pairs_incremental(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs INVOLVING a new batch: batch×corpus and
+    batch×batch, never corpus×corpus.
+
+    The continuous-ingest shape of MinHash dedup: a landing shard is
+    checked against the full history without re-pairing the history
+    with itself. The batch's band buckets join the union index
+    (corpus ∪ batch buckets), so the per-shard cost is
+    O(|batch| + matching bucket rows) — at 100 TB the corpus bucket
+    index is a stored, bucketed-by-(band,bucket) table maintained
+    append-only by each shard's map-side signature pass, and this
+    join prunes to the buckets the batch actually touches.
+
+    Same signatures, banding, and exact verify as
+    :func:`minhash_lsh_pairs`; output is its (doc_a, doc_b, jaccard)
+    restricted to pairs with at least one batch member (ids
+    normalized doc_a < doc_b).
+    """
+    corpus_sets = _shingle_sets(corpus, id_col, text_col, n)
+    batch_sets = _shingle_sets(batch, id_col, text_col, n)
+    all_sets = corpus_sets.unionByName(batch_sets)
+    index_buckets = _minhash_band_buckets(all_sets, num_perm, bands)
+    batch_buckets = _minhash_band_buckets(batch_sets, num_perm, bands)
+    qb = batch_buckets.select(F.col("doc_id").alias("doc_q"), "band", "bucket")
+    ib = index_buckets.select(F.col("doc_id").alias("doc_i"), "band", "bucket")
+    candidates = (
+        qb.join(ib, ["band", "bucket"])
+        .filter(F.col("doc_q") != F.col("doc_i"))
+        .select(
+            F.least("doc_q", "doc_i").alias("doc_a"),
+            F.greatest("doc_q", "doc_i").alias("doc_b"),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .distinct()
     )
-    return verified.select("doc_a", "doc_b", "jaccard")
+    return _verify_exact_jaccard(candidates, all_sets, threshold)
 
 
 def simhash(

@@ -130,3 +130,31 @@ def test_max_df_cap_is_identity_when_loose(spark):
     for r in tight:
         assert r.n_shared <= min(r.n_a, r.n_b)
         assert r.jaccard >= 0.5
+
+
+def test_incremental_minhash_equals_full_restricted(spark):
+    """Batch-vs-index incremental dedup returns exactly the full-run
+    pairs that touch the batch — corpus-internal pairs are excluded
+    by construction (the cost-model point: history is never re-paired
+    with itself)."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    from pyspark.sql import functions as F
+
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    full = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in neardup.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    want = {k: v for k, v in full.items() if k[0] % 2 == 1 or k[1] % 2 == 1}
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in neardup.minhash_lsh_pairs_incremental(
+            corpus, batch, threshold=0.5
+        ).collect()
+    }
+    assert got == want
+    assert want, "fixture should contain batch-touching near-dup pairs"
+    assert any(k[0] % 2 == 0 or k[1] % 2 == 0 for k in got), (
+        "expected at least one batch-vs-history pair"
+    )
