@@ -157,6 +157,7 @@ def run_stateful_sessions_bounded(
     ts_col: str = "event_ts",
     gap: str = "30 minutes",
     watermark: str = "1 hour",
+    impl: str = "apply_in_pandas",
 ) -> DataFrame:
     """Run the stateful sessionizer over a BOUNDED events DataFrame and
     return every session (a batch-equivalence harness; production use
@@ -167,6 +168,11 @@ def run_stateful_sessions_bounded(
     event-time timeouts and the append-mode output is complete. The
     memory sink materializes on the driver, so the temp source and
     checkpoint are deleted before returning.
+
+    ``impl`` picks the operator: ``apply_in_pandas`` (GroupState
+    timeout) or ``transform_with_state`` (Spark 4 StatefulProcessor +
+    event-time timers; forces the RocksDB provider it requires and
+    restores the session's provider after).
     """
     import datetime
     import shutil
@@ -194,14 +200,28 @@ def run_stateful_sessions_bounded(
     # the checkpoint's first batch; a fresh bounded-input run doesn't
     # need hundreds of state tasks per micro-batch, so pin a small
     # count for this query and restore the session's setting after
+    _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+    _ROCKSDB = (
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider"
+    )
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_provider = spark.conf.get(_PROVIDER_KEY, None)
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
         cols.unionByName(sentinel).write.mode("overwrite").parquet(src)
         stream = spark.readStream.schema(cols.schema).parquet(src)
-        out = sessionize_stateful(
-            stream, "user_id", "event_ts", gap=gap, watermark=watermark
-        )
+        if impl == "transform_with_state":
+            from .stateful_tws import sessionize_tws
+
+            spark.conf.set(_PROVIDER_KEY, _ROCKSDB)
+            out = sessionize_tws(
+                stream, "user_id", "event_ts", gap=gap, watermark=watermark
+            )
+        else:
+            out = sessionize_stateful(
+                stream, "user_id", "event_ts", gap=gap, watermark=watermark
+            )
         q = (
             out.writeStream.format("memory")
             .queryName(name)
@@ -213,6 +233,10 @@ def run_stateful_sessions_bounded(
         q.awaitTermination(300)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        if prev_provider is None:
+            spark.conf.unset(_PROVIDER_KEY)
+        else:
+            spark.conf.set(_PROVIDER_KEY, prev_provider)
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name).where(F.col("user_id") != _SENTINEL_USER)
