@@ -193,6 +193,80 @@ def ext_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ext_url_canonicalize",
+    oracle="""
+    WITH raw AS (
+      SELECT event_id,
+        CASE WHEN event_id % 2 = 0
+          THEN 'HTTPS://Shop.Example.COM:443/item/' || CAST(event_id % 500 AS VARCHAR)
+               || '?utm_source=mail&ref=' || CAST(user_id AS VARCHAR) || '&b=2&a=1#frag'
+          ELSE 'http://Shop.Example.COM:8080/item/' || CAST(event_id % 500 AS VARCHAR) || '?a=1'
+        END AS url
+      FROM events
+    ),
+    parts AS (
+      SELECT event_id, url,
+        regexp_extract(url, '^([^#]*)', 1) AS base
+      FROM raw
+    ),
+    split_parts AS (
+      SELECT event_id, url,
+        lower(regexp_extract(base, '^([A-Za-z]+)://', 1)) AS scheme,
+        lower(regexp_extract(regexp_extract(base, '^[A-Za-z]+://([^/?]+)', 1), '^([^:]+)', 1)) AS host,
+        regexp_extract(regexp_extract(base, '^[A-Za-z]+://([^/?]+)', 1), ':([0-9]+)$', 1) AS port,
+        regexp_extract(base, '^[A-Za-z]+://[^/?]+(/[^?]*)', 1) AS path,
+        array_to_string(list_sort(list_filter(
+          string_split(regexp_extract(base, '\\?(.*)$', 1), '&'),
+          p -> p != '' AND NOT starts_with(p, 'utm_') AND NOT starts_with(p, 'ref=')
+               AND NOT starts_with(p, 'gclid=') AND NOT starts_with(p, 'fbclid='))), '&') AS q
+      FROM parts
+    )
+    SELECT event_id, host, path,
+      scheme || '://' || host ||
+      CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
+                OR (scheme = 'http' AND port = '80')
+           THEN '' ELSE ':' || port END ||
+      path ||
+      CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical_url
+    FROM split_parts
+    """,
+)
+def ext_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (functions/web.py) over synthesized dirty
+    URLs — mixed-case scheme/host, default and non-default ports,
+    tracking params, unsorted query, fragments — the identity-collapse
+    step before content hashing in a crawled-corpus dedup ladder.
+    Input URLs are synthesized deterministically from event columns
+    (same precedent as op_clean_id's dirty ids: the op under test is
+    the cleansing, not the fixture)."""
+    from .functions import web
+
+    ev = _t(spark, sf_dir, "events")
+    item = (F.col("event_id") % 500).cast("string")
+    url = F.when(
+        F.col("event_id") % 2 == 0,
+        F.concat(
+            F.lit("HTTPS://Shop.Example.COM:443/item/"),
+            item,
+            F.lit("?utm_source=mail&ref="),
+            F.col("user_id").cast("string"),
+            F.lit("&b=2&a=1#frag"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("http://Shop.Example.COM:8080/item/"), item, F.lit("?a=1")
+        )
+    )
+    with_url = ev.select("event_id", url.alias("url"))
+    return with_url.select(
+        "event_id",
+        web.url_host(F.col("url")).alias("host"),
+        web.url_path(F.col("url")).alias("path"),
+        web.canonical_url(F.col("url")).alias("canonical_url"),
+    )
+
+
+@query(
     "stream_dedup_exactly_once",
     oracle="SELECT DISTINCT event_id FROM events",
 )
