@@ -6,6 +6,8 @@ from __future__ import annotations
 import math
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from ecommerce_lakehouse_platform_spark.operators.frequency import (
@@ -55,3 +57,28 @@ def test_candidate_count_bounded_by_k_per_partition(spark):
     k = 10
     cand = misra_gries_candidates(df, "item", k)
     assert cand.count() <= 4 * k
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    items=st.lists(
+        st.sampled_from([f"k{i}" for i in range(12)]), min_size=1, max_size=400
+    ),
+    phi=st.sampled_from([0.01, 0.05, 0.2]),
+    parts=st.integers(min_value=1, max_value=6),
+)
+def test_heavy_hitters_property(spark, items, phi, parts):
+    """MG-candidates + exact verify == GROUP BY + HAVING for arbitrary
+    skew, phi, and partitioning (the guarantee is data- and
+    layout-independent)."""
+    df = spark.createDataFrame([(x,) for x in items], "item string").repartition(
+        parts
+    )
+    got = {tuple(r) for r in heavy_hitters(df, "item", phi).collect()}
+    want = {tuple(r) for r in _exact_heavy_hitters(df, "item", phi).collect()}
+    assert got == want
