@@ -193,6 +193,71 @@ def ext_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ext_groupwise_stats",
+    oracle="""
+    WITH base AS (
+      SELECT c_mktsegment AS segment,
+        COUNT(*) AS n_customers,
+        array_to_string(
+          list_transform(list_sort(list(c_custkey))[1:10],
+                         x -> CAST(x AS VARCHAR)), ',') AS ids_sample,
+        quantile_cont(c_acctbal, 0.5) AS median_acctbal
+      FROM customer GROUP BY 1
+    ),
+    nation_counts AS (
+      SELECT c_mktsegment AS segment, c_nationkey,
+             COUNT(*) AS cnt,
+             ROW_NUMBER() OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY COUNT(*) DESC, c_nationkey
+             ) AS rn
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT b.segment, b.n_customers, b.ids_sample, b.median_acctbal,
+           CAST(n.c_nationkey AS INT) AS mode_nation
+    FROM base b JOIN nation_counts n
+      ON b.segment = n.segment AND n.rn = 1
+    """,
+)
+def ext_groupwise_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise SQL-parity staples a switcher reaches for on day
+    one: ordered string aggregation (capped sample), exact
+    interpolated median (Spark ``percentile`` == DuckDB
+    ``quantile_cont``, proven bit-exact), and a DETERMINISTIC mode —
+    both engines leave bare mode()'s ties unspecified, so it is
+    computed as count + row_number with a (freq DESC, key ASC)
+    tiebreak. One partial+final agg pass plus a tiny per-(segment,
+    nation) count for the mode: scales as plain hash aggregation."""
+    from pyspark.sql import Window
+
+    cust = _t(spark, sf_dir, "customer")
+    base = cust.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.array_join(
+            F.transform(
+                F.slice(F.array_sort(F.collect_list("c_custkey")), 1, 10),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("ids_sample"),
+        F.expr("percentile(c_acctbal, 0.5)").alias("median_acctbal"),
+    )
+    w = Window.partitionBy("segment").orderBy(
+        F.col("cnt").desc(), F.col("c_nationkey")
+    )
+    mode = (
+        cust.groupBy(
+            F.col("c_mktsegment").alias("segment"), "c_nationkey"
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("segment", F.col("c_nationkey").cast("int").alias("mode_nation"))
+    )
+    return base.join(mode, ["segment"])
+
+
+@query(
     "ext_url_canonicalize",
     oracle="""
     WITH raw AS (
