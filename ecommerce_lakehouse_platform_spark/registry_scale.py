@@ -332,6 +332,73 @@ def ext_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_dedup_index_maintenance",
+    # Same exact-Jaccard ground truth as ext_dedup_minhash_lsh: the
+    # epoch-sharded streaming run must discover exactly the one-shot
+    # pair set (each pair once, when its later member lands).
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+        unnest(list_transform(range(1, len(t)-1), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+      FROM toks WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+      CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) AS jaccard
+    FROM shared
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= 0.5
+    """,
+)
+def stream_dedup_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus dedup end-to-end: the fixture documents land
+    as three shards through a real foreachBatch stream that maintains
+    a persistent MinHash band-bucket index (streaming/dedup_index.py);
+    the union of per-epoch pair discoveries must equal the one-shot
+    batch pair set. History is never re-paired with itself — each
+    epoch joins only the new shard's buckets against the stored
+    index."""
+    import shutil
+    import tempfile
+
+    from .streaming.dedup_index import maintain_dedup_index, read_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    src = tempfile.mkdtemp(prefix="dedup_idx_src_")
+    index = tempfile.mkdtemp(prefix="dedup_idx_state_")
+    ckpt = tempfile.mkdtemp(prefix="dedup_idx_ckpt_")
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        for i, bound in enumerate([(0, 170), (170, 340), (340, 1 << 62)]):
+            docs.filter(
+                (F.col("doc_id") >= bound[0]) & (F.col("doc_id") < bound[1])
+            ).coalesce(1).write.mode("overwrite").parquet(f"{src}/shard={i}")
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/shard=*")
+        )
+        q = maintain_dedup_index(
+            stream, index, ckpt, threshold=0.5, available_now=True
+        )
+        q.awaitTermination(300)
+        # materialize off the temp dirs before they are deleted
+        out = read_pairs(spark, index).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        for d in (src, index, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+@query(
     "stream_dedup_exactly_once",
     oracle="SELECT DISTINCT event_id FROM events",
 )
