@@ -156,6 +156,58 @@ def cosine_topk_rhlsh(
     )
 
 
+def hard_triplets(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k_neg: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Contrastive-training triplet mining: per query, the hardest
+    POSITIVE (most-similar same-label vector) and the ``k_neg``
+    hardest NEGATIVES (most-similar different-label vectors).
+
+    The standard ANN-assisted construction of contrastive batches
+    (hard negatives carry most of the gradient signal). Same scale
+    shape as :func:`cosine_topk`: broadcast the bounded query batch,
+    score map-side, one shuffle on query_id for the per-role top-k;
+    ties break on neighbor id. Swap the scored join for the IVF/LSH
+    candidate paths when the query batch stops being broadcastable.
+    """
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        F.col(label_col).alias("_qlabel"),
+    )
+    scored = corpus.join(F.broadcast(q), F.col(id_col) != F.col(query_id_col)).select(
+        query_id_col,
+        "_qlabel",
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        cosine(F.col("_qvec"), F.col(vec_col)).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    pos = (
+        scored.filter(F.col("neighbor_label") == F.col("_qlabel"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") == 1)
+        .withColumn("role", F.lit("pos"))
+    )
+    neg = (
+        scored.filter(F.col("neighbor_label") != F.col("_qlabel"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_neg)
+        .withColumn("role", F.lit("neg"))
+    )
+    return pos.unionByName(neg).select(
+        query_id_col, "role", "rank", "neighbor_id", "neighbor_label", "cosine_sim"
+    )
+
+
 def assign_ivf_buckets(
     corpus: DataFrame,
     n_centroids: int = 16,

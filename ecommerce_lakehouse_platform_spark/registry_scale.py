@@ -193,6 +193,58 @@ def ext_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ext_hard_negative_mining",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec, label AS qlabel
+          FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, q.qlabel, c.vec_id AS neighbor_id,
+             c.label AS neighbor_label,
+        list_reduce(list_transform(range(1, len(q.qvec)+1),
+          i -> CAST(q.qvec[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), (x,y) -> x+y)
+        / (sqrt(list_reduce(list_transform(range(1, len(q.qvec)+1),
+             i -> CAST(q.qvec[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)), (x,y) -> x+y))
+           * sqrt(list_reduce(list_transform(range(1, len(c.embedding)+1),
+               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), (x,y) -> x+y)))
+        AS cosine_sim
+      FROM e c CROSS JOIN q WHERE c.vec_id != q.query_id
+    ),
+    pos AS (
+      SELECT query_id, 'pos' AS role, rn AS rank, neighbor_id,
+             neighbor_label, cosine_sim
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine_sim DESC, neighbor_id) AS rn
+            FROM scored WHERE neighbor_label = qlabel)
+      WHERE rn = 1
+    ),
+    neg AS (
+      SELECT query_id, 'neg' AS role, rn AS rank, neighbor_id,
+             neighbor_label, cosine_sim
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine_sim DESC, neighbor_id) AS rn
+            FROM scored WHERE neighbor_label != qlabel)
+      WHERE rn <= 3
+    )
+    SELECT * FROM pos UNION ALL SELECT * FROM neg
+    """,
+)
+def ext_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training triplet mining
+    (operators/similarity.py:hard_triplets): per query vector the
+    hardest positive (most-similar same-label) and top-3 hardest
+    negatives (most-similar different-label) — the ANN-assisted batch
+    construction that carries most of the gradient signal in
+    contrastive training. Bit-exact cosine + id tiebreaks make the
+    whole mining run oracle-checkable."""
+    from .operators.similarity import hard_triplets
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return hard_triplets(emb, queries_df, k_neg=3)
+
+
+@query(
     "ext_groupwise_stats",
     oracle="""
     WITH base AS (
