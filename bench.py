@@ -62,6 +62,8 @@ HEADLINE = [
     "ext_heavy_hitters",
     "ext_bpe_pair_counts",
     "ext_pagerank_copurchase",
+    "ext_dedup_incremental",
+    "ext_hard_negative_mining",
 ]
 
 

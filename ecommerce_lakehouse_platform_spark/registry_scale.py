@@ -193,6 +193,148 @@ def ext_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ext_corpus_mixture",
+    # Uniform target shares (1/5 per language). B = max corpus size
+    # honoring the targets given availability = min_l(n_l / s_l);
+    # keep rate_l = B*s_l/n_l. Double division/multiplication are
+    # correctly rounded in both engines, so rates — and the salted-md5
+    # keep decisions they drive — are bit-identical.
+    oracle="""
+    WITH counts AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY 1),
+    budget AS (SELECT MIN(n_lang / 0.2) AS b FROM counts),
+    rates AS (
+      SELECT lang, n_lang,
+        CAST(floor((b * 0.2 / n_lang) * 1000000) AS BIGINT) AS keep_ppm
+      FROM counts CROSS JOIN budget
+    )
+    SELECT d.doc_id, d.lang, r.keep_ppm
+    FROM documents d JOIN rates r USING (lang)
+    WHERE CAST(('0x' || substring(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 1000000 < r.keep_ppm
+    """,
+)
+def ext_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture construction: resample the corpus to target
+    language shares (uniform 20% here). The kept set is the LARGEST
+    corpus honoring the targets given per-language availability
+    (budget = min_l n_l/s_l, the scarcest language saturates), and
+    membership is a salted-hash keep — deterministic, growth-stable,
+    no shuffle beyond one tiny per-language count. Generalizes
+    ext_lang_temperature_sample from α-smoothing to explicit target
+    shares — the knob an actual pretraining mixture is specified
+    with."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    budget = counts.agg(
+        F.min(F.col("n_lang") / F.lit(0.2)).alias("b")
+    )
+    rates = counts.crossJoin(F.broadcast(budget)).select(
+        "lang",
+        F.floor((F.col("b") * F.lit(0.2) / F.col("n_lang")) * 1_000_000)
+        .cast("long")
+        .alias("keep_ppm"),
+    )
+    keyed = docs.join(F.broadcast(rates), ["lang"]).withColumn(
+        "_h",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000,
+    )
+    return keyed.filter(F.col("_h") < F.col("keep_ppm")).select(
+        "doc_id", "lang", "keep_ppm"
+    )
+
+
+@query(
+    "ext_length_bucket_batching",
+    # Quartile edges via quantile_cont == Spark percentile (proven
+    # bit-exact); bucket by strict comparisons; batches of 16 inside
+    # each bucket in (n_tokens, doc_id) order.
+    oracle="""
+    WITH lens AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+    ),
+    edges AS (
+      SELECT quantile_cont(n_tokens, 0.25) AS q1,
+             quantile_cont(n_tokens, 0.50) AS q2,
+             quantile_cont(n_tokens, 0.75) AS q3
+      FROM lens
+    ),
+    bucketed AS (
+      SELECT doc_id, n_tokens,
+        CASE WHEN n_tokens <= q1 THEN 0
+             WHEN n_tokens <= q2 THEN 1
+             WHEN n_tokens <= q3 THEN 2
+             ELSE 3 END AS bucket
+      FROM lens CROSS JOIN edges
+    ),
+    batched AS (
+      SELECT doc_id, n_tokens, bucket,
+        CAST((ROW_NUMBER() OVER (PARTITION BY bucket
+               ORDER BY n_tokens, doc_id) - 1) // 16 AS BIGINT) AS batch_id
+      FROM bucketed
+    )
+    SELECT bucket, batch_id,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(MAX(n_tokens) AS BIGINT) AS max_len,
+      CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT) AS padding_waste
+    FROM batched GROUP BY 1, 2
+    """,
+)
+def ext_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch construction: bucket documents by global
+    token-length quartiles, then form fixed-size batches inside each
+    bucket in (length, id) order and report the padding waste each
+    batch would incur (max_len·n − Σlen). The standard efficiency move
+    for sequence-model training: batching like-length documents
+    minimizes pad tokens. Two-pass shape — one tiny percentile
+    aggregate, then a map-side bucket assign + per-bucket window —
+    the window key is the 4-value bucket id, so at true scale the
+    batch-id assignment would move to a per-partition
+    running-count (the shard-packing pattern); the quartile pass and
+    waste accounting are scale-correct as-is."""
+    from .functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    lens = docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+    edges = lens.agg(
+        F.expr("percentile(n_tokens, 0.25)").alias("q1"),
+        F.expr("percentile(n_tokens, 0.50)").alias("q2"),
+        F.expr("percentile(n_tokens, 0.75)").alias("q3"),
+    )
+    bucketed = lens.crossJoin(F.broadcast(edges)).select(
+        "doc_id",
+        "n_tokens",
+        F.when(F.col("n_tokens") <= F.col("q1"), 0)
+        .when(F.col("n_tokens") <= F.col("q2"), 1)
+        .when(F.col("n_tokens") <= F.col("q3"), 2)
+        .otherwise(3)
+        .alias("bucket"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bucket").orderBy("n_tokens", "doc_id")
+    batched = bucketed.withColumn(
+        "batch_id",
+        ((F.row_number().over(w) - 1) / 16).cast("long"),
+    )
+    return batched.groupBy("bucket", "batch_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("n_tokens").alias("max_len"),
+        (F.count(F.lit(1)) * F.max("n_tokens") - F.sum("n_tokens"))
+        .cast("long")
+        .alias("padding_waste"),
+    )
+
+
+@query(
     "ext_hard_negative_mining",
     oracle="""
     WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
