@@ -17,7 +17,7 @@ from .functions import text as T
 from .operators.frequency import heavy_hitters
 from .operators.neardup import _spread
 from .operators.pagerank import pagerank_int
-from .registry import _t, query
+from .registry import ORACLES, _t, query
 
 
 @query(
@@ -610,3 +610,61 @@ def stream_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select("event_id")
     doubled = ev.unionAll(ev)
     return run_stream_dedup_bounded(spark, doubled, ["event_id"])
+
+
+@query(
+    "ext_ann_recall",
+    # Both ANN paths are deterministic, so even the QUALITY METRIC is
+    # oracle-checkable: the oracle nests the exact-top-k and IVF
+    # oracle chains (registered above) as CTEs and recomputes
+    # recall@5 from scratch.
+    oracle=f"""
+    WITH exact_topk AS ({ORACLES["ext_similarity_topk"]}),
+    approx_topk AS ({ORACLES["ext_similarity_ivf"]})
+    SELECT e.query_id,
+      CAST(COUNT(*) AS BIGINT) AS n_exact,
+      CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_overlap,
+      CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*) AS recall_at_5
+    FROM exact_topk e
+    LEFT JOIN approx_topk a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def ext_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN self-evaluation: per-query recall@5 of the IVF path against
+    the exact brute-force top-5 — the continuous-monitoring query an
+    ANN deployment runs on a sampled query set to catch recall
+    regressions as the corpus drifts. Joins the two deterministic
+    pipelines and counts overlap; the division is correctly rounded in
+    both engines so even the metric matches bit-for-bit."""
+    from .operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(emb, queries_df, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    approx = similarity.cosine_topk_ivf(
+        emb, queries_df, k=5, n_centroids=16, nprobe=4
+    ).select("query_id", F.col("neighbor_id").alias("_approx_id"))
+    joined = exact.join(
+        approx,
+        (exact["query_id"] == approx["query_id"])
+        & (exact["neighbor_id"] == approx["_approx_id"]),
+        "left",
+    ).select(exact["query_id"], "neighbor_id", "_approx_id")
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(
+            F.when(F.col("_approx_id").isNotNull(), 1).otherwise(0)
+        ).alias("n_overlap"),
+        (
+            F.sum(
+                F.when(F.col("_approx_id").isNotNull(), 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("recall_at_5"),
+    )
