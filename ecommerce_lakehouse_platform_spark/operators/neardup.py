@@ -214,19 +214,25 @@ def minhash_signatures(
 
 
 def _minhash_band_buckets(
-    sets_df: DataFrame, num_perm: int, bands: int
+    sets_df: DataFrame, num_perm: int, bands: int, carry: list[str] | None = None
 ) -> DataFrame:
-    """(doc_id, band, bucket) rows from a (doc_id, sset) frame:
-    per-permutation min over seeded xxhash64 of the shingles, bands
-    hashed into one bucket key each. Entirely map-side."""
+    """(doc_id, [carry...], band, bucket) rows from a (doc_id, sset)
+    frame: per-permutation min over seeded xxhash64 of the shingles,
+    bands hashed into one bucket key each. Entirely map-side.
+    ``carry`` columns pass through untouched (e.g. a batch-membership
+    flag, so one signature pass can serve both sides of an
+    incremental join)."""
     rows = num_perm // bands
+    carry = carry or []
 
     def perm_min(i: int):
         return F.array_min(
             F.transform(F.col("sset"), lambda s: F.xxhash64(F.lit(i), s))
         ).alias(f"mh_{i}")
 
-    sigs = sets_df.select("doc_id", *[perm_min(i) for i in range(num_perm)])
+    sigs = sets_df.select(
+        "doc_id", *carry, *[perm_min(i) for i in range(num_perm)]
+    )
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -237,8 +243,13 @@ def _minhash_band_buckets(
         for b in range(bands)
     ]
     return sigs.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        "doc_id", *carry, F.explode(F.array(*band_cols)).alias("bb")
+    ).select(
+        "doc_id",
+        *carry,
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
 
 
 def _shingle_sets(
@@ -338,13 +349,23 @@ def minhash_lsh_pairs_incremental(
     restricted to pairs with at least one batch member (ids
     normalized doc_a < doc_b).
     """
-    corpus_sets = _shingle_sets(corpus, id_col, text_col, n)
-    batch_sets = _shingle_sets(batch, id_col, text_col, n)
+    corpus_sets = _shingle_sets(corpus, id_col, text_col, n).withColumn(
+        "_is_batch", F.lit(False)
+    )
+    batch_sets = _shingle_sets(batch, id_col, text_col, n).withColumn(
+        "_is_batch", F.lit(True)
+    )
     all_sets = corpus_sets.unionByName(batch_sets)
-    index_buckets = _minhash_band_buckets(all_sets, num_perm, bands)
-    batch_buckets = _minhash_band_buckets(batch_sets, num_perm, bands)
-    qb = batch_buckets.select(F.col("doc_id").alias("doc_q"), "band", "bucket")
-    ib = index_buckets.select(F.col("doc_id").alias("doc_i"), "band", "bucket")
+    # ONE signature pass serves both join sides: the batch-membership
+    # flag rides along, and the bucket frame is cached so the query
+    # side is a filter over it rather than a second 64-hash pass
+    buckets = _minhash_band_buckets(
+        all_sets, num_perm, bands, carry=["_is_batch"]
+    ).cache()
+    qb = buckets.filter(F.col("_is_batch")).select(
+        F.col("doc_id").alias("doc_q"), "band", "bucket"
+    )
+    ib = buckets.select(F.col("doc_id").alias("doc_i"), "band", "bucket")
     candidates = (
         qb.join(ib, ["band", "bucket"])
         .filter(F.col("doc_q") != F.col("doc_i"))
