@@ -40,6 +40,7 @@ def pagerank_int(
     node_col: str = "node",
     src_col: str = "src",
     dst_col: str = "dst",
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """PageRank in integer micro-units. Returns (node, rank_micros).
 
@@ -48,6 +49,12 @@ def pagerank_int(
     The edge×outdegree join is checkpointed once and reused by every
     iteration, so the per-iteration work is join + partial/final sum
     on the destination key.
+
+    ``broadcast_ranks=True`` hints each iteration's rank table into a
+    broadcast join — each iteration becomes a map-side pass over the
+    cached edges plus one sum shuffle. Correct ONLY when the vertex
+    set is dimension-bounded (products, hosts); at web scale the rank
+    table is the big side and must stay a shuffle join.
     """
     base = (100 - damping_pct) * scale // 100
     outdeg = edges.groupBy(src_col).agg(F.count(F.lit(1)).alias("_deg"))
@@ -64,8 +71,9 @@ def pagerank_int(
         "node", F.lit(scale).cast("long").alias("rank_micros")
     )
     for _ in range(iterations):
+        rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
         contrib = (
-            ed.join(ranks, ed[src_col] == ranks["node"])
+            ed.join(rank_side, ed[src_col] == rank_side["node"])
             .select(
                 F.col(dst_col).alias("node"),
                 F.expr("rank_micros DIV _deg").alias("_c"),

@@ -144,7 +144,8 @@ def ext_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
         .distinct()
     )
-    ranks = pagerank_int(nodes, edges, iterations=3)
+    # parts are a bounded dimension → broadcast the rank table
+    ranks = pagerank_int(nodes, edges, iterations=3, broadcast_ranks=True)
     return ranks.select(F.col("node").alias("part_key"), "rank_micros")
 
 
