@@ -106,6 +106,65 @@ def ngram_jaccard_pairs(
     return jac.select("doc_a", "doc_b", "n_shared", "n_a", "n_b", "jaccard")
 
 
+def shingle_containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric shingle containment C(A→B) = |A∩B| / |A| for
+    sub-document duplicate detection (doc_a < doc_b; kept when either
+    direction ≥ threshold).
+
+    Symmetric Jaccard misses inclusion: a 50-shingle doc quoted whole
+    inside a 5000-shingle doc scores jaccard ≈ 0.01 but containment
+    1.0 from the small side — the wrapped-repost / boilerplate-quote
+    case a web-corpus dedup pass has to catch. Candidate generation is
+    the same never-cartesian shingle self-equi-join as
+    ``ngram_jaccard_pairs`` (shared plan, shared ``max_df`` stop-
+    shingle guard and cache discipline — see that docstring); only the
+    scoring differs: both per-direction ratios are emitted and the
+    filter keeps ``greatest`` of the two.
+    """
+    ds = _doc_shingles(docs, id_col, text_col, n)
+    if max_df is not None:
+        dfreq = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        ds = ds.join(
+            dfreq.filter(F.col("_df") <= max_df).select("shingle"), ["shingle"]
+        )
+    ds = ds.cache()
+    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = ds.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = ds.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared = (
+        a.join(b, ["shingle"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        shared.join(sa, ["doc_a"])
+        .join(sb, ["doc_b"])
+        .withColumn(
+            "containment_a", F.col("n_shared").cast("double") / F.col("n_a")
+        )
+        .withColumn(
+            "containment_b", F.col("n_shared").cast("double") / F.col("n_b")
+        )
+        .filter(
+            F.greatest(F.col("containment_a"), F.col("containment_b")) >= threshold
+        )
+        .select(
+            "doc_a", "doc_b", "n_shared", "n_a", "n_b",
+            "containment_a", "containment_b",
+        )
+    )
+
+
 def prefix_filter_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

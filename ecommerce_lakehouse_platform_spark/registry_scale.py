@@ -669,3 +669,266 @@ def ext_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("recall_at_5"),
     )
+
+
+@query(
+    "ext_lm_perplexity",
+    # Same bigram stream both engines (tokens are single-space
+    # separated in the fixture; Spark splits on \s+, DuckDB on ' ' —
+    # the established pairing used by ext_bpe_pair_counts /
+    # ext_dedup_incremental). Per-occurrence NLL is floored into
+    # integer micro-nats BEFORE the per-doc sum, so the aggregation is
+    # order-independent and bit-exact across engines; ln itself is the
+    # usual ≤1-ULP libm caveat, harmless behind a 1e6 floor.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    db AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                    i -> t[i] || ' ' || t[i+1])) AS bigram
+      FROM toks WHERE len(t) >= 2
+    ),
+    bg AS (SELECT bigram, COUNT(*) AS c_bg FROM db GROUP BY 1),
+    pv AS (
+      SELECT string_split(bigram, ' ')[1] AS prev, SUM(c_bg) AS c_prev
+      FROM bg GROUP BY 1
+    ),
+    vocab AS (
+      SELECT COUNT(DISTINCT tok) AS v
+      FROM (SELECT unnest(t) AS tok FROM toks)
+    ),
+    model AS (
+      SELECT bigram,
+             CAST(floor(-ln((c_bg + 1.0) / (c_prev + v)) * 1000000)
+                  AS BIGINT) AS nll_micros
+      FROM bg
+      JOIN pv ON string_split(bg.bigram, ' ')[1] = pv.prev
+      CROSS JOIN vocab
+    )
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(m.nll_micros) AS BIGINT) AS nll_micros_total,
+           CAST(SUM(m.nll_micros) // COUNT(*) AS BIGINT) AS avg_nll_micros
+    FROM db d JOIN model m USING (bigram)
+    GROUP BY d.doc_id
+    """,
+)
+def ext_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring: train an add-one-smoothed
+    bigram language model on the corpus itself, then score every
+    document by average negative log-likelihood (micro-nats per
+    bigram) — the standard perplexity-bucketing signal for web-corpus
+    quality filtering. p(cur|prev) = (c(prev,cur)+1) / (c(prev)+|V|).
+
+    Scale shape: the heavy stream (per-occurrence bigrams) is
+    map-side from the spread corpus; the model is O(bigram types) and
+    joins the stream on the high-cardinality bigram key, then one
+    doc-key aggregation. At 100 TB the model table would be pruned to
+    top-K bigrams (hashing-trick LM) behind the same plan; the exact
+    model keeps the oracle bit-checkable. NLL is floored to integer
+    micro-nats per occurrence before summing, so per-doc totals are
+    order-independent (same fixed-point discipline as
+    ext_pagerank_copurchase)."""
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select("doc_id", T.tokens(F.col("text")).alias("t"))
+    db = docs.select(
+        "doc_id", F.explode(T.shingles(F.col("text"), 2)).alias("bigram")
+    )
+    bg = db.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_bg"))
+    pv = (
+        bg.groupBy(F.split("bigram", " ")[0].alias("prev"))
+        .agg(F.sum("c_bg").alias("c_prev"))
+    )
+    vocab = toks.select(F.explode("t").alias("tok")).agg(
+        F.countDistinct("tok").alias("v")
+    )
+    model = (
+        bg.withColumn("prev", F.split("bigram", " ")[0])
+        .join(pv, ["prev"])
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bigram",
+            F.floor(
+                -F.log(
+                    (F.col("c_bg") + F.lit(1.0))
+                    / (F.col("c_prev") + F.col("v"))
+                )
+                * F.lit(1000000.0)
+            ).alias("nll_micros"),
+        )
+    )
+    return (
+        db.join(model, ["bigram"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("nll_micros").alias("nll_micros_total"),
+            F.expr("CAST(sum(nll_micros) DIV count(1) AS BIGINT)").alias(
+                "avg_nll_micros"
+            ),
+        )
+    )
+
+
+@query(
+    "ext_triangle_count",
+    # Row-value comparisons mirror the (degree, id) orientation /
+    # wedge ordering; every intermediate is a pure function of the
+    # edge set, so the per-node counts match exactly.
+    oracle="""
+    WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    und AS (
+      SELECT DISTINCT a.pk AS u, b.pk AS v
+      FROM li a JOIN li b USING (ok) WHERE a.pk < b.pk
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+      ) GROUP BY 1
+    ),
+    o AS (
+      SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS src,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN dv.d ELSE du.d END AS dd
+      FROM und e
+      JOIN deg du ON e.u = du.node
+      JOIN deg dv ON e.v = dv.node
+    ),
+    w AS (
+      SELECT o1.src AS a, o1.dst AS lo, o2.dst AS hi
+      FROM o o1 JOIN o o2 ON o1.src = o2.src
+      WHERE (o1.dd, o1.dst) < (o2.dd, o2.dst)
+    ),
+    tri AS (
+      SELECT a, lo, hi FROM w
+      JOIN (SELECT src, dst FROM o) c ON w.lo = c.src AND w.hi = c.dst
+    )
+    SELECT node AS part_key, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT lo FROM tri
+      UNION ALL SELECT hi FROM tri
+    )
+    GROUP BY 1
+    ORDER BY n_triangles DESC, part_key
+    LIMIT 30
+    """,
+)
+def ext_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 parts by triangle participation in the co-purchase
+    graph (operators/graph.py): triangles are triples of products
+    pairwise bought together — the densest-community signal a
+    recommender mines from the same edge list PageRank ranks.
+    Degree-based edge orientation bounds wedge generation at
+    O(E^{3/2}) no matter how skewed the popular-product degrees are;
+    the deterministic (degree, id) tiebreak makes the whole pipeline —
+    and the oracle's CTE replay — exact."""
+    from .operators.graph import triangle_counts
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = a.join(b, ["ok"]).filter(F.col("u") < F.col("v")).select("u", "v")
+    return (
+        triangle_counts(edges)
+        .select(F.col("node").alias("part_key"), "n_triangles")
+        .orderBy(F.col("n_triangles").desc(), "part_key")
+        .limit(30)
+    )
+
+
+@query(
+    "ext_weighted_sample",
+    # Efraimidis–Spirakis order statistic: rank by u^(1/w) ⇔ rank by
+    # ln(u)/w (w > 0, monotone transform). u is the salted-md5
+    # uniform (h % 1e6 + 0.5) / 1e6 — strictly inside (0,1), so ln is
+    # finite. The key is floored into integer nano-units so the
+    # ORDER BY compares bigints, not engine-formatted doubles.
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+        CAST(floor(
+          ln((CAST(('0x' || substring(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              % 1000000 + 0.5) / 1000000.0)
+          / GREATEST(n_chars, 1) * 1000000000
+        ) AS BIGINT) AS key_nanos
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars, key_nanos
+    FROM keyed
+    ORDER BY key_nanos DESC, doc_id
+    LIMIT 100
+    """,
+)
+def ext_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-ES): keep the 100 documents with the largest u^(1/w) order
+    key, weighting by document length — the importance-sampling
+    primitive behind quality-weighted corpus subsetting ("sample 10B
+    tokens preferring high-quality docs"). One map-side key
+    computation + TakeOrderedAndProject top-k: no shuffle of the
+    corpus, no driver-side state, and the salted-hash uniform makes
+    the draw reproducible under corpus growth (a doc's key never
+    changes, so adding data only ever displaces the boundary)."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("wsample:"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h % 1000000 + F.lit(0.5)) / F.lit(1000000.0)
+    key = F.floor(
+        F.log(u) / F.greatest(F.col("n_chars"), F.lit(1)) * F.lit(1000000000.0)
+    ).cast("long")
+    return (
+        docs.select("doc_id", "lang", "n_chars", key.alias("key_nanos"))
+        .orderBy(F.col("key_nanos").desc(), "doc_id")
+        .limit(100)
+    )
+
+
+@query(
+    "ext_dedup_containment",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+        unnest(list_transform(range(1, len(t)-1),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+      FROM toks WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_shared AS BIGINT) AS n_shared,
+           CAST(sa.n AS BIGINT) AS n_a,
+           CAST(sb.n AS BIGINT) AS n_b,
+           CAST(n_shared AS DOUBLE) / sa.n AS containment_a,
+           CAST(n_shared AS DOUBLE) / sb.n AS containment_b
+    FROM shared
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE GREATEST(CAST(n_shared AS DOUBLE) / sa.n,
+                   CAST(n_shared AS DOUBLE) / sb.n) >= 0.6
+    """,
+)
+def ext_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (operators/neardup.py:
+    shingle_containment_pairs): pairs where either doc's shingle set
+    is ≥60% contained in the other — catches sub-document duplication
+    (whole-doc quotes, boilerplate-wrapped reposts) that symmetric
+    Jaccard scores near zero. Integer counts divide to bit-exact
+    doubles in both engines, so the pair list hashes identically."""
+    from .operators.neardup import shingle_containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return shingle_containment_pairs(docs, n=3, threshold=0.6)
