@@ -10,7 +10,7 @@ tiebreaks on every LIMIT, and a DuckDB oracle per query.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions import text as T
@@ -948,3 +948,189 @@ def ext_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return shingle_containment_pairs(docs, n=3, threshold=0.6)
+
+
+@query(
+    "ext_bm25_topk",
+    # Per-term BM25 contributions are floored into integer micro-units
+    # BEFORE the per-(query, doc) sum, so the score — and the top-5
+    # ordering it drives — is order-independent and engine-exact
+    # (ln / division carry the usual ≤1-ULP caveat, harmless behind
+    # the 1e6 floor; same discipline as ext_lm_perplexity).
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok AS term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+      GROUP BY 1, 2
+    ),
+    dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+    stats AS (
+      SELECT (SELECT COUNT(*) FROM documents) AS n,
+             (SELECT AVG(len(t)) FROM toks) AS avgdl
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    qterms AS (
+      SELECT DISTINCT doc_id AS query_id, term FROM (
+        SELECT doc_id, unnest(t[1:8]) AS term FROM toks WHERE doc_id < 5
+      )
+    ),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+        CAST(floor(
+          ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+          * (tf.tf * 2.2)
+          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+          * 1000000
+        ) AS BIGINT) AS term_score_micros
+      FROM qterms q
+      JOIN tf ON q.term = tf.term
+      JOIN df ON q.term = df.term
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats s
+    ),
+    totals AS (
+      SELECT query_id, doc_id,
+             CAST(SUM(term_score_micros) AS BIGINT) AS score_micros
+      FROM scored GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, score_micros,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score_micros DESC, doc_id) AS rn
+      FROM totals
+    )
+    SELECT query_id, doc_id, score_micros, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def ext_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-5 retrieval (k1=1.2, b=0.75): the 5 lowest-id
+    documents play queries (their first 8 distinct tokens), scored
+    against the whole corpus through the classic inverted-index
+    statistics — term frequency, document frequency, length
+    normalization. This is the retrieval primitive a training-data
+    pipeline runs for decontamination-by-retrieval and hard-negative
+    mining at corpus scale.
+
+    Scale shape: tf/df/doclen are one aggregation pass each over the
+    exploded token stream; the query side is a tiny broadcast (5
+    queries × ≤8 terms), so scoring touches only postings of query
+    terms — never the full corpus cross — and the final top-k is a
+    per-query window over candidates. At 100 TB the same plan holds
+    with the tf table bucketed by term."""
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select("doc_id", T.tokens(F.col("text")).alias("t"))
+    exploded = toks.select("doc_id", F.explode("t").alias("term"))
+    tf = exploded.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.select("doc_id", F.size("t").alias("dl"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n"), F.avg(F.size("t")).alias("avgdl")
+    )
+    qterms = (
+        toks.filter(F.col("doc_id") < 5)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice("t", 1, 8)).alias("term"),
+        )
+        .distinct()
+    )
+    scored = (
+        F.broadcast(qterms)
+        .join(tf, ["term"])
+        .join(F.broadcast(df), ["term"])
+        .join(dl, ["doc_id"])
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            F.floor(
+                F.log(
+                    (F.col("n") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                    + F.lit(1.0)
+                )
+                * (F.col("tf") * F.lit(2.2))
+                / (
+                    F.col("tf")
+                    + F.lit(1.2)
+                    * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl"))
+                )
+                * F.lit(1000000.0)
+            ).alias("term_score_micros"),
+        )
+    )
+    totals = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("term_score_micros").alias("score_micros")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micros").desc(), "doc_id"
+    )
+    return (
+        totals.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "doc_id", "score_micros", "rn")
+    )
+
+
+@query(
+    "ext_cohort_retention",
+    # ISO week truncation (Monday) agrees between Spark date_trunc and
+    # DuckDB date_trunc; offsets are integer floor-divided day gaps.
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(date_trunc('week', MIN(CAST(ts AS DATE))) AS DATE) AS cohort_week
+      FROM events GROUP BY 1
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+        CAST((CAST(e.ts AS DATE) - f.cohort_week) // 7 AS BIGINT) AS week_offset
+      FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT cohort_week, week_offset,
+           CAST(COUNT(*) AS BIGINT) AS active_users
+    FROM activity
+    WHERE week_offset <= 8
+    GROUP BY 1, 2
+    """,
+)
+def ext_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over the clickstream: users are
+    cohorted by the ISO week of their first event; each later active
+    week increments the (cohort, offset) cell — the standard retention
+    triangle behind every growth dashboard, extending the reference's
+    BI family (SURVEY §2.6) with a two-level self-referencing
+    aggregate. Plan: one min-aggregation on user, one join back on the
+    same key (co-partitioned — the first shuffle's partitioning is
+    reused), one distinct + count. Offsets are capped at 8 weeks to
+    bound the output, not the work."""
+    from .plans.silver import silver_events
+
+    ev = silver_events(_t(spark, sf_dir, "events"))
+    ed = ev.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_ts").cast("date").alias("event_date"),
+    )
+    firsts = ed.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("event_date")).cast("date").alias("cohort_week")
+    )
+    activity = (
+        ed.join(firsts, ["user_id"])
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(F.col("event_date"), F.col("cohort_week")) / 7
+            ).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("week_offset") <= 8)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
