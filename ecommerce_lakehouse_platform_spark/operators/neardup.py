@@ -124,9 +124,16 @@ def shingle_containment_pairs(
     case a web-corpus dedup pass has to catch. Candidate generation is
     the same never-cartesian shingle self-equi-join as
     ``ngram_jaccard_pairs`` (shared plan, shared ``max_df`` stop-
-    shingle guard and cache discipline — see that docstring); only the
-    scoring differs: both per-direction ratios are emitted and the
-    filter keeps ``greatest`` of the two.
+    shingle guard); only the scoring differs: both per-direction
+    ratios are emitted and the filter keeps ``greatest`` of the two.
+
+    Cache discipline (same contract as ``ngram_jaccard_pairs``): this
+    pins ONE ``cache()`` entry for the shingle set per call so the
+    self-join and the size aggregation share a single scan. Loopy
+    callers (benchmarks, services) must release it after materializing
+    the result — ``spark.catalog.clearCache()`` or hold a reference to
+    the input and ``unpersist()`` — or pinned InMemoryRelations
+    accumulate across calls.
     """
     ds = _doc_shingles(docs, id_col, text_col, n)
     if max_df is not None:

@@ -730,7 +730,12 @@ def ext_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     model keeps the oracle bit-checkable. NLL is floored to integer
     micro-nats per occurrence before summing, so per-doc totals are
     order-independent (same fixed-point discipline as
-    ext_pagerank_copurchase)."""
+    ext_pagerank_copurchase). Caveat: flooring an ``ln()``-derived
+    value is only parity-safe while no corpus value lands within 1 ULP
+    of a floor boundary — true on the fixed fixtures, not a guaranteed
+    invariant across libm builds. Porting to a new platform: coarsen
+    the quantum (1e4) or reformulate integer-only (counts-ratio style,
+    as ext_pagerank_copurchase does)."""
     docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     toks = docs.select("doc_id", T.tokens(F.col("text")).alias("t"))
     db = docs.select(
@@ -1007,8 +1012,9 @@ def ext_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ext_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-5 retrieval (k1=1.2, b=0.75): the 5 lowest-id
-    documents play queries (their first 8 distinct tokens), scored
+    """BM25 top-5 retrieval (k1=1.2, b=0.75): documents with
+    ``doc_id < 5`` play queries (the distinct tokens among each one's
+    first 8 positions), scored
     against the whole corpus through the classic inverted-index
     statistics — term frequency, document frequency, length
     normalization. This is the retrieval primitive a training-data
