@@ -768,6 +768,7 @@ from . import registry_ext  # noqa: E402,F401  (import-for-side-effect)
 from . import registry_relational  # noqa: E402,F401  (import-for-side-effect)
 from . import registry_curation  # noqa: E402,F401  (import-for-side-effect)
 from . import registry_scale  # noqa: E402,F401  (import-for-side-effect)
+from . import registry_round4  # noqa: E402,F401  (import-for-side-effect)
 
 
 # ---------------------------------------------------------------------------
@@ -775,24 +776,58 @@ from . import registry_scale  # noqa: E402,F401  (import-for-side-effect)
 # ---------------------------------------------------------------------------
 # The external correctness harness samples a *prefix* of ``queries()``
 # insertion order, so the front of the dict is the most-scrutinized
-# real estate.  Round 2's harness run recorded green rows for 49
-# queries (CORRECTNESS_r02.json); this round leads with every query
-# that has NO external differential row yet (46), so the union of the
-# two rounds' harness runs covers all 95 registered queries.  Four
-# reference staples close the window as cross-round canaries;
-# everything else keeps registration order behind the window, and the
+# real estate.  Union-of-rounds coverage so far: r1+r2 checked the
+# original 50-key prefix, r3 checked the 50 listed in
+# CORRECTNESS_r03.json.  This round leads with every query that still
+# has NO external differential row from any round (the round-3/4
+# additions), then re-checks the riskiest previously-green queries
+# (iterative / fixed-point / streaming paths most likely to drift),
+# then closes with reference staples as cross-round canaries.
+# Everything else keeps registration order behind the window, and the
 # repo-side sf0.01 oracle suite (tests/test_registry_oracle.py, same
-# gate as the harness) still covers all 95 every session.
+# gate as the harness) still covers every registered query each
+# session.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # No external differential row yet (r2's harness checked its
-    # first 50 keys; ext_sketch_profile's row was err=no_oracle).
+    # --- No external differential row in r1/r2/r3 (round-3 adds) ---
+    "ext_heavy_hitters",
+    "ext_bpe_pair_counts",
+    "ext_pagerank_copurchase",
+    "ext_dedup_incremental",
+    "ext_corpus_mixture",
+    "ext_length_bucket_batching",
+    "ext_hard_negative_mining",
+    "ext_groupwise_stats",
+    "ext_url_canonicalize",
+    "stream_dedup_index_maintenance",
+    "stream_dedup_exactly_once",
+    "ext_ann_recall",
+    "ext_lm_perplexity",
+    "ext_triangle_count",
+    "ext_weighted_sample",
+    "ext_dedup_containment",
+    "ext_bm25_topk",
+    "ext_cohort_retention",
+    # --- Round-4 additions (no external row yet) ---
+    "ext_dedup_lines",
+    "ext_rfm_segmentation",
+    "ext_market_basket",
+    "ext_dedup_sorted_neighborhood",
+    "ext_compaction_bins",
+    "ext_label_propagation",
+    # --- Riskiest previously-green re-checks (iterative, fixed-point,
+    # streaming, ANN — the paths where a regression is most plausible)
     "ext_sketch_profile",
     "ext_dedup_clusters",
     "ext_dedup_semantic_clusters",
     "ext_dedup_prefix_filter",
-    "ext_dedup_keep_best",
-    "ext_dup_span_coverage",
+    "ext_dedup_minhash_lsh",
+    "ext_dedup_ngram_jaccard",
+    "ext_dedup_simhash",
+    "ext_dedup_embedding",
     "ext_similarity_topk",
+    "ext_similarity_ivf",
+    "ext_similarity_lsh",
+    "ext_knn_label_predict",
     "stream_interval_join",
     "stream_time_window_rollup",
     "stream_session_stateful",
@@ -800,40 +835,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "ext_scd2_user_state",
     "ext_merge_upsert",
     "ext_snapshot_diff",
-    "ext_rollup_revenue",
-    "ext_cube_returns",
-    "ext_join_semi_anti",
-    "ext_setops_users",
-    "ext_window_funcs",
-    "ext_topk_per_group",
-    "ext_scalar_subquery",
-    "ext_quality_band_filter",
+    "ext_decontamination",
     "ext_pii_pseudonymize",
-    "ext_lang_temperature_sample",
-    "ext_doc_chunking",
     "ext_embedding_centroids",
-    "ext_dedup_simhash",
-    "ext_dedup_embedding",
-    "ext_similarity_ivf",
-    "ext_similarity_lsh",
-    "op_sql_named_params",
-    "ext_incremental_rollup",
-    "ext_pivot_events",
-    "ext_unpivot_lineitem",
-    "ext_histogram_totals",
-    "ext_outlier_iqr",
-    "ext_event_paths",
-    "ext_stats_correlation",
-    "ext_ordered_funnel",
-    "ext_profile_orders",
-    "ext_zorder_layout",
-    "ext_fuzzy_blocked_join",
-    "ext_moving_revenue",
-    "ext_text_subword_stats",
-    "ext_media_embed_topk",
-    "ext_knn_label_predict",
-    # Reference staples: green in r2, kept inside the window as
-    # cross-round regression canaries for the core surface.
+    # --- Reference staples: cross-round regression canaries ---
     "op_agg_sales",
     "op_dedupe_latest",
     "gold_customer_360",

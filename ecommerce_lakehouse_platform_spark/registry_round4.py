@@ -1,0 +1,550 @@
+"""Round-4 registry: corpus boilerplate removal, customer value
+segmentation, association rules, record-linkage blocking, lakehouse
+file-compaction planning, and community detection.
+
+Same determinism contract as registry.py: integer / DECIMAL-routed
+arithmetic wherever a float sum or division would be order- or
+platform-dependent (confidence/lift in floor-divided integer
+micro-units, money through DECIMAL(30,6)), explicit tiebreaks on
+every window, and a DuckDB oracle per query.
+
+Scale notes are per-query; the common thread is that nothing here
+introduces a single-task global window — the one global total order
+(RFM ntile) goes through operators/ranking.py's two-pass
+range-partitioned rank instead of ``Window.orderBy`` without keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.math import dec_sum
+from .operators.neardup import _spread
+from .operators.ranking import global_row_number, ntile_from_rank
+from .registry import _t, query
+
+# ---------------------------------------------------------------------------
+# C4-style boilerplate line removal
+# ---------------------------------------------------------------------------
+
+_SEG_W = 4  # tokens per segment ("line")
+_BOILER_DF = 3  # segment appearing in >= this many docs is boilerplate
+
+
+@query(
+    "ext_dedup_lines",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    seg AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS seg_no,
+             array_to_string(ts[(i*{_SEG_W}+1):(i*{_SEG_W}+{_SEG_W})], ' ') AS seg
+      FROM toks,
+           unnest(range(0, CAST(ceil(len(ts)/{_SEG_W}.0) AS BIGINT))) AS t(i)
+    ),
+    sdf AS (SELECT seg, COUNT(DISTINCT doc_id) AS df FROM seg GROUP BY seg)
+    SELECT s.doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_segments,
+      CAST(SUM(CASE WHEN df >= {_BOILER_DF} THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_boilerplate,
+      COALESCE(
+        string_agg(CASE WHEN df < {_BOILER_DF} THEN s.seg END,
+                   ' ' ORDER BY s.seg_no),
+        '') AS clean_text
+    FROM seg s JOIN sdf USING (seg)
+    GROUP BY s.doc_id
+    """,
+)
+def ext_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level (segment-level) boilerplate removal, the C4/CCNet
+    move: chunk every document into fixed 4-token segments, count
+    each segment's document frequency corpus-wide, and strip segments
+    appearing in >= 3 distinct documents (navboxes, footers, legal
+    boilerplate in a real web corpus). Output per doc: segment count,
+    removed count, and the cleaned text reassembled in segment order.
+
+    Scale shape: explode → one df aggregation on the segment hash →
+    one join back → one per-doc aggregation, all shuffle-partitioned
+    on segment / doc keys; reassembly is an in-group ``array_sort`` of
+    (seg_no, seg) structs, never a global sort. The df table could be
+    broadcast when a stop-segment cap bounds it; here it stays a
+    shuffle join since boilerplate df has no upper bound.
+    """
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select("doc_id", F.split("text", " ").alias("ts"))
+    segs = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("ts") / F.lit(_SEG_W)).cast("int") - 1,
+                ),
+                lambda i: F.array_join(
+                    F.slice("ts", i * F.lit(_SEG_W) + 1, F.lit(_SEG_W)), " "
+                ),
+            )
+        ).alias("seg_no", "seg"),
+    ).withColumn("seg_no", F.col("seg_no").cast("long"))
+    seg_df = segs.groupBy("seg").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    scored = segs.join(seg_df, "seg")
+    kept_struct = F.when(
+        F.col("df") < _BOILER_DF,
+        F.struct(F.col("seg_no").alias("n"), F.col("seg").alias("s")),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(
+            F.when(F.col("df") >= _BOILER_DF, 1).otherwise(0)
+        ).cast("long").alias("n_boilerplate"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["s"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation over the customer dimension
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ext_rfm_segmentation",
+    oracle="""
+    WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS maxd FROM orders),
+    c AS (
+      SELECT o_custkey AS custkey,
+        CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                       (SELECT maxd FROM mx)) AS BIGINT) AS recency_days,
+        CAST(COUNT(*) AS BIGINT) AS frequency,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS monetary
+      FROM orders GROUP BY 1
+    ),
+    t AS (
+      SELECT *,
+        ntile(4) OVER (ORDER BY recency_days, custkey) AS r_tile,
+        ntile(4) OVER (ORDER BY frequency DESC, custkey) AS f_tile,
+        ntile(4) OVER (ORDER BY monetary DESC, custkey) AS m_tile
+      FROM c
+    )
+    SELECT custkey, recency_days, frequency, monetary,
+      CAST(r_tile AS INTEGER) AS r_tile,
+      CAST(f_tile AS INTEGER) AS f_tile,
+      CAST(m_tile AS INTEGER) AS m_tile,
+      CAST(r_tile * 100 + f_tile * 10 + m_tile AS BIGINT) AS rfm_code,
+      CASE
+        WHEN r_tile <= 2 AND f_tile <= 2 AND m_tile <= 2 THEN 'core'
+        WHEN r_tile >= 3 AND f_tile <= 2 THEN 'at_risk'
+        WHEN r_tile <= 2 AND f_tile >= 3 THEN 'promising'
+        ELSE 'hibernating'
+      END AS segment
+    FROM t
+    """,
+)
+def ext_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quartile segmentation —
+    the staple e-commerce customer-value model. Each customer gets an
+    NTILE(4) bucket per dimension (1 = best: most recent, most
+    frequent, highest spend) and a coarse lifecycle label.
+
+    Scale shape: the fact-side work is one groupBy on the customer
+    key; tiling then runs over the *aggregated dimension* (one row
+    per customer). Even there no single-task global window is used:
+    each NTILE goes through operators/ranking.py —
+    ``repartitionByRange`` + per-partition row_number + broadcast
+    prefix offsets — and ``ntile_from_rank`` reproduces SQL NTILE
+    bucket-size semantics exactly (first n%4 buckets take the extra
+    row), so the output is bit-identical to the oracle's native
+    ntile while every stage stays parallel. Monetary sums route
+    through DECIMAL(30,6) for order independence; ties in every
+    ORDER BY are broken by custkey.
+    """
+    o = _t(spark, sf_dir, "orders")
+    agg = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.to_date("o_orderdate")).alias("last_date"),
+        F.count(F.lit(1)).alias("frequency"),
+        dec_sum(F.col("o_totalprice")).alias("monetary"),
+    )
+    mx = o.agg(F.max(F.to_date("o_orderdate")).alias("maxd"))
+    n = agg.agg(F.count(F.lit(1)).alias("n"))
+    c = (
+        agg.crossJoin(F.broadcast(mx))
+        .select(
+            "custkey",
+            F.datediff("maxd", "last_date").cast("long").alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary",
+        )
+        .crossJoin(F.broadcast(n))
+    )
+    tiled = c
+    for tile_col, order_cols in (
+        ("r_tile", [F.col("recency_days"), F.col("custkey")]),
+        ("f_tile", [(-F.col("frequency")).alias("_neg"), F.col("custkey")]),
+        ("m_tile", [(-F.col("monetary")).alias("_neg"), F.col("custkey")]),
+    ):
+        tiled = global_row_number(
+            tiled, order_cols, rank_col="_rank"
+        ).withColumn(
+            tile_col, ntile_from_rank(F.col("_rank"), F.col("n"), 4)
+        ).drop("_rank")
+    r, f, m = F.col("r_tile"), F.col("f_tile"), F.col("m_tile")
+    return tiled.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r_tile",
+        "f_tile",
+        "m_tile",
+        (r * 100 + f * 10 + m).cast("long").alias("rfm_code"),
+        F.when((r <= 2) & (f <= 2) & (m <= 2), "core")
+        .when((r >= 3) & (f <= 2), "at_risk")
+        .when((r <= 2) & (f >= 3), "promising")
+        .otherwise("hibernating")
+        .alias("segment"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ext_market_basket",
+    oracle="""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    item AS (SELECT pk, COUNT(*) AS cnt FROM li GROUP BY pk),
+    tot AS (SELECT COUNT(DISTINCT ok) AS total FROM li),
+    pairs AS (
+      SELECT a.pk AS part_a, b.pk AS part_b, COUNT(*) AS pair_count
+      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b,
+      CAST(pair_count AS BIGINT) AS pair_count,
+      CAST(ia.cnt AS BIGINT) AS count_a,
+      CAST(ib.cnt AS BIGINT) AS count_b,
+      CAST(pair_count * 1000000 // ia.cnt AS BIGINT) AS conf_a_b_micros,
+      CAST(pair_count * 1000000 // ib.cnt AS BIGINT) AS conf_b_a_micros,
+      CAST((pair_count * total * 1000000) // (ia.cnt * ib.cnt) AS BIGINT)
+        AS lift_micros
+    FROM pairs
+    JOIN item ia ON part_a = ia.pk
+    JOIN item ib ON part_b = ib.pk
+    CROSS JOIN tot
+    WHERE pair_count >= 2
+    """,
+)
+def ext_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets: for every part pair
+    co-purchased in >= 2 orders, emit support (pair count), per-item
+    counts, confidence both directions, and lift — all in floor-
+    divided integer micro-units so the scores are exact BIGINT math
+    in both engines (a float division would be bit-fragile).
+
+    Scale shape: the basket self-join is an equi-join on the order
+    key, so candidate pairs are generated per order — cost is
+    Σ basket² per order, bounded by basket size, never a global
+    cartesian. Pair counts shuffle on the (a, b) key; the item-count
+    and grand-total sides are dimension-bounded and broadcast. Skew:
+    a pathological mega-basket quadratically inflates its own order
+    key — real pipelines cap basket size first; baskets here are
+    bounded by data construction.
+    """
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    item = li.groupBy("pk").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = li.agg(F.countDistinct("ok").alias("total"))
+    a = li.select("ok", F.col("pk").alias("part_a"))
+    b = li.select("ok", F.col("pk").alias("part_b"))
+    pairs = (
+        a.join(b, ["ok"])
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= 2)
+    )
+    ia = F.broadcast(item.select(F.col("pk"), F.col("cnt").alias("count_a")))
+    ib = F.broadcast(item.select(F.col("pk"), F.col("cnt").alias("count_b")))
+    return (
+        pairs.join(ia, pairs["part_a"] == ia["pk"])
+        .drop("pk")
+        .join(ib, pairs["part_b"] == ib["pk"])
+        .drop("pk")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "pair_count",
+            "count_a",
+            "count_b",
+            F.expr("pair_count * 1000000L DIV count_a").alias(
+                "conf_a_b_micros"
+            ),
+            F.expr("pair_count * 1000000L DIV count_b").alias(
+                "conf_b_a_micros"
+            ),
+            F.expr(
+                "(pair_count * total * 1000000L) DIV (count_a * count_b)"
+            ).alias("lift_micros"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood record-linkage blocking
+# ---------------------------------------------------------------------------
+
+_SNM_WINDOW = 3
+_SNM_MAX_DIST = 6
+
+
+@query(
+    "ext_dedup_sorted_neighborhood",
+    oracle=f"""
+    WITH p AS (
+      SELECT p_partkey, p_name,
+             lower(regexp_replace(p_name, '[^a-z0-9]', '', 'g')) AS k
+      FROM part
+    ),
+    r AS (
+      SELECT *, substr(k, 1, 4) AS block,
+        ROW_NUMBER() OVER (PARTITION BY substr(k, 1, 4)
+                           ORDER BY k, p_partkey) AS rn
+      FROM p
+    )
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+      a.p_name AS name_a, b.p_name AS name_b,
+      CAST(b.rn - a.rn AS BIGINT) AS neighbor_gap,
+      CAST(levenshtein(a.k, b.k) AS BIGINT) AS edit_distance
+    FROM r a JOIN r b
+      ON a.block = b.block AND b.rn BETWEEN a.rn + 1 AND a.rn + {_SNM_WINDOW}
+    WHERE levenshtein(a.k, b.k) <= {_SNM_MAX_DIST}
+    """,
+)
+def ext_dedup_sorted_neighborhood(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Blocked sorted-neighborhood record linkage (the classic SNM
+    alternative to LSH for entity resolution): normalize the name,
+    sort within a blocking key (normalized-name prefix), and compare
+    each record only to its 3 downstream neighbors, keeping pairs
+    within Levenshtein distance 6 of the normalized keys.
+
+    Scale shape: the sort and row_number are partitioned BY BLOCK —
+    never a global single-task window — and the neighbor pairing is a
+    pure equi-join on (block, rn) generated by exploding the window's
+    neighbor offsets, so Catalyst plans a hash/sort-merge join with
+    no range predicate. Comparisons are O(n·w) instead of O(n²).
+    Tradeoff stated up front: near-duplicates whose normalized keys
+    diverge in the first 4 chars land in different blocks and are
+    missed — standard SNM practice is a second pass with a different
+    key (e.g. reversed), which composes as a UNION of this operator.
+    """
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.lower(F.regexp_replace("p_name", "[^a-z0-9]", "")).alias("k"),
+    )
+    r = p.withColumn("block", F.substring("k", 1, 4)).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("block").orderBy("k", "p_partkey")
+        ),
+    )
+    left = r.select(
+        F.col("block"),
+        F.col("p_partkey").alias("part_a"),
+        F.col("p_name").alias("name_a"),
+        F.col("k").alias("k_a"),
+        F.col("rn").alias("rn_a"),
+        F.explode(
+            F.sequence(F.col("rn") + 1, F.col("rn") + _SNM_WINDOW)
+        ).alias("rn"),
+    )
+    right = r.select(
+        "block",
+        "rn",
+        F.col("p_partkey").alias("part_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("k").alias("k_b"),
+    )
+    # inner join on (block, rn): offsets past a block's last rank
+    # simply find no partner, which is the window truncation SNM wants
+    joined = left.join(right, ["block", "rn"])
+    return (
+        joined.withColumn(
+            "edit_distance", F.levenshtein("k_a", "k_b").cast("long")
+        )
+        .filter(F.col("edit_distance") <= _SNM_MAX_DIST)
+        .select(
+            "part_a",
+            "part_b",
+            "name_a",
+            "name_b",
+            (F.col("rn") - F.col("rn_a")).cast("long").alias("neighbor_gap"),
+            "edit_distance",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Compaction bin-packing (lakehouse small-file maintenance)
+# ---------------------------------------------------------------------------
+
+_BIN_TARGET = 4096
+
+
+@query(
+    "ext_compaction_bins",
+    oracle=f"""
+    WITH files AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS part_date, event_type,
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(length(props)) + 24 * COUNT(*) AS BIGINT) AS est_bytes
+      FROM events GROUP BY 1, 2
+    )
+    SELECT part_date, event_type, n_rows, est_bytes,
+      CAST(COALESCE(SUM(est_bytes) OVER (
+        PARTITION BY part_date
+        ORDER BY est_bytes DESC, event_type
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        // {_BIN_TARGET} AS BIGINT) AS compaction_bin
+    FROM files
+    """,
+)
+def ext_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning — the maintenance pass behind
+    Delta/Iceberg OPTIMIZE: model each (day, event_type) slice of the
+    event log as a file with an estimated byte size, then assign
+    files to target-sized rewrite bins per partition via next-fit-
+    decreasing packing (descending size order, running-sum // target).
+
+    Scale shape: one aggregation builds the file manifest (manifest
+    cardinality = files, not rows), then a window PARTITIONED BY the
+    table partition assigns bins — parallel across partitions, and
+    the per-partition frame is manifest-sized (a few files), never
+    data-sized. Deterministic: integer byte estimates, descending
+    size with a name tiebreak, floor division bin ids.
+    """
+    ev = _t(spark, sf_dir, "events")
+    files = ev.groupBy(
+        F.to_date("ts").alias("part_date"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum(F.length("props")) + 24 * F.count(F.lit(1)))
+        .cast("long")
+        .alias("est_bytes"),
+    )
+    w = (
+        Window.partitionBy("part_date")
+        .orderBy(F.col("est_bytes").desc(), "event_type")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.coalesce(F.sum("est_bytes").over(w), F.lit(0))
+    return files.select(
+        "part_date",
+        "event_type",
+        "n_rows",
+        "est_bytes",
+        F.floor(prior / F.lit(_BIN_TARGET)).cast("long").alias(
+            "compaction_bin"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Community detection: synchronous min-label propagation
+# ---------------------------------------------------------------------------
+
+
+def _label_prop_oracle(iterations: int = 3) -> str:
+    """Unrolled DuckDB mirror of the Spark loop: one (join+group,
+    realign) CTE pair per iteration, LEAST/COALESCE identical."""
+    sql = """
+    WITH nodes AS (SELECT DISTINCT l_partkey AS node FROM lineitem),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+    ),
+    l0 AS (SELECT node, node AS lbl FROM nodes)"""
+    prev = "l0"
+    for i in range(1, iterations + 1):
+        sql += f""",
+    c{i} AS (
+      SELECT e.dst AS node, MIN(l.lbl) AS nmin
+      FROM edges e JOIN {prev} l ON e.src = l.node GROUP BY 1
+    ),
+    l{i} AS (
+      SELECT l.node, LEAST(l.lbl, COALESCE(c.nmin, l.lbl)) AS lbl
+      FROM {prev} l LEFT JOIN c{i} c ON l.node = c.node
+    )"""
+        prev = f"l{i}"
+    sql += f"""
+    SELECT node AS part_key, CAST(lbl AS BIGINT) AS community
+    FROM {prev}"""
+    return sql
+
+
+@query("ext_label_propagation", oracle=_label_prop_oracle(3))
+def ext_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the product co-purchase graph via
+    synchronous min-label propagation, 3 fixed iterations: every
+    vertex starts labeled with its own id and repeatedly takes the
+    minimum of its own and its neighbors' labels. Complements
+    ext_pagerank_copurchase (importance) and ext_dedup_clusters
+    (exact components via pointer jumping): fixed-round label
+    propagation is the bounded-cost approximation used when a full
+    convergence loop is too expensive per batch.
+
+    Integer labels make every step exact BIGINT MIN/LEAST, so the
+    oracle replays the identical iterations as unrolled CTEs. Per
+    iteration: one equi-join edges×labels + one MIN shuffle on the
+    destination + one dimension-sized left join — the same scalable
+    shape as the PageRank loop, no driver-side iteration state.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    nodes = li.select(F.col("l_partkey").alias("node")).distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, ["ok"])
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .cache()
+    )
+    lbl = nodes.select("node", F.col("node").alias("lbl"))
+    for _ in range(3):
+        inc = (
+            edges.join(lbl, edges["src"] == lbl["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lbl").alias("nmin"))
+        )
+        lbl = lbl.join(inc, ["node"], "left").select(
+            "node",
+            F.least(
+                F.col("lbl"), F.coalesce(F.col("nmin"), F.col("lbl"))
+            ).alias("lbl"),
+        )
+    return lbl.select(
+        F.col("node").alias("part_key"), F.col("lbl").cast("long").alias("community")
+    )

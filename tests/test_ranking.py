@@ -1,0 +1,90 @@
+"""Tests for operators/ranking.py — distributed global ranking.
+
+Correctness: two-pass rank must be bit-identical to the native
+single-task ``Window.orderBy`` row_number for any total order, and
+``ntile_from_rank`` must reproduce ``F.ntile`` exactly (including the
+uneven-bucket remainder rule and the n < k edge).
+
+Scale shape: the only single-partition exchange in the plan must be
+the W-row partition-count side, never the data itself.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ecommerce_lakehouse_platform_spark.operators.ranking import (
+    global_row_number,
+    ntile_from_rank,
+)
+
+
+def _mk(spark, n, seed=7):
+    return (
+        spark.range(n)
+        .select(
+            F.col("id"),
+            F.pmod(F.xxhash64("id") + seed, F.lit(1000)).alias("key"),
+        )
+        .repartition(8)
+    )
+
+
+@pytest.mark.parametrize("n", [0, 1, 5, 1000])
+def test_global_row_number_matches_native_window(spark, n):
+    df = _mk(spark, n)
+    order = [F.col("key"), F.col("id")]
+    got = global_row_number(df, order, rank_col="r")
+    want = df.withColumn(
+        "r", F.row_number().over(Window.orderBy("key", "id")).cast("long")
+    )
+    assert sorted(got.select("id", "r").collect()) == sorted(
+        want.select("id", "r").collect()
+    )
+
+
+def test_global_row_number_descending_order(spark):
+    df = _mk(spark, 500)
+    order = [F.col("key").desc(), F.col("id").desc()]
+    got = global_row_number(df, order, rank_col="r")
+    want = df.withColumn(
+        "r",
+        F.row_number()
+        .over(Window.orderBy(F.col("key").desc(), F.col("id").desc()))
+        .cast("long"),
+    )
+    assert sorted(got.select("id", "r").collect()) == sorted(
+        want.select("id", "r").collect()
+    )
+
+
+@pytest.mark.parametrize("n,k", [(1, 4), (3, 4), (4, 4), (1000, 4), (1001, 7)])
+def test_ntile_from_rank_matches_native_ntile(spark, n, k):
+    df = _mk(spark, n)
+    ranked = global_row_number(df, [F.col("key"), F.col("id")], rank_col="r")
+    cnt = df.agg(F.count(F.lit(1)).alias("n"))
+    got = (
+        ranked.crossJoin(F.broadcast(cnt))
+        .select("id", ntile_from_rank(F.col("r"), F.col("n"), k).alias("t"))
+    )
+    want = df.select(
+        "id", F.ntile(k).over(Window.orderBy("key", "id")).alias("t")
+    )
+    assert sorted(got.collect()) == sorted(want.collect())
+
+
+def test_no_full_data_single_partition_exchange(spark):
+    """The data path must range-partition, not funnel through one
+    task; the only SinglePartition exchange allowed is the W-row
+    offsets side (it feeds a BroadcastExchange, not the main sort)."""
+    df = _mk(spark, 1000)
+    got = global_row_number(df, [F.col("key"), F.col("id")], rank_col="r")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    # native global window would show Window over SinglePartition on
+    # the full data; here every Window is partitioned by _pid
+    for line in plan.splitlines():
+        if "Window" in line and "row_number" in line:
+            assert "_pid" in line, line
