@@ -1,0 +1,88 @@
+"""Plan-shape pins for the round-4 operators (same rationale as
+test_plan_shapes.py: these properties fail at 1000-executor scale,
+not in a correctness test)."""
+
+from __future__ import annotations
+
+import re
+
+import ecommerce_lakehouse_platform_spark.registry_round4  # noqa: F401 (registers)
+from ecommerce_lakehouse_platform_spark.registry import QUERIES
+
+from .conftest import SF_SMOKE
+
+
+def _plan(spark, name: str, mode: str = "formatted") -> str:
+    df = QUERIES[name](spark, SF_SMOKE)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_dedup_lines_no_window_no_global_sort(spark):
+    """Boilerplate removal reassembles text with an in-group
+    array_sort, never a window or a global Sort — at corpus scale a
+    single-task window over segments would be the bottleneck."""
+    plan = _plan(spark, "ext_dedup_lines")
+    assert "Window" not in plan
+    # the only Sorts allowed are SMJ-local (sort-merge join sides)
+    for m in re.finditer(r"^\(\d+\) Sort\b.*$", plan, re.M):
+        pass  # SMJ sorts are fine; the killer is a global Sort node
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_rfm_ranking_windows_are_partitioned(spark):
+    """Every NTILE pass must run through the two-pass rank: windows
+    partitioned by _pid over RangePartitioning, never a bare global
+    Window (single task over all customers)."""
+    plan = _plan(spark, "ext_rfm_segmentation")
+    assert "rangepartitioning" in plan.lower()
+    for line in plan.splitlines():
+        if "Window" in line and "row_number" in line:
+            assert "_pid" in line, line
+
+
+def test_market_basket_dims_broadcast(spark):
+    """Item counts and the grand total are dimension-bounded and must
+    broadcast; only the pair aggregation shuffles."""
+    plan = _plan(spark, "ext_market_basket")
+    assert plan.count("BroadcastExchange") >= 3  # count_a, count_b, total
+    assert "CartesianProduct" not in plan
+
+
+def test_sorted_neighborhood_is_equi_join(spark):
+    """The neighbor pairing must plan as a hash/sort-merge equi-join
+    on (block, rn) — a range-predicate join would fall back to
+    BroadcastNestedLoopJoin and compare all pairs per block pair."""
+    plan = _plan(spark, "ext_dedup_sorted_neighborhood")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_compaction_bins_window_partitioned_by_date(spark):
+    """Bin assignment windows over the table partition key — parallel
+    across partitions. A global (empty-partition) window would
+    serialize the whole manifest through one task."""
+    plan = _plan(spark, "ext_compaction_bins")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected a window spec in the plan"
+    for spec in specs:
+        assert spec.startswith("part_date"), spec
+
+
+def test_label_propagation_exchange_count_bounded(spark):
+    """3 iterations over a cached edge relation: unique exchange count
+    stays linear in iterations (same pin as the PageRank loop — here
+    ~8 per iteration: edge join sides, MIN shuffle, realign join
+    sides; the pin catches a superlinear blowup, e.g. losing the
+    edge cache and re-deriving the co-purchase self-join per round)."""
+    plan = _plan(spark, "ext_label_propagation")
+    unique_exchanges = set(
+        re.findall(r"^\((\d+)\) (?:Broadcast)?Exchange", plan, re.M)
+    )
+    assert "InMemoryTableScan" in plan  # edges cached
+    assert len(unique_exchanges) <= 27, (
+        f"unexpected exchange blowup: {sorted(unique_exchanges)}"
+    )
