@@ -808,6 +808,11 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "ext_bm25_topk",
     "ext_cohort_retention",
     # --- Round-4 additions (no external row yet) ---
+    "ext_gapfill_daily",
+    "ext_event_transitions",
+    "ext_text_postings",
+    "ext_graph_khop",
+    "stream_interval_join_outer",
     "ext_dedup_lines",
     "ext_rfm_segmentation",
     "ext_market_basket",

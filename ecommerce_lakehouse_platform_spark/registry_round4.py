@@ -1,6 +1,8 @@
 """Round-4 registry: corpus boilerplate removal, customer value
 segmentation, association rules, record-linkage blocking, lakehouse
-file-compaction planning, and community detection.
+file-compaction planning, community detection, time-series gap fill,
+Markov event transitions, positional inverted index, k-hop BFS, and
+the streaming left-outer interval join.
 
 Same determinism contract as registry.py: integer / DECIMAL-routed
 arithmetic wherever a float sum or division would be order- or
@@ -475,6 +477,22 @@ def ext_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _copurchase_edges(li: DataFrame) -> DataFrame:
+    """Directed co-purchase edge list (src, dst), both directions,
+    deduped and cached — two queries iterate over it (label
+    propagation, k-hop BFS). Equi-join on the order key, so pair
+    generation is per-basket, never a global cartesian."""
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    return (
+        a.join(b, ["ok"])
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .cache()
+    )
+
+
 def _label_prop_oracle(iterations: int = 3) -> str:
     """Unrolled DuckDB mirror of the Spark loop: one (join+group,
     realign) CTE pair per iteration, LEAST/COALESCE identical."""
@@ -523,15 +541,7 @@ def ext_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     nodes = li.select(F.col("l_partkey").alias("node")).distinct()
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
-    edges = (
-        a.join(b, ["ok"])
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-        .cache()
-    )
+    edges = _copurchase_edges(li)
     lbl = nodes.select("node", F.col("node").alias("lbl"))
     for _ in range(3):
         inc = (
@@ -547,4 +557,374 @@ def ext_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return lbl.select(
         F.col("node").alias("part_key"), F.col("lbl").cast("long").alias("community")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calendar gap fill + forward fill (time-series densification)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ext_gapfill_daily",
+    oracle="""
+    WITH li AS (
+      SELECT l_partkey AS part_key, CAST(l_shipdate AS DATE) AS day,
+        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+        CAST(COUNT(*) AS BIGINT) AS n_ship
+      FROM lineitem WHERE l_partkey < 20 GROUP BY 1, 2
+    ),
+    bounds AS (SELECT MIN(day) AS mind, MAX(day) AS maxd FROM li),
+    cal AS (
+      SELECT CAST(unnest(generate_series(mind, maxd, INTERVAL 1 DAY)) AS DATE)
+        AS day
+      FROM bounds
+    ),
+    grid AS (
+      SELECT p.part_key, c.day
+      FROM (SELECT DISTINCT part_key FROM li) p CROSS JOIN cal c
+    )
+    SELECT g.part_key, g.day,
+      COALESCE(li.n_ship, 0) AS n_ship,
+      li.qty AS qty,
+      last_value(li.qty IGNORE NULLS) OVER (
+        PARTITION BY g.part_key ORDER BY g.day
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS qty_ffill
+    FROM grid g LEFT JOIN li ON g.part_key = li.part_key AND g.day = li.day
+    """,
+)
+def ext_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification — the hypertable/`time_bucket_gapfill`
+    staple: per-part daily shipment series densified onto the full
+    calendar (missing days materialized), counts zero-filled and
+    quantity forward-filled from the last observed day (null before
+    the first observation — locf, not zero-imputation).
+
+    Scale shape: the fact scan collapses to a (part, day) aggregate
+    first; the calendar is one `sequence` off a broadcast 2-value
+    bounds row, cross-joined with the part dimension — grid size is
+    dims x days, independent of fact row count. The forward fill is a
+    window PARTITIONED BY part (parallel across parts, frame bounded
+    by the calendar length). The part filter keeps the demo grid
+    bounded; at 100 TB the same plan runs per part-bucket.
+    """
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") < 20)
+        .groupBy(
+            F.col("l_partkey").alias("part_key"),
+            F.to_date("l_shipdate").alias("day"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+            F.count(F.lit(1)).alias("n_ship"),
+        )
+    )
+    bounds = li.agg(F.min("day").alias("mind"), F.max("day").alias("maxd"))
+    cal = bounds.select(
+        F.explode(
+            F.sequence("mind", "maxd", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    grid = li.select("part_key").distinct().crossJoin(F.broadcast(cal))
+    joined = grid.join(li, ["part_key", "day"], "left")
+    w = (
+        Window.partitionBy("part_key")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "part_key",
+        "day",
+        F.coalesce(F.col("n_ship"), F.lit(0)).cast("long").alias("n_ship"),
+        "qty",
+        F.last("qty", ignorenulls=True).over(w).alias("qty_ffill"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over event sequences
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ext_event_transitions",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type AS curr,
+        lag(event_type) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    t AS (
+      SELECT prev, curr, CAST(COUNT(*) AS BIGINT) AS n
+      FROM s WHERE prev IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT prev, SUM(n) AS total FROM t GROUP BY 1)
+    SELECT t.prev, t.curr, t.n,
+      CAST(tot.total AS BIGINT) AS from_total,
+      CAST(t.n * 1000000 // tot.total AS BIGINT) AS prob_micros
+    FROM t JOIN tot ON t.prev = tot.prev
+    """,
+)
+def ext_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: count (previous event_type -> current event_type) pairs
+    and the per-source transition probability in floor-divided integer
+    micro-units (exact BIGINT in both engines). The sequence order is
+    total: ts with event_id tiebreak.
+
+    Scale shape: the lag window is PARTITIONED BY user (parallel,
+    frame = one row back); the transition count shuffles on the
+    (prev, curr) pair, whose cardinality is |event types|^2 —
+    dimension-bounded, so per-source totals re-aggregate from the
+    tiny transition table rather than rescanning events, and the
+    totals join is broadcast.
+    """
+    ev = _t(spark, sf_dir, "events")
+    s = ev.select(
+        "event_type",
+        F.lag("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev"),
+    )
+    t = (
+        s.filter(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("event_type").alias("curr"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = t.groupBy("prev").agg(F.sum("n").alias("from_total"))
+    return (
+        t.join(F.broadcast(tot), "prev")
+        .select(
+            "prev",
+            "curr",
+            "n",
+            "from_total",
+            F.expr("n * 1000000L DIV from_total").alias("prob_micros"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index (posting lists with positions)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ext_text_postings",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, ts[CAST(i AS BIGINT) + 1] AS token, CAST(i AS BIGINT) AS p
+      FROM toks, unnest(range(0, CAST(len(ts) AS BIGINT))) AS t(i)
+    ),
+    post AS (
+      SELECT token, doc_id,
+        CAST(COUNT(*) AS BIGINT) AS tf,
+        string_agg(p::VARCHAR, ',' ORDER BY p) AS positions
+      FROM pos GROUP BY 1, 2
+    ),
+    dfr AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM post GROUP BY 1)
+    SELECT p.token, p.doc_id, p.tf, p.positions, d.df
+    FROM post p JOIN dfr d ON p.token = d.token
+    """,
+)
+def ext_text_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full positional inverted index — the IR structure under
+    ext_bm25_topk made explicit: one posting row per (token, doc)
+    carrying term frequency, the sorted 0-based position list
+    (comma-joined, so the contract is engine-neutral), and the
+    token's document frequency.
+
+    Scale shape: posexplode is map-side; postings shuffle once on the
+    (token, doc) pair; df re-aggregates from the postings relation
+    (|vocab| keys) rather than rescanning the corpus, then joins back
+    on the token key — partitioned on token, which is exactly how a
+    sharded index would be laid out. Hot stop-tokens skew their
+    posting shard; real deployments cap df (see ngram_jaccard's
+    max_df note) — kept uncapped here because the oracle must see
+    every posting.
+    """
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("p", "token"),
+    )
+    post = pos.groupBy("token", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.col("p").cast("long"))),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("positions"),
+    )
+    dfr = post.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    return post.join(dfr, "token").select(
+        "token", "doc_id", "tf", "positions", "df"
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-hop BFS distances from a seed set
+# ---------------------------------------------------------------------------
+
+
+def _khop_oracle(hops: int = 2) -> str:
+    """Unrolled DuckDB mirror of the Spark BFS loop: one
+    (propagate+min, full-join merge) CTE pair per hop, explicit CASE
+    instead of LEAST so NULL handling is identical in both engines."""
+    sql = """
+    WITH edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+    ),
+    d0 AS (
+      SELECT DISTINCT l_partkey AS node, CAST(0 AS BIGINT) AS dist
+      FROM lineitem WHERE l_partkey % 97 = 0
+    )"""
+    prev = "d0"
+    for i in range(1, hops + 1):
+        sql += f""",
+    c{i} AS (
+      SELECT e.dst AS node, MIN(d.dist) + 1 AS nd
+      FROM edges e JOIN {prev} d ON e.src = d.node GROUP BY 1
+    ),
+    d{i} AS (
+      SELECT COALESCE(d.node, c.node) AS node,
+        CASE WHEN d.dist IS NULL THEN c.nd
+             WHEN c.nd IS NULL THEN d.dist
+             WHEN c.nd < d.dist THEN c.nd ELSE d.dist END AS dist
+      FROM {prev} d FULL JOIN c{i} c ON d.node = c.node
+    )"""
+        prev = f"d{i}"
+    sql += f"""
+    SELECT node AS part_key, CAST(dist AS BIGINT) AS dist
+    FROM {prev}"""
+    return sql
+
+
+@query("ext_graph_khop", oracle=_khop_oracle(2))
+def ext_graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-hop BFS (k=2) on the co-purchase graph from a deterministic
+    seed set (part keys divisible by 97): every part reachable within
+    2 hops gets its exact hop distance — the "products adjacent to a
+    recalled SKU" / feature-neighborhood expansion primitive. Differs
+    from ext_label_propagation in state semantics: the reached set
+    GROWS per round (full-outer merge of the frontier) instead of
+    relabeling a fixed vertex set.
+
+    Scale shape per hop: one equi-join of the cached edge relation
+    against the current distance relation, one MIN shuffle on the
+    destination, one full-outer merge keyed on the node — all
+    partitioned on graph keys; distances stay exact BIGINTs so the
+    unrolled-CTE oracle replays bit-identically. The distance
+    relation is monotone non-shrinking but bounded by the reachable
+    vertex set, never the edge count.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = _copurchase_edges(li)
+    dist = (
+        li.filter(F.col("l_partkey") % 97 == 0)
+        .select(F.col("l_partkey").alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+    )
+    for _ in range(2):
+        inc = (
+            edges.join(dist, edges["src"] == dist["node"])
+            .groupBy(F.col("dst").alias("n"))
+            .agg((F.min("dist") + 1).alias("nd"))
+        )
+        dist = (
+            dist.join(inc, dist["node"] == inc["n"], "full_outer")
+            .select(
+                F.coalesce(F.col("node"), F.col("n")).alias("node"),
+                F.when(F.col("dist").isNull(), F.col("nd"))
+                .when(F.col("nd").isNull(), F.col("dist"))
+                .when(F.col("nd") < F.col("dist"), F.col("nd"))
+                .otherwise(F.col("dist"))
+                .alias("dist"),
+            )
+        )
+    return dist.select(
+        F.col("node").alias("part_key"), F.col("dist").cast("long").alias("dist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming left-outer interval join (watermark-driven null emission)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_interval_join_outer",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id AS error_id, epoch_us(ts) AS e_us
+      FROM events WHERE event_type = 'error'
+    ), p AS (
+      SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT e.user_id, error_id, purchase_id,
+      CAST((e_us - p_us) // 1000000 AS BIGINT) AS lag_sec
+    FROM e LEFT JOIN p ON e.user_id = p.user_id
+      AND e_us >= p_us AND e_us < p_us + 3600000000
+    """,
+)
+def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join — the semantics the
+    inner variant (stream_interval_join) cannot show: errors with NO
+    purchase in the preceding hour must still emit, with nulls, and
+    in a real stream that row may only be produced once the watermark
+    proves no matching purchase can still arrive. Runs as a real
+    Structured Streaming job (streaming/joins.py bounded harness,
+    which appends a far-future sentinel to flush outer state at
+    end-of-input); the batch oracle is the plain LEFT JOIN.
+    """
+    from .registry_ext import silver_events
+    from .streaming.joins import run_stream_stream_join_bounded
+
+    ev = silver_events(_t(spark, sf_dir, "events"))
+    base = ev.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+        "event_ts",
+    )
+    errors = base.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.col("event_ts").alias("error_ts"),
+    )
+    purchases = base.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("event_ts").alias("purchase_ts"),
+    )
+    joined = run_stream_stream_join_bounded(
+        spark,
+        errors,
+        purchases,
+        key="user_id",
+        left_ts="error_ts",
+        right_ts="purchase_ts",
+        window="1 hour",
+        watermark="1 hour",
+        how="left_outer",
+    )
+    return joined.select(
+        "user_id",
+        "error_id",
+        "purchase_id",
+        F.floor(
+            (F.unix_micros("error_ts") - F.unix_micros("purchase_ts"))
+            / 1_000_000
+        ).cast("long").alias("lag_sec"),
     )
