@@ -64,6 +64,13 @@ HEADLINE = [
     "ext_pagerank_copurchase",
     "ext_dedup_incremental",
     "ext_hard_negative_mining",
+    # round 4 additions
+    "ext_dedup_lines",
+    "ext_rfm_segmentation",
+    "ext_market_basket",
+    "ext_label_propagation",
+    "ext_text_postings",
+    "ext_gapfill_daily",
 ]
 
 
