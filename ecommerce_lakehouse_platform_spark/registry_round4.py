@@ -944,3 +944,112 @@ def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000
         ).cast("long").alias("lag_sec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span islands (maximal removable spans, Lee et al.)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ext_dup_span_islands",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    pos AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS p,
+        concat_ws(' ', t[i+1], t[i+2], t[i+3], t[i+4],
+                       t[i+5], t[i+6], t[i+7], t[i+8]) AS s
+      FROM toks, unnest(range(0, CAST(len(t) - 7 AS BIGINT))) AS u(i)
+      WHERE len(t) >= 8
+    ),
+    sh AS (SELECT DISTINCT doc_id, s FROM pos),
+    freq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1),
+    dup AS (
+      SELECT doc_id, p, p + 7 AS e
+      FROM pos JOIN freq USING (s) WHERE df >= 2
+    ),
+    brk AS (
+      SELECT doc_id, p, e,
+        CASE WHEN MAX(e) OVER (
+               PARTITION BY doc_id ORDER BY p, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+               OR p > MAX(e) OVER (
+               PARTITION BY doc_id ORDER BY p, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+             THEN 1 ELSE 0 END AS b
+      FROM dup
+    ),
+    isl AS (
+      SELECT doc_id, p, e,
+        SUM(b) OVER (PARTITION BY doc_id ORDER BY p, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+      FROM brk
+    ),
+    g AS (
+      SELECT doc_id, gid, MIN(p) AS s0, MAX(e) AS e0,
+        CAST(COUNT(*) AS BIGINT) AS n_occ
+      FROM isl GROUP BY 1, 2
+    )
+    SELECT doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_islands,
+      CAST(SUM(e0 - s0 + 1) AS BIGINT) AS covered_tokens,
+      CAST(MAX(e0 - s0 + 1) AS BIGINT) AS max_island_len,
+      CAST(SUM(n_occ) AS BIGINT) AS n_dup_positions
+    FROM g GROUP BY 1
+    """,
+)
+def ext_dup_span_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated spans — the step AFTER ext_dup_span_coverage
+    in substring-level dedup (Lee et al.): every position whose 8-gram
+    also occurs in another document marks the token interval
+    [p, p+7]; overlapping/adjacent intervals merge into maximal
+    islands (operators/islands.py), which are exactly the spans a
+    substring-dedup pass would cut out. Per doc: island count, total
+    covered tokens, longest island, and the raw duplicated-position
+    count (>= islands; the ratio shows how much merging collapsed).
+
+    Scale shape: positional shingling is map-side; span df is one
+    shuffle on the shingle key (same as coverage); the island merge is
+    a window PARTITIONED BY doc ordered by position — parallel across
+    docs, frame bounded by doc length. The running-max-of-ends form
+    stays correct for variable-length intervals (future: merged spans
+    from multiple n-gram orders).
+    """
+    from .operators.islands import interval_islands
+
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 8
+    )
+    pos = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 8),
+                lambda i: F.array_join(F.slice("t", i + 1, 8), " "),
+            )
+        ).alias("p", "s"),
+    ).withColumn("p", F.col("p").cast("long"))
+    freq = pos.select("doc_id", "s").distinct().groupBy("s").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    dup = (
+        pos.join(freq.filter(F.col("df") >= 2).select("s"), ["s"], "leftsemi")
+        .select("doc_id", "p", (F.col("p") + 7).alias("e"))
+    )
+    isl = interval_islands(dup, ["doc_id"], "p", "e", island_col="gid")
+    g = isl.groupBy("doc_id", "gid").agg(
+        F.min("p").alias("s0"),
+        F.max("e").alias("e0"),
+        F.count(F.lit(1)).alias("n_occ"),
+    )
+    return g.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("e0") - F.col("s0") + 1).cast("long").alias(
+            "covered_tokens"
+        ),
+        F.max(F.col("e0") - F.col("s0") + 1).cast("long").alias(
+            "max_island_len"
+        ),
+        F.sum("n_occ").cast("long").alias("n_dup_positions"),
+    )
