@@ -814,6 +814,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "ext_graph_khop",
     "stream_interval_join_outer",
     "ext_dup_span_islands",
+    "ext_dsir_importance",
     "ext_dedup_lines",
     "ext_rfm_segmentation",
     "ext_market_basket",

@@ -1053,3 +1053,150 @@ def ext_dup_span_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum("n_occ").cast("long").alias("n_dup_positions"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style hashed-feature importance resampling
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 4096  # hashed feature-space size
+
+
+@query(
+    "ext_dsir_importance",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    tb AS (
+      SELECT doc_id, lang,
+        CAST(('0x' || substring(md5('dsir:' || token), 1, 8)) AS BIGINT)
+          % {_DSIR_B} AS b
+      FROM tok
+    ),
+    src AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c_s FROM tb GROUP BY 1),
+    tgt AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS c_t
+      FROM tb WHERE lang = 'en' GROUP BY 1
+    ),
+    tot AS (
+      SELECT (SELECT COUNT(*) FROM tb) AS n_s,
+             (SELECT COUNT(*) FROM tb WHERE lang = 'en') AS n_t
+    ),
+    ratio AS (
+      SELECT s.b,
+        CAST(FLOOR((ln(COALESCE(c_t, 0) + 1) - ln(c_s + 1)
+                    - ln(n_t + {_DSIR_B}.0) + ln(n_s + {_DSIR_B}.0))
+                   * 1000000) AS BIGINT) AS term_micros
+      FROM src s LEFT JOIN tgt t ON s.b = t.b CROSS JOIN tot
+    ),
+    dtf AS (
+      SELECT doc_id, any_value(lang) AS lang, b,
+        CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tb GROUP BY doc_id, b
+    )
+    SELECT doc_id, any_value(lang) AS lang,
+      CAST(SUM(tf) AS BIGINT) AS n_tokens,
+      CAST(SUM(tf * term_micros) AS BIGINT) AS score_micros,
+      CAST(FLOOR(1.0 * SUM(tf * term_micros) / SUM(tf)) AS BIGINT)
+        AS per_token_micros,
+      SUM(tf * term_micros) >= 0 AS keep
+    FROM dtf JOIN ratio USING (b)
+    GROUP BY doc_id
+    """,
+)
+def ext_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    2023) with hashed unigram features: score every document by the
+    log importance ratio between a target distribution (here the
+    'en' slice) and the full-corpus source distribution, both
+    modeled as add-1-smoothed bags of md5-hashed token buckets
+    (feature space fixed at 4096 — the hashing trick that keeps the
+    model broadcastable no matter the corpus vocabulary). keep=true
+    marks docs more target-like than source-like.
+
+    Determinism: each bucket's log-ratio is floored to integer
+    micro-units ONCE (a deterministic scalar from global counts);
+    per-doc scores are then pure BIGINT tf-weighted sums — order-
+    independent, so both engines agree bit-for-bit. (Same floored-ln
+    caveat as ext_lm_perplexity: a 1-ULP libm divergence landing
+    exactly on a floor boundary is the accepted residual risk.) The
+    per-token average divides as IEEE doubles identically in both
+    engines before one floor.
+
+    Scale shape: two bucket-count aggregations (<= 4096 groups, one
+    shuffle each over map-side partials), totals off a broadcast
+    2-value row, the ratio table joined BROADCAST into the per-doc
+    bucket tf relation — per-doc scoring never shuffles the corpus
+    on anything but the (doc, bucket) aggregate.
+    """
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    tb = tok.select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("dsir:"), F.col("token"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _DSIR_B
+        ).alias("b"),
+    )
+    src = tb.groupBy("b").agg(F.count(F.lit(1)).alias("c_s"))
+    tgt = (
+        tb.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+    )
+    tot = tb.agg(
+        F.count(F.lit(1)).alias("n_s"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_t"),
+    )
+    ratio = (
+        src.join(tgt, ["b"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.floor(
+                (
+                    F.log(F.coalesce(F.col("c_t"), F.lit(0)) + 1)
+                    - F.log(F.col("c_s") + 1)
+                    - F.log(F.col("n_t") + F.lit(float(_DSIR_B)))
+                    + F.log(F.col("n_s") + F.lit(float(_DSIR_B)))
+                )
+                * 1_000_000
+            ).cast("long").alias("term_micros"),
+        )
+    )
+    dtf = tb.groupBy("doc_id", "b").agg(
+        F.any_value(F.col("lang")).alias("lang"),
+        F.count(F.lit(1)).alias("tf"),
+    )
+    return (
+        dtf.join(F.broadcast(ratio), ["b"])
+        .groupBy("doc_id")
+        .agg(
+            F.any_value(F.col("lang")).alias("lang"),
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("term_micros")).cast("long").alias(
+                "score_micros"
+            ),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "score_micros",
+            F.floor(
+                F.lit(1.0) * F.col("score_micros") / F.col("n_tokens")
+            ).cast("long").alias("per_token_micros"),
+            (F.col("score_micros") >= 0).alias("keep"),
+        )
+    )
