@@ -92,3 +92,46 @@ def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
         )
         .cast("int")
     )
+
+
+def global_rank_with_ties(
+    df: DataFrame,
+    order_cols: list[Column],
+    tie_cols: list[str],
+    rank_col: str = "rank",
+    dense_col: str | None = None,
+) -> DataFrame:
+    """Append SQL ``RANK()`` (and optionally ``DENSE_RANK()``) over a
+    global total order WITHOUT a single-task window.
+
+    ``order_cols`` must extend ``tie_cols``' ordering with a unique
+    tiebreak (for the row_number pass); ``tie_cols`` name the columns
+    whose equal values share a rank. RANK = min row_number within the
+    tie group, recovered with one aggregation on the tie key and a
+    join back — both partitioned on the tie key, so the only global
+    structure is the same W-row offset table ``global_row_number``
+    already uses. DENSE_RANK ranks the tie groups themselves: the
+    group relation is |distinct tie values|-sized, re-ranked with the
+    same two-pass trick, never the data.
+    """
+    rn = global_row_number(df, order_cols, rank_col="_rn")
+    mins = rn.groupBy(*tie_cols).agg(F.min("_rn").alias(rank_col))
+    out = rn.join(mins, tie_cols).drop("_rn")
+    if dense_col is not None:
+        groups = global_row_number(
+            mins.select(rank_col).distinct(),
+            [F.col(rank_col)],
+            rank_col=dense_col,
+        )
+        out = out.join(groups, [rank_col])
+    return out
+
+
+def percent_rank_from_rank(rank: Column, n: Column) -> Column:
+    """SQL ``PERCENT_RANK()`` from a tie-aware global rank and total
+    count: ``(rank - 1) / (n - 1)``, 0.0 for the single-row frame.
+    Plain IEEE double division of exact BIGINTs — identical in any
+    engine."""
+    return F.when(n == 1, F.lit(0.0)).otherwise(
+        (rank - F.lit(1)).cast("double") / (n - F.lit(1)).cast("double")
+    )

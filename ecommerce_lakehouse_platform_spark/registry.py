@@ -815,6 +815,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "stream_interval_join_outer",
     "ext_dup_span_islands",
     "ext_dsir_importance",
+    "ext_global_score_rank",
     "ext_dedup_lines",
     "ext_rfm_segmentation",
     "ext_market_basket",

@@ -23,7 +23,12 @@ from pyspark.sql import functions as F
 
 from .functions.math import dec_sum
 from .operators.neardup import _spread
-from .operators.ranking import global_row_number, ntile_from_rank
+from .operators.ranking import (
+    global_rank_with_ties,
+    global_row_number,
+    ntile_from_rank,
+    percent_rank_from_rank,
+)
 from .registry import _t, query
 
 # ---------------------------------------------------------------------------
@@ -1198,5 +1203,60 @@ def ext_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(1.0) * F.col("score_micros") / F.col("n_tokens")
             ).cast("long").alias("per_token_micros"),
             (F.col("score_micros") >= 0).alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Global tie-aware ranking (distributed RANK / DENSE_RANK / PERCENT_RANK)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ext_global_score_rank",
+    oracle="""
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+      CAST(RANK() OVER (ORDER BY n_chars DESC) AS BIGINT) AS rnk,
+      CAST(DENSE_RANK() OVER (ORDER BY n_chars DESC) AS BIGINT) AS drnk,
+      PERCENT_RANK() OVER (ORDER BY n_chars DESC) AS pct
+    FROM documents
+    """,
+)
+def ext_global_score_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide quality leaderboard: every document's global RANK,
+    DENSE_RANK, and PERCENT_RANK by size score (n_chars, ties real) —
+    the primitive behind "keep the top X% of the corpus" selection
+    when the score must be position-exact, not an approximate
+    quantile.
+
+    The oracle uses native global window functions; the Spark side
+    CANNOT (a bare Window.orderBy funnels the corpus through one
+    task), so it goes through operators/ranking.py: two-pass
+    range-partitioned row_number, tie-group min for RANK, the
+    |distinct scores|-sized group relation re-ranked for DENSE_RANK,
+    and PERCENT_RANK as (rank-1)/(n-1) — every stage partitioned,
+    bit-identical output. PERCENT_RANK's division is the same IEEE
+    double op both engines, exact inputs, so even the double column
+    hash-matches.
+    """
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    ranked = global_rank_with_ties(
+        docs,
+        [F.col("n_chars").desc(), F.col("doc_id")],
+        ["n_chars"],
+        rank_col="rnk",
+        dense_col="drnk",
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "n_chars",
+            "rnk",
+            "drnk",
+            percent_rank_from_rank(F.col("rnk"), F.col("n")).alias("pct"),
         )
     )

@@ -88,3 +88,50 @@ def test_no_full_data_single_partition_exchange(spark):
     for line in plan.splitlines():
         if "Window" in line and "row_number" in line:
             assert "_pid" in line, line
+
+
+def test_global_rank_with_ties_matches_native(spark):
+    from ecommerce_lakehouse_platform_spark.operators.ranking import (
+        global_rank_with_ties,
+        percent_rank_from_rank,
+    )
+
+    # key has heavy ties (1000 rows, 50 distinct values)
+    df = (
+        spark.range(1000)
+        .select(
+            F.col("id"), F.pmod(F.xxhash64("id"), F.lit(50)).alias("key")
+        )
+        .repartition(8)
+    )
+    got = global_rank_with_ties(
+        df,
+        [F.col("key").desc(), F.col("id")],
+        ["key"],
+        rank_col="r",
+        dense_col="d",
+    )
+    n = df.count()
+    got = got.select(
+        "id", "r", "d",
+        percent_rank_from_rank(F.col("r"), F.lit(n)).alias("p"),
+    )
+    w = Window.orderBy(F.col("key").desc())
+    want = df.select(
+        "id",
+        F.rank().over(w).cast("long").alias("r"),
+        F.dense_rank().over(w).cast("long").alias("d"),
+        F.percent_rank().over(w).alias("p"),
+    )
+    assert sorted(got.collect()) == sorted(want.collect())
+
+
+def test_percent_rank_single_row(spark):
+    from ecommerce_lakehouse_platform_spark.operators.ranking import (
+        percent_rank_from_rank,
+    )
+
+    row = spark.range(1).select(
+        percent_rank_from_rank(F.lit(1), F.lit(1)).alias("p")
+    ).first()
+    assert row["p"] == 0.0
