@@ -816,6 +816,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "ext_dup_span_islands",
     "ext_dsir_importance",
     "ext_global_score_rank",
+    "ext_skew_diagnosis",
     "ext_dedup_lines",
     "ext_rfm_segmentation",
     "ext_market_basket",

@@ -1260,3 +1260,73 @@ def ext_global_score_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             percent_rank_from_rank(F.col("rnk"), F.col("n")).alias("pct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew diagnosis (shuffle health report)
+# ---------------------------------------------------------------------------
+
+
+def _skew_oracle_one(table: str, key: str) -> str:
+    return f"""
+    SELECT '{table}.{key}' AS key_name,
+      CAST(SUM(cnt) AS BIGINT) AS n_rows,
+      CAST(COUNT(*) AS BIGINT) AS n_keys,
+      CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+      CAST(MAX(cnt) * 1000000 // SUM(cnt) AS BIGINT) AS top_share_micros,
+      quantile_cont(cnt, 0.5) AS p50_cnt,
+      quantile_cont(cnt, 0.99) AS p99_cnt
+    FROM (SELECT {key}, COUNT(*) AS cnt FROM {table} GROUP BY 1)
+    """
+
+
+_SKEW_KEYS = [
+    ("orders", "o_custkey"),
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_orderkey"),
+    ("events", "user_id"),
+]
+
+
+@query(
+    "ext_skew_diagnosis",
+    oracle=" UNION ALL ".join(_skew_oracle_one(t, k) for t, k in _SKEW_KEYS),
+)
+def ext_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-health report for the candidate join/aggregation keys —
+    the diagnostic you run BEFORE picking salting (ext_skew_salted_
+    join) or AQE skew-join thresholds on a new 100 TB table: per key,
+    total rows, distinct keys, the heaviest key's row count and its
+    share of the table in integer micro-units, and the p50/p99 of the
+    per-key count distribution (a p99/p50 far above 1 = skewed).
+
+    Scale shape: one count aggregation per key (the same shuffle the
+    real join would do, so the diagnosis measures exactly what the
+    join will see) followed by a second aggregation over the KEY
+    relation (|keys| rows, with map-side partials); the final report
+    is a 4-row union. Exact percentiles on the count distribution use
+    the percentile == quantile_cont parity proven in
+    ext_text_length_quantiles; top-share is floor-divided BIGINT.
+    """
+    parts = []
+    for table, key in _SKEW_KEYS:
+        cnt = _t(spark, sf_dir, table).groupBy(key).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        parts.append(
+            cnt.agg(
+                F.lit(f"{table}.{key}").alias("key_name"),
+                F.sum("cnt").cast("long").alias("n_rows"),
+                F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.max("cnt").cast("long").alias("max_cnt"),
+                F.expr("max(cnt) * 1000000L DIV sum(cnt)").alias(
+                    "top_share_micros"
+                ),
+                F.expr("percentile(cnt, 0.5D)").alias("p50_cnt"),
+                F.expr("percentile(cnt, 0.99D)").alias("p99_cnt"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -58,3 +58,44 @@ def test_island_ids_are_one_based_and_ordered(spark):
     df = spark.createDataFrame(rows, "k string, s long, e long")
     out = interval_islands(df, ["k"], "s", "e").orderBy("s").collect()
     assert [r["island_id"] for r in out] == [1, 2, 3]
+
+
+# --- property: Spark island merge == brute-force Python merge ---
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_INTERVAL = st.tuples(
+    st.integers(min_value=0, max_value=60),
+    st.integers(min_value=0, max_value=12),
+)
+
+
+def _brute_merge(intervals, max_gap):
+    """Reference union: sort by (start, end), sweep with running max."""
+    out = []
+    for s, e in sorted(intervals):
+        if out and s <= out[-1][1] + 1 + max_gap:
+            out[-1][1] = max(out[-1][1], e)
+        else:
+            out.append([s, e])
+    return [tuple(x) for x in out]
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(_INTERVAL, min_size=1, max_size=40),
+    st.sampled_from([0, 1, 3]),
+)
+def test_islands_match_brute_force(spark, raw, max_gap):
+    rows = [("k", s, s + ln) for s, ln in raw]
+    got = _islands(spark, rows, max_gap=max_gap)
+    want = [
+        ("k", s, e) for s, e in _brute_merge([(s, e) for _, s, e in rows], max_gap)
+    ]
+    assert got == want
