@@ -86,3 +86,46 @@ def test_label_propagation_exchange_count_bounded(spark):
     assert len(unique_exchanges) <= 27, (
         f"unexpected exchange blowup: {sorted(unique_exchanges)}"
     )
+
+
+def test_gapfill_window_partitioned_and_calendar_broadcast(spark):
+    """Forward fill windows PARTITION BY part; the calendar side
+    (bounds-derived, days-sized) joins broadcast — shuffling the grid
+    to meet a 2500-row calendar would be backwards."""
+    plan = _plan(spark, "ext_gapfill_daily")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all(s.startswith("part_key") for s in specs), specs
+    assert "BroadcastExchange" in plan
+
+
+def test_event_transitions_totals_broadcast(spark):
+    """The per-source totals table is |event types|-sized and must
+    broadcast; the lag window is partitioned by user."""
+    plan = _plan(spark, "ext_event_transitions")
+    assert "BroadcastHashJoin" in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all(s.startswith("user_id") for s in specs), specs
+
+
+def test_text_postings_no_cartesian(spark):
+    plan = _plan(spark, "ext_text_postings")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dsir_ratio_table_broadcast(spark):
+    """The 4096-bucket ratio model must broadcast into per-doc
+    scoring — that bound is the point of the hashing trick."""
+    plan = _plan(spark, "ext_dsir_importance")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_global_score_rank_fully_partitioned(spark):
+    """All three rank passes run the two-pass trick: range
+    partitioning present, every row_number window keyed on _pid —
+    a bare global Window over the corpus would appear without one."""
+    plan = _plan(spark, "ext_global_score_rank")
+    assert "rangepartitioning" in plan.lower()
+    for line in plan.splitlines():
+        if "Window" in line and "row_number" in line:
+            assert "_pid" in line, line
