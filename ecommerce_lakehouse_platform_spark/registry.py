@@ -817,6 +817,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "ext_dsir_importance",
     "ext_global_score_rank",
     "ext_skew_diagnosis",
+    "ext_multitouch_attribution",
+    "ext_negative_edges",
     "ext_dedup_lines",
     "ext_rfm_segmentation",
     "ext_market_basket",

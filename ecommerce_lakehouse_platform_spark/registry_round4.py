@@ -1330,3 +1330,194 @@ def ext_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution with exact integer credit splitting
+# ---------------------------------------------------------------------------
+
+_ATTR_WINDOW_US = 86_400_000_000  # 1 day
+
+
+@query(
+    "ext_multitouch_attribution",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us
+      FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT user_id, event_id AS touch_id, event_type AS touch_type,
+        epoch_us(ts) AS t_us
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    j AS (
+      SELECT p.user_id, purchase_id, touch_id, touch_type, t_us,
+        COUNT(*) OVER (PARTITION BY purchase_id) AS n_touches,
+        ROW_NUMBER() OVER (
+          PARTITION BY purchase_id ORDER BY t_us, touch_id) AS rn
+      FROM p JOIN t ON p.user_id = t.user_id
+        AND t_us < p_us AND t_us >= p_us - {_ATTR_WINDOW_US}
+    )
+    SELECT user_id, purchase_id, touch_id, touch_type,
+      CAST(n_touches AS BIGINT) AS n_touches,
+      CAST(CASE WHEN rn = 1
+        THEN 1000000 - (n_touches - 1) * (1000000 // n_touches)
+        ELSE 1000000 // n_touches END AS BIGINT) AS credit_micros
+    FROM j
+    """,
+)
+def ext_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every view/click by the same
+    user in the day before a purchase shares the purchase's credit
+    equally — in integer micro-units, with the floor-division
+    remainder assigned to the EARLIEST touch so each purchase's
+    credits sum to exactly 1,000,000 (the invariant float splitting
+    can't give you; ties broken by touch id).
+
+    Scale shape: the touch-to-purchase pairing is an equi-join on the
+    user key with the day-window as a residual predicate — per-user
+    work, never cross-user; both windows (touch count, earliest-touch
+    rank) are PARTITIONED BY purchase, frames bounded by touches per
+    purchase-day. The same pattern at 100 TB pre-buckets both sides
+    by user (sources/bucketing) to skip the shuffle entirely.
+    """
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("p_us"),
+    )
+    t = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("touch_type"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+    )
+    j = p.join(t, ["user_id"]).filter(
+        (F.col("t_us") < F.col("p_us"))
+        & (F.col("t_us") >= F.col("p_us") - _ATTR_WINDOW_US)
+    )
+    wp = Window.partitionBy("purchase_id")
+    j = j.select(
+        "user_id",
+        "purchase_id",
+        "touch_id",
+        "touch_type",
+        F.count(F.lit(1)).over(wp).cast("long").alias("n_touches"),
+        F.row_number()
+        .over(wp.orderBy("t_us", "touch_id"))
+        .alias("rn"),
+    )
+    even = F.expr("1000000L DIV n_touches")
+    return j.select(
+        "user_id",
+        "purchase_id",
+        "touch_id",
+        "touch_type",
+        "n_touches",
+        F.when(
+            F.col("rn") == 1,
+            F.lit(1_000_000) - (F.col("n_touches") - 1) * even,
+        )
+        .otherwise(even)
+        .cast("long")
+        .alias("credit_micros"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic negative-edge sampling (link-prediction training data)
+# ---------------------------------------------------------------------------
+
+_NEG_K = 3
+
+
+@query(
+    "ext_negative_edges",
+    oracle=f"""
+    WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+    nodes AS (SELECT DISTINCT l_partkey AS node FROM li),
+    mx AS (SELECT MAX(p_partkey) AS max_pk FROM part),
+    cand AS (
+      SELECT node, CAST(j AS BIGINT) AS j,
+        1 + CAST(('0x' || substring(
+              md5('neg:' || CAST(node AS VARCHAR) || ':' || CAST(j AS VARCHAR)),
+              1, 8)) AS BIGINT) % max_pk AS partner
+      FROM nodes CROSS JOIN mx,
+           unnest(range(1, {_NEG_K} + 1)) AS u(j)
+    ),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+    )
+    SELECT c.node, c.partner, c.j
+    FROM cand c
+    WHERE c.partner != c.node
+      AND NOT EXISTS (
+        SELECT 1 FROM edges e WHERE e.src = c.node AND e.dst = c.partner
+      )
+    """,
+)
+def ext_negative_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative sampling for link prediction on the co-purchase
+    graph: each node proposes 3 pseudo-random partners (salted-md5
+    of (node, slot) modulo the part-key domain — deterministic, no
+    RNG, stable under retries), then self-pairs and REAL co-purchase
+    edges are removed by anti-join. What survives is the (node,
+    non-neighbor) training negatives a ranking loss needs.
+
+    Scale shape: candidate generation is map-side (3 rows per node
+    off a broadcast max-key scalar); the reality check is one
+    LEFT ANTI equi-join against the edge relation, partitioned on
+    the pair key — the canonical "subtract known positives" shape.
+    Collisions (a proposed partner that IS a neighbor) are dropped,
+    not resampled: at graph sparsity the loss is a few percent and
+    resampling would need data-dependent iteration.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    nodes = li.select(F.col("l_partkey").alias("node")).distinct()
+    mx = _t(spark, sf_dir, "part").agg(F.max("p_partkey").alias("max_pk"))
+    cand = (
+        nodes.crossJoin(F.broadcast(mx))
+        .select(
+            "node",
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.lit(_NEG_K).cast("long"))
+            ).alias("j"),
+            "max_pk",
+        )
+        .select(
+            "node",
+            "j",
+            (
+                1
+                + F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "",
+                                F.lit("neg:"),
+                                F.col("node").cast("string"),
+                                F.lit(":"),
+                                F.col("j").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("max_pk")
+            ).alias("partner"),
+        )
+        .filter(F.col("partner") != F.col("node"))
+    )
+    edges = _copurchase_edges(li)
+    return cand.join(
+        edges,
+        (cand["node"] == edges["src"]) & (cand["partner"] == edges["dst"]),
+        "left_anti",
+    ).select("node", "partner", "j")
