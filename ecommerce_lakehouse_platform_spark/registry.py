@@ -819,6 +819,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "ext_skew_diagnosis",
     "ext_multitouch_attribution",
     "ext_negative_edges",
+    "ext_langid_confusion",
+    "ext_peak_concurrency",
     "ext_dedup_lines",
     "ext_rfm_segmentation",
     "ext_market_basket",

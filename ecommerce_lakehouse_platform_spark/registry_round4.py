@@ -1521,3 +1521,158 @@ def ext_negative_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cand["node"] == edges["src"]) & (cand["partner"] == edges["dst"]),
         "left_anti",
     ).select("node", "partner", "j")
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix (classifier evaluation)
+# ---------------------------------------------------------------------------
+
+
+def _langid_confusion_oracle() -> str:
+    from .registry_ext import _RATIOS
+
+    pred = f"""
+      CASE
+        WHEN r_en > 0 AND r_en = GREATEST(r_en, r_es, r_fr, r_de) THEN 'en'
+        WHEN r_es > 0 AND r_es = GREATEST(r_en, r_es, r_fr, r_de) THEN 'es'
+        WHEN r_fr > 0 AND r_fr = GREATEST(r_en, r_es, r_fr, r_de) THEN 'fr'
+        WHEN r_de > 0 AND r_de = GREATEST(r_en, r_es, r_fr, r_de) THEN 'de'
+        ELSE 'und' END"""
+    return f"""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+               FROM documents),
+    r AS (
+      SELECT doc_id, lang,
+        {_RATIOS["en"]} AS r_en, {_RATIOS["es"]} AS r_es,
+        {_RATIOS["fr"]} AS r_fr, {_RATIOS["de"]} AS r_de
+      FROM t
+    ),
+    p AS (SELECT lang AS actual, {pred} AS predicted FROM r),
+    cm AS (
+      SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n
+      FROM p GROUP BY 1, 2
+    ),
+    tot AS (SELECT actual, SUM(n) AS actual_total FROM cm GROUP BY 1)
+    SELECT cm.actual, cm.predicted, cm.n,
+      CAST(tot.actual_total AS BIGINT) AS actual_total,
+      CAST(cm.n * 1000000 // tot.actual_total AS BIGINT) AS share_micros,
+      cm.actual = cm.predicted AS is_correct
+    FROM cm JOIN tot ON cm.actual = tot.actual
+    """
+
+
+@query("ext_langid_confusion", oracle=_langid_confusion_oracle())
+def ext_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a first-class pipeline op: the
+    confusion matrix of the stopword-overlap language detector
+    (functions/text.langid) against the labeled lang column, with
+    per-actual-language share in integer micro-units — the
+    recall-per-class report you gate a heuristic classifier on
+    before letting it route corpus slices. ('zh' has no stopword
+    list, so its row shows exactly where the detector says 'und' —
+    the matrix surfaces the model's blind spot honestly.)
+
+    Scale shape: the scoring is map-side (array built-ins per row);
+    the matrix is a |langs|^2-key aggregation with map-side partials,
+    and the per-class totals re-aggregate from the matrix itself
+    (25 rows), broadcast back. Nothing touches the corpus twice.
+    """
+    from .functions import text as T
+
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
+    p = docs.select(
+        F.col("lang").alias("actual"),
+        T.langid(F.col("text")).alias("predicted"),
+    )
+    cm = p.groupBy("actual", "predicted").agg(F.count(F.lit(1)).alias("n"))
+    tot = cm.groupBy("actual").agg(F.sum("n").alias("actual_total"))
+    return (
+        cm.join(F.broadcast(tot), "actual")
+        .select(
+            "actual",
+            "predicted",
+            "n",
+            "actual_total",
+            F.expr("n * 1000000L DIV actual_total").alias("share_micros"),
+            (F.col("actual") == F.col("predicted")).alias("is_correct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Peak concurrency via sweep line (+1/-1 boundary events)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ext_peak_concurrency",
+    oracle="""
+    WITH spans AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        epoch_us(MIN(ts)) AS lo, epoch_us(MAX(ts)) + 1 AS hi
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT user_id, day, lo AS us, 1 AS delta FROM spans
+      UNION ALL
+      SELECT user_id, day, hi AS us, -1 AS delta FROM spans
+    ),
+    c AS (
+      SELECT day, us, delta,
+        SUM(delta) OVER (
+          PARTITION BY day ORDER BY us, delta DESC, user_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+      FROM b
+    )
+    SELECT day,
+      CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_users,
+      CAST(MAX(conc) AS BIGINT) AS peak_concurrency
+    FROM c GROUP BY 1
+    """,
+)
+def ext_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent active users per day by sweep line: each
+    user's daily activity span [first event, last event] becomes a
+    +1 boundary at its start and a -1 just past its end; the running
+    sum over boundaries ordered by time is the instantaneous
+    concurrency, and its max is the day's peak — the capacity-
+    planning number a max-overlap interval query answers without
+    ever joining intervals pairwise (O(n log n), not O(n^2)).
+
+    Determinism: the boundary order is total (time, +1 before -1 at
+    the same instant, user tiebreak), and the running-sum max is
+    invariant under any reordering within equal (time, delta) keys.
+    Scale shape: span extraction is one groupBy; the sweep is a
+    window PARTITIONED BY day — the sweep line is inherently
+    sequential per partition, so the partition key chooses the
+    parallelism/granularity tradeoff (finer keys (hour) bound the
+    frame at higher volume; the merge across boundaries then adds a
+    per-key offset pass, same trick as operators/ranking.py).
+    """
+    ev = _t(spark, sf_dir, "events")
+    spans = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.unix_micros(F.min("ts").cast("timestamp")).alias("lo"),
+        (F.unix_micros(F.max("ts").cast("timestamp")) + 1).alias("hi"),
+    )
+    b = spans.select(
+        "user_id", "day", F.col("lo").alias("us"), F.lit(1).alias("delta")
+    ).unionByName(
+        spans.select(
+            "user_id", "day", F.col("hi").alias("us"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy(F.col("us"), F.col("delta").desc(), F.col("user_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = b.select("day", "delta", F.sum("delta").over(w).alias("conc"))
+    return c.groupBy("day").agg(
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_users"),
+        F.max("conc").cast("long").alias("peak_concurrency"),
+    )
