@@ -821,6 +821,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "ext_negative_edges",
     "ext_langid_confusion",
     "ext_peak_concurrency",
+    "ext_time_to_convert",
+    "ext_winsorized_stats",
     "ext_dedup_lines",
     "ext_rfm_segmentation",
     "ext_market_basket",

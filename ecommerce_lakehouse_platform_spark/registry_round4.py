@@ -1676,3 +1676,156 @@ def ext_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_users"),
         F.max("conc").cast("long").alias("peak_concurrency"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel time-to-convert distribution
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ext_time_to_convert",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS first_view FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    p AS (
+      SELECT user_id, MIN(ts) AS first_purchase FROM events
+      WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    c AS (
+      SELECT v.user_id, CAST(date_trunc('day', first_view) AS DATE) AS cohort_day,
+        (epoch_us(first_purchase) - epoch_us(first_view)) // 1000000 AS lag_sec
+      FROM v JOIN p ON v.user_id = p.user_id
+      WHERE first_purchase >= first_view
+    )
+    SELECT cohort_day,
+      CAST(COUNT(*) AS BIGINT) AS n_converted,
+      quantile_cont(lag_sec, 0.5) AS p50_sec,
+      quantile_cont(lag_sec, 0.9) AS p90_sec,
+      CAST(MAX(lag_sec) AS BIGINT) AS max_sec
+    FROM c GROUP BY 1
+    """,
+)
+def ext_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for every user whose first
+    purchase follows their first view, the view→purchase lag in
+    seconds, rolled up by first-view cohort day with exact p50/p90 —
+    the funnel-velocity metric behind "how long does conversion
+    take", computed from two staged MIN aggregations instead of a
+    pairwise event join.
+
+    Scale shape: two per-user MIN aggregations (one scan each with
+    map-side partials), a user-key equi-join of the two user-sized
+    relations, then a cohort-day rollup whose exact percentiles use
+    the percentile == quantile_cont parity. No window over raw
+    events, no interval self-join.
+    """
+    ev = _t(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("first_view")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").groupBy("user_id").agg(
+        F.min("ts").alias("first_purchase")
+    )
+    c = (
+        v.join(p, ["user_id"])
+        .filter(F.col("first_purchase") >= F.col("first_view"))
+        .select(
+            F.to_date("first_view").alias("cohort_day"),
+            # exact BIGINT DIV, not double division + cast: a double
+            # quotient can round up across the integer boundary where
+            # the oracle's integer // truncates
+            (
+                F.unix_micros(F.col("first_purchase").cast("timestamp"))
+                - F.unix_micros(F.col("first_view").cast("timestamp"))
+            ).alias("lag_us"),
+        )
+        .select(
+            "cohort_day",
+            F.expr("lag_us DIV 1000000L").alias("lag_sec"),
+        )
+    )
+    return c.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.expr("percentile(lag_sec, 0.5D)").alias("p50_sec"),
+        F.expr("percentile(lag_sec, 0.9D)").alias("p90_sec"),
+        F.max("lag_sec").cast("long").alias("max_sec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized robust statistics per group
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ext_winsorized_stats",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderpriority,
+        quantile_cont(o_totalprice, 0.05) AS p05,
+        quantile_cont(o_totalprice, 0.95) AS p95
+      FROM orders GROUP BY 1
+    )
+    SELECT o.o_orderpriority,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(CAST(FLOOR(
+        LEAST(GREATEST(o.o_totalprice, b.p05), b.p95) * 1000000.0
+      ) AS BIGINT)) AS BIGINT) AS winsorized_sum_micros,
+      CAST(SUM(CAST(FLOOR(
+        LEAST(GREATEST(o.o_totalprice, b.p05), b.p95) * 1000000.0
+      ) AS BIGINT)) // COUNT(*) AS BIGINT) AS winsorized_mean_micros,
+      CAST(SUM(CASE WHEN o.o_totalprice < b.p05 OR o.o_totalprice > b.p95
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
+    FROM orders o JOIN b USING (o_orderpriority)
+    GROUP BY 1
+    """,
+)
+def ext_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (outlier-clamped) group means: order totals clipped
+    to each priority class's exact [p05, p95] band before averaging —
+    the robust-mean alternative to dropping outliers (ext_outlier_iqr
+    flags them; this bounds their influence and keeps the rows).
+
+    Determinism: the clamp bounds are exact interpolated percentiles
+    (deterministic doubles, identical in both engines); each clamped
+    value is floored to integer micro-units — the SAME double product
+    in both engines, so the floor agrees bit-for-bit even on inexact
+    binary representations — and the group mean is pure BIGINT
+    sum-and-divide, order-independent.
+
+    Scale shape: pass 1 computes the per-group percentile bounds
+    (|groups| rows, map-side partials); pass 2 re-scans with the
+    bounds joined BROADCAST and aggregates clamped micros — two scans
+    total, the unavoidable minimum for data-dependent clamp bounds.
+    """
+    o = _t(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    b = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.05D)").alias("p05"),
+        F.expr("percentile(o_totalprice, 0.95D)").alias("p95"),
+    )
+    clamped_micros = F.floor(
+        F.least(F.greatest(F.col("o_totalprice"), F.col("p05")), F.col("p95"))
+        * F.lit(1_000_000.0)
+    ).cast("long")
+    return (
+        o.join(F.broadcast(b), ["o_orderpriority"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(clamped_micros).cast("long").alias("winsorized_sum_micros"),
+            F.expr(
+                "CAST(sum(CAST(FLOOR(LEAST(GREATEST(o_totalprice, p05), p95)"
+                " * 1000000.0D) AS BIGINT)) DIV count(1) AS BIGINT)"
+            ).alias("winsorized_mean_micros"),
+            F.sum(
+                F.when(
+                    (F.col("o_totalprice") < F.col("p05"))
+                    | (F.col("o_totalprice") > F.col("p95")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_clamped"),
+        )
+    )
