@@ -71,6 +71,10 @@ HEADLINE = [
     "ext_label_propagation",
     "ext_text_postings",
     "ext_gapfill_daily",
+    "ext_dup_span_islands",
+    "ext_dsir_importance",
+    "ext_multitouch_attribution",
+    "ext_peak_concurrency",
 ]
 
 

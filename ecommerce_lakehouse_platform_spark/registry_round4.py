@@ -1,8 +1,12 @@
 """Round-4 registry: corpus boilerplate removal, customer value
 segmentation, association rules, record-linkage blocking, lakehouse
 file-compaction planning, community detection, time-series gap fill,
-Markov event transitions, positional inverted index, k-hop BFS, and
-the streaming left-outer interval join.
+Markov event transitions, positional inverted index, k-hop BFS, the
+streaming left-outer interval join, maximal duplicated-span islands,
+DSIR importance resampling, global tie-aware ranking, join-key skew
+diagnosis, multi-touch attribution, negative-edge sampling, language
+-ID confusion evaluation, sweep-line peak concurrency, funnel
+time-to-convert, and winsorized robust means.
 
 Same determinism contract as registry.py: integer / DECIMAL-routed
 arithmetic wherever a float sum or division would be order- or
