@@ -129,3 +129,29 @@ def test_global_score_rank_fully_partitioned(spark):
     for line in plan.splitlines():
         if "Window" in line and "row_number" in line:
             assert "_pid" in line, line
+
+
+def test_multitouch_windows_partitioned_by_purchase(spark):
+    plan = _plan(spark, "ext_multitouch_attribution")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all(s.startswith("purchase_id") for s in specs), specs
+    assert "CartesianProduct" not in plan
+
+
+def test_negative_edges_uses_anti_join(spark):
+    plan = _plan(spark, "ext_negative_edges")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_peak_concurrency_sweep_partitioned_by_day(spark):
+    plan = _plan(spark, "ext_peak_concurrency")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all(s.startswith("day") for s in specs), specs
+
+
+def test_winsorized_bounds_broadcast(spark):
+    """The |groups|-sized percentile-bounds relation joins broadcast
+    into the second scan."""
+    plan = _plan(spark, "ext_winsorized_stats")
+    assert "BroadcastHashJoin" in plan
