@@ -823,6 +823,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "ext_peak_concurrency",
     "ext_time_to_convert",
     "ext_winsorized_stats",
+    "ext_time_decayed_ltv",
     "ext_dedup_lines",
     "ext_rfm_segmentation",
     "ext_market_basket",

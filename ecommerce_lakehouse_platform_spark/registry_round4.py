@@ -1833,3 +1833,71 @@ def ext_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_clamped"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-decayed lifetime value
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ext_time_decayed_ltv",
+    oracle="""
+    WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS as_of FROM orders),
+    w AS (
+      SELECT o_custkey AS custkey,
+        CAST(CAST(o_totalprice AS DECIMAL(30,6)) * 100 AS BIGINT) AS cents,
+        CAST(FLOOR(exp(-date_diff('day', CAST(o_orderdate AS DATE),
+                                  (SELECT as_of FROM mx)) / 365.0)
+                   * 10000) AS BIGINT) AS w_e4
+      FROM orders
+    )
+    SELECT custkey,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(SUM(cents) AS BIGINT) AS raw_cents,
+      CAST(SUM(cents * w_e4) AS BIGINT) AS decayed_cents_e4,
+      CAST(SUM(cents * w_e4) // 10000 AS BIGINT) AS decayed_cents
+    FROM w GROUP BY 1
+    """,
+)
+def ext_time_decayed_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed customer lifetime value: each
+    order's spend is weighted by exp(-age/365d) as of the newest
+    order date, so a dollar spent a year ago counts ~0.37x — the
+    recency-weighted LTV that ranks "valuable now" rather than
+    "valuable ever" (complements ext_rfm_segmentation's discrete
+    recency tile with a continuous decay).
+
+    Determinism: money enters as exact integer cents via the proven
+    DECIMAL(30,6) route; each order's decay weight is exp() on an
+    identical double in both engines floored ONCE to 1e-4 units;
+    the per-customer rollup is then pure BIGINT cents x weight sums —
+    order-independent (same floored-transcendental caveat as
+    ext_lm_perplexity). Magnitudes: max cents ~5.5e7 x 1e4 x ~40
+    orders ~ 2e13, far inside BIGINT.
+
+    Scale shape: one map-side weight projection off a broadcast
+    as-of scalar, one customer-key aggregation. Nothing else.
+    """
+    o = _t(spark, sf_dir, "orders")
+    mx = o.agg(F.max(F.to_date("o_orderdate")).alias("as_of"))
+    w = o.crossJoin(F.broadcast(mx)).select(
+        F.col("o_custkey").alias("custkey"),
+        (F.col("o_totalprice").cast("decimal(30,6)") * 100)
+        .cast("long")
+        .alias("cents"),
+        F.floor(
+            F.exp(
+                -F.datediff("as_of", F.to_date("o_orderdate")) / F.lit(365.0)
+            )
+            * 10_000
+        ).cast("long").alias("w_e4"),
+    )
+    return w.groupBy("custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("raw_cents"),
+        F.sum(F.col("cents") * F.col("w_e4")).cast("long").alias(
+            "decayed_cents_e4"
+        ),
+        F.expr("sum(cents * w_e4) DIV 10000L").alias("decayed_cents"),
+    )
