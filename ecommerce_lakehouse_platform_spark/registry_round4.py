@@ -15,9 +15,10 @@ micro-units, money through DECIMAL(30,6)), explicit tiebreaks on
 every window, and a DuckDB oracle per query.
 
 Scale notes are per-query; the common thread is that nothing here
-introduces a single-task global window — the one global total order
-(RFM ntile) goes through operators/ranking.py's two-pass
-range-partitioned rank instead of ``Window.orderBy`` without keys.
+introduces a single-task global window — every global total order
+(RFM ntile, the score leaderboard's RANK/DENSE_RANK/PERCENT_RANK)
+goes through operators/ranking.py's two-pass range-partitioned rank
+instead of ``Window.orderBy`` without keys.
 """
 
 from __future__ import annotations
