@@ -824,6 +824,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "ext_time_to_convert",
     "ext_winsorized_stats",
     "ext_time_decayed_ltv",
+    "ext_bpe_apply_merge",
     "ext_dedup_lines",
     "ext_rfm_segmentation",
     "ext_market_basket",

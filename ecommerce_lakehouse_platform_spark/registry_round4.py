@@ -1902,3 +1902,111 @@ def ext_time_decayed_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr("sum(cents * w_e4) DIV 10000L").alias("decayed_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge application (the tokenizer-training iteration step)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ext_bpe_apply_merge",
+    oracle="""
+    WITH w AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    wf AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM w WHERE length(word) >= 2 GROUP BY 1
+    ),
+    p AS (
+      SELECT substr(word, CAST(i AS INTEGER), 1) AS pa,
+             substr(word, CAST(i AS INTEGER) + 1, 1) AS pb,
+             SUM(freq) AS cnt
+      FROM wf, unnest(range(1, length(word))) AS u(i)
+      GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT pa, pb FROM p ORDER BY cnt DESC, pa, pb LIMIT 1
+    ),
+    m AS (
+      SELECT wf.word, wf.freq,
+        replace(array_to_string(regexp_extract_all(wf.word, '.'), ' '),
+                pa || ' ' || pb, pa || pb) AS merged_tokens,
+        pa || pb AS merged_pair
+      FROM wf CROSS JOIN best
+    )
+    SELECT word, freq, merged_tokens, merged_pair,
+      CAST(length(word) AS BIGINT) AS n_tokens_before,
+      CAST(len(string_split(merged_tokens, ' ')) AS BIGINT) AS n_tokens_after
+    FROM m
+    """,
+)
+def ext_bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full BPE training iteration, end to end: count weighted
+    adjacent character pairs over the word-frequency vocabulary
+    (ext_bpe_pair_counts' shape), pick the single best merge
+    (count-desc with lexicographic tiebreak), and APPLY it to every
+    vocabulary word — left-to-right non-overlapping, the exact greedy
+    semantics of BPE ('aaa' + merge(a,a) -> [aa, a]), which both
+    engines' plain ``replace`` implements identically. Output per
+    word: the post-merge token sequence and the before/after token
+    counts (their delta, freq-weighted, is the compression the merge
+    bought). Iterating this to a full merge table is a driver loop of
+    the same step.
+
+    Scale shape: everything downstream of the word-frequency
+    aggregate is vocabulary-sized, not corpus-sized (the
+    aggregate-below-the-generator move the pair-count plan pins);
+    the chosen merge is a broadcast 1-row relation; merge application
+    is map-side string rewriting. Single-char tokens make the spaced
+    representation collision-free for this round; later rounds
+    delimit with a sentinel before matching multi-char tokens.
+    """
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
+    wf = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    p = (
+        wf.select(
+            "word",
+            "freq",
+            F.explode(
+                F.sequence(F.lit(1), F.length("word") - 1)
+            ).alias("i"),
+        )
+        .select(
+            F.expr("substr(word, i, 1)").alias("pa"),
+            F.expr("substr(word, i + 1, 1)").alias("pb"),
+            "freq",
+        )
+        .groupBy("pa", "pb")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+    best = p.orderBy(F.col("cnt").desc(), "pa", "pb").limit(1).select("pa", "pb")
+    spaced = F.array_join(
+        F.regexp_extract_all(F.col("word"), F.lit("."), 0), " "
+    )
+    m = wf.crossJoin(F.broadcast(best)).select(
+        "word",
+        "freq",
+        F.replace(
+            spaced,
+            F.concat_ws(" ", F.col("pa"), F.col("pb")),
+            F.concat(F.col("pa"), F.col("pb")),
+        ).alias("merged_tokens"),
+        F.concat(F.col("pa"), F.col("pb")).alias("merged_pair"),
+    )
+    return m.select(
+        "word",
+        "freq",
+        "merged_tokens",
+        "merged_pair",
+        F.length("word").cast("long").alias("n_tokens_before"),
+        F.size(F.split("merged_tokens", " ")).cast("long").alias(
+            "n_tokens_after"
+        ),
+    )
