@@ -155,3 +155,21 @@ def test_winsorized_bounds_broadcast(spark):
     into the second scan."""
     plan = _plan(spark, "ext_winsorized_stats")
     assert "BroadcastHashJoin" in plan
+
+
+def test_round4_queries_inside_driver_prefix():
+    """The external harness hash-checks only the FIRST 50 keys of
+    queries(); every round-4 query is new (no prior driver row), so
+    all of them must sit inside that prefix or they ship unchecked."""
+    import __spark_entry__ as entry
+
+    keys = list(entry.queries())
+    prefix = set(keys[:50])
+    r4 = [
+        name
+        for name, fn in entry.queries().items()
+        if getattr(fn, "__module__", "").endswith("registry_round4")
+    ]
+    assert r4, "round-4 registry registered nothing?"
+    outside = [q for q in r4 if q not in prefix]
+    assert outside == [], f"round-4 queries outside the checked prefix: {outside}"
