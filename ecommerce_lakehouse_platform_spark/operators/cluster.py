@@ -43,10 +43,19 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["connected_components", "dedup_clusters"]
+
+# Per-round wall times of the most recent connected_components run
+# (seconds; one entry per propagate+jump+probe round). The loop is
+# already eager (each round localCheckpoints and runs a convergence
+# probe), so recording costs nothing extra; benchmarks read this to
+# attribute iterative-query variance to a specific round.
+LAST_ITER_TIMES: list[float] = []
 
 
 def connected_components(
@@ -76,7 +85,9 @@ def connected_components(
     )
 
     prev_sum = None
+    LAST_ITER_TIMES.clear()
     for it in range(max_iter):
+        iter_start = time.perf_counter()
         # 1-hop: every node offers its label to each neighbor
         msgs = und.join(labels, und["a"] == labels["node"]).select(
             F.col("b").alias("node"), "label"
@@ -107,6 +118,7 @@ def connected_components(
         cur_sum = new.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
+        LAST_ITER_TIMES.append(time.perf_counter() - iter_start)
         if prev_sum is not None and cur_sum == prev_sum:
             break
         prev_sum = cur_sum

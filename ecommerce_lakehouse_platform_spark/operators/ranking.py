@@ -35,6 +35,21 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _range_partitioned(df: DataFrame, order_cols: list[Column]) -> DataFrame:
+    """Range-partition on the sort key and stamp each row with its
+    physical partition id. Exposed separately so plan tests can pin
+    the rangepartitioning exchange on the pre-persist frame."""
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    # no sortWithinPartitions here: the local-rank window downstream
+    # sorts by (_pid, order_cols) anyway, so a pre-sort would be a
+    # wasted pass
+    part = df.repartitionByRange(n_part, *order_cols)
+    # spark_partition_id() is nondeterministic-flagged, which pins the
+    # projection at this point in the plan (it cannot be pushed across
+    # the exchange and re-evaluated against different partitions)
+    return part.withColumn("_pid", F.spark_partition_id())
+
+
 def global_row_number(
     df: DataFrame,
     order_cols: list[Column],
@@ -45,19 +60,32 @@ def global_row_number(
     ``order_cols`` must define a *total* order (include a unique key
     as the last column) — otherwise tied rows get an arbitrary but
     still consistent ordering within the tie.
+
+    The range-partitioned frame is ``persist()``ed before it fans out
+    to the two consumers (the local-rank branch and the per-partition
+    count branch). This is a correctness requirement, not a perf
+    tweak: ``repartitionByRange`` SAMPLES its boundaries, and without
+    materialization the two consumer subtrees can be planned as two
+    separate exchanges (column pruning makes them non-identical, so
+    ReusedExchange cannot be assumed) whose independent samples assign
+    rows to DIFFERENT partitions — per-partition counts would then be
+    joined against ranks from a different partitioning, silently
+    corrupting the global rank. The persisted InMemoryRelation is one
+    RDD with one RangePartitioner instance, so every consumer sees the
+    same ``_pid``; its boundaries are computed once at job submission
+    and reused even when a lost cached partition is recomputed.
+
+    Cache discipline: one MEMORY_AND_DISK entry per call, bounded by
+    the input frame. Loopy callers should ``spark.catalog.clearCache()``
+    between invocations (bench.py does) or unpersist via the returned
+    frame's lineage.
     """
-    n_part = df.sparkSession.sparkContext.defaultParallelism
-    # no sortWithinPartitions here: the local-rank window below sorts
-    # by (_pid, order_cols) anyway, so a pre-sort would be a wasted pass
-    part = df.repartitionByRange(n_part, *order_cols)
-    # spark_partition_id() is nondeterministic-flagged, which pins the
-    # projection at this point in the plan (it cannot be pushed across
-    # the exchange below and re-evaluated against different partitions)
-    local = part.withColumn("_pid", F.spark_partition_id()).withColumn(
+    part = _range_partitioned(df, order_cols).persist()
+    local = part.withColumn(
         "_lrn",
         F.row_number().over(Window.partitionBy("_pid").orderBy(*order_cols)),
     )
-    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    counts = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
     # W rows → the unpartitioned window here is a single task over a
     # broadcast-sized frame, which is the point of the two-pass trick
     off_w = (
@@ -74,6 +102,14 @@ def global_row_number(
     )
 
 
+def _idiv(a: Column, b: Column) -> Column:
+    """Exact integral division of non-negative longs (`div`, the SQL
+    IntegralDivide). Double division + cast-truncation is only exact
+    while operands stay within 2^53; integer division is exact at any
+    BIGINT magnitude."""
+    return F.call_function("div", a.cast("long"), b.cast("long"))
+
+
 def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
     """SQL ``NTILE(k)`` from a 1-based global rank and total count.
 
@@ -81,15 +117,15 @@ def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
     first ``r`` buckets hold ``q+1`` rows and the rest hold ``q``.
     ``greatest(q, 1)`` guards the (n < k) divisor; that branch is
     never *selected* when q == 0 because rank <= n = r*(q+1) there.
+    All arithmetic is integral (``div``), so bucketing stays exact
+    past 2^53 rows where a 1-ULP double round-up would mis-bucket.
     """
-    q = (n / F.lit(k)).cast("long")
+    q = _idiv(n, F.lit(k))
     r = n % F.lit(k)
     big = r * (q + 1)
     return (
-        F.when(rank <= big, ((rank - 1) / (q + 1)).cast("long") + 1)
-        .otherwise(
-            r + ((rank - 1 - big) / F.greatest(q, F.lit(1))).cast("long") + 1
-        )
+        F.when(rank <= big, _idiv(rank - 1, q + 1) + 1)
+        .otherwise(r + _idiv(rank - 1 - big, F.greatest(q, F.lit(1))) + 1)
         .cast("int")
     )
 

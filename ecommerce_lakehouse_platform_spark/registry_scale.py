@@ -125,15 +125,11 @@ def _pagerank_oracle(iterations: int = 3) -> str:
     return sql + f"\n    SELECT node AS part_key, rank_micros FROM {prev}"
 
 
-@query("ext_pagerank_copurchase", oracle=_pagerank_oracle(3))
-def ext_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank (3 iterations, d=0.85) over the product co-purchase
-    graph: parts are vertices, distinct same-order part pairs are
-    directed edges both ways. Integer micro-unit arithmetic makes the
-    iterative result bit-exact and order-independent, so the oracle
-    replays the same iterations as unrolled CTEs. Per iteration the
-    plan is one equi-join + one sum shuffle on the node key — the
-    scalable shape for iterative graph ranking."""
+def _copurchase_graph(spark: SparkSession, sf_dir: str):
+    """(nodes, edges) of the product co-purchase graph: parts are
+    vertices, distinct same-order part pairs are directed edges both
+    ways. Shared by the registered query and the instrumented
+    per-iteration bench profile."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     nodes = li.select(F.col("l_partkey").alias("node")).distinct()
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
@@ -144,9 +140,39 @@ def ext_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
         .distinct()
     )
+    return nodes, edges
+
+
+@query("ext_pagerank_copurchase", oracle=_pagerank_oracle(3))
+def ext_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 iterations, d=0.85) over the product co-purchase
+    graph (see _copurchase_graph). Integer micro-unit arithmetic makes
+    the iterative result bit-exact and order-independent, so the
+    oracle replays the same iterations as unrolled CTEs. Per iteration
+    the plan is one equi-join + one sum shuffle on the node key — the
+    scalable shape for iterative graph ranking."""
+    nodes, edges = _copurchase_graph(spark, sf_dir)
     # parts are a bounded dimension → broadcast the rank table
     ranks = pagerank_int(nodes, edges, iterations=3, broadcast_ranks=True)
     return ranks.select(F.col("node").alias("part_key"), "rank_micros")
+
+
+def pagerank_iter_profile(spark: SparkSession, sf_dir: str) -> list[float]:
+    """Run ext_pagerank_copurchase's exact graph through the
+    instrumented eager path and return per-iteration wall times.
+    bench.py reports these so iterative-query variance is attributable
+    (a slow run shows WHICH iteration absorbed the GC/cache churn).
+    Same result, same per-iteration plan; each iteration is forced by
+    an eager localCheckpoint and the cached relations are unpersisted
+    before returning."""
+    from .operators import pagerank as _pr
+
+    nodes, edges = _copurchase_graph(spark, sf_dir)
+    ranks = pagerank_int(
+        nodes, edges, iterations=3, broadcast_ranks=True, eager_iter=True
+    )
+    ranks.write.mode("overwrite").format("noop").save()
+    return list(_pr.LAST_ITER_TIMES)
 
 
 @query(

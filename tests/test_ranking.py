@@ -135,3 +135,27 @@ def test_percent_rank_single_row(spark):
         percent_rank_from_rank(F.lit(1), F.lit(1)).alias("p")
     ).first()
     assert row["p"] == 0.0
+
+
+def test_global_row_number_single_range_exchange(spark):
+    """The range-partitioned (_pid-stamped) frame must be materialized
+    (persisted) before it fans out to the count branch and the rank
+    branch. Two independently-planned range exchanges would each
+    SAMPLE their own boundaries and could assign rows different _pids
+    — per-partition counts joined against ranks from a different
+    partitioning silently corrupt the global rank. The pin: both
+    consumers read one InMemoryRelation, so the final plan shows
+    InMemoryTableScans and NO bare rangepartitioning exchange outside
+    the cached subplan's inline print."""
+    df = _mk(spark, 500)
+    got = global_row_number(df, [F.col("key"), F.col("id")], rank_col="r")
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = got._jdf.queryExecution().explainString(jmode)
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    # the range exchange lives inside the cached relation (printed
+    # inline at the scans); the outer plan must not re-plan it
+    head = plan.split("InMemoryRelation")[0]
+    assert "rangepartitioning" not in head.lower(), head
+    spark.catalog.clearCache()
