@@ -1098,7 +1098,7 @@ _DSIR_B = 4096  # hashed feature-space size
       SELECT s.b,
         CAST(FLOOR((ln(COALESCE(c_t, 0) + 1) - ln(c_s + 1)
                     - ln(n_t + {_DSIR_B}.0) + ln(n_s + {_DSIR_B}.0))
-                   * 1000000) AS BIGINT) AS term_micros
+                   * 10000) AS BIGINT) AS term_e4
       FROM src s LEFT JOIN tgt t ON s.b = t.b CROSS JOIN tot
     ),
     dtf AS (
@@ -1108,10 +1108,10 @@ _DSIR_B = 4096  # hashed feature-space size
     )
     SELECT doc_id, any_value(lang) AS lang,
       CAST(SUM(tf) AS BIGINT) AS n_tokens,
-      CAST(SUM(tf * term_micros) AS BIGINT) AS score_micros,
-      CAST(FLOOR(1.0 * SUM(tf * term_micros) / SUM(tf)) AS BIGINT)
-        AS per_token_micros,
-      SUM(tf * term_micros) >= 0 AS keep
+      CAST(SUM(tf * term_e4) AS BIGINT) AS score_e4,
+      CAST(FLOOR(1.0 * SUM(tf * term_e4) / SUM(tf)) AS BIGINT)
+        AS per_token_e4,
+      SUM(tf * term_e4) >= 0 AS keep
     FROM dtf JOIN ratio USING (b)
     GROUP BY doc_id
     """,
@@ -1127,13 +1127,14 @@ def ext_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     marks docs more target-like than source-like.
 
     Determinism: each bucket's log-ratio is floored to integer
-    micro-units ONCE (a deterministic scalar from global counts);
+    1e-4 units ONCE (a deterministic scalar from global counts);
     per-doc scores are then pure BIGINT tf-weighted sums — order-
-    independent, so both engines agree bit-for-bit. (Same floored-ln
-    caveat as ext_lm_perplexity: a 1-ULP libm divergence landing
-    exactly on a floor boundary is the accepted residual risk.) The
-    per-token average divides as IEEE doubles identically in both
-    engines before one floor.
+    independent, so both engines agree bit-for-bit. The quantum is
+    1e4 (coarsened from 1e6 per the r4 advice, same as
+    ext_lm_perplexity): a multi-ULP libm divergence sits far below
+    the floor-boundary spacing, and only ≤4096 bucket values are ever
+    floored. The per-token average divides as IEEE doubles
+    identically in both engines before one floor.
 
     Scale shape: two bucket-count aggregations (<= 4096 groups, one
     shuffle each over map-side partials), totals off a broadcast
@@ -1181,8 +1182,8 @@ def ext_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
                     - F.log(F.col("n_t") + F.lit(float(_DSIR_B)))
                     + F.log(F.col("n_s") + F.lit(float(_DSIR_B)))
                 )
-                * 1_000_000
-            ).cast("long").alias("term_micros"),
+                * 10_000
+            ).cast("long").alias("term_e4"),
         )
     )
     dtf = tb.groupBy("doc_id", "b").agg(
@@ -1195,19 +1196,19 @@ def ext_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.any_value(F.col("lang")).alias("lang"),
             F.sum("tf").cast("long").alias("n_tokens"),
-            F.sum(F.col("tf") * F.col("term_micros")).cast("long").alias(
-                "score_micros"
+            F.sum(F.col("tf") * F.col("term_e4")).cast("long").alias(
+                "score_e4"
             ),
         )
         .select(
             "doc_id",
             "lang",
             "n_tokens",
-            "score_micros",
+            "score_e4",
             F.floor(
-                F.lit(1.0) * F.col("score_micros") / F.col("n_tokens")
-            ).cast("long").alias("per_token_micros"),
-            (F.col("score_micros") >= 0).alias("keep"),
+                F.lit(1.0) * F.col("score_e4") / F.col("n_tokens")
+            ).cast("long").alias("per_token_e4"),
+            (F.col("score_e4") >= 0).alias("keep"),
         )
     )
 

@@ -703,9 +703,12 @@ def ext_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # separated in the fixture; Spark splits on \s+, DuckDB on ' ' —
     # the established pairing used by ext_bpe_pair_counts /
     # ext_dedup_incremental). Per-occurrence NLL is floored into
-    # integer micro-nats BEFORE the per-doc sum, so the aggregation is
-    # order-independent and bit-exact across engines; ln itself is the
-    # usual ≤1-ULP libm caveat, harmless behind a 1e6 floor.
+    # integer 1e-4-nat units BEFORE the per-doc sum, so the
+    # aggregation is order-independent and bit-exact across engines.
+    # The coarse quantum is deliberate (r4 advice): at 1e4 a 1-ULP
+    # JVM-vs-DuckDB ln() divergence (~1e-11 absolute here) sits ~7
+    # orders of magnitude below the floor-boundary spacing, vs ~5 at
+    # the old 1e6 — see tests/test_properties.py boundary hammering.
     oracle="""
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -727,16 +730,16 @@ def ext_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     model AS (
       SELECT bigram,
-             CAST(floor(-ln((c_bg + 1.0) / (c_prev + v)) * 1000000)
-                  AS BIGINT) AS nll_micros
+             CAST(floor(-ln((c_bg + 1.0) / (c_prev + v)) * 10000)
+                  AS BIGINT) AS nll_e4
       FROM bg
       JOIN pv ON string_split(bg.bigram, ' ')[1] = pv.prev
       CROSS JOIN vocab
     )
     SELECT d.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           CAST(SUM(m.nll_micros) AS BIGINT) AS nll_micros_total,
-           CAST(SUM(m.nll_micros) // COUNT(*) AS BIGINT) AS avg_nll_micros
+           CAST(SUM(m.nll_e4) AS BIGINT) AS nll_e4_total,
+           CAST(SUM(m.nll_e4) // COUNT(*) AS BIGINT) AS avg_nll_e4
     FROM db d JOIN model m USING (bigram)
     GROUP BY d.doc_id
     """,
@@ -754,14 +757,13 @@ def ext_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-key aggregation. At 100 TB the model table would be pruned to
     top-K bigrams (hashing-trick LM) behind the same plan; the exact
     model keeps the oracle bit-checkable. NLL is floored to integer
-    micro-nats per occurrence before summing, so per-doc totals are
-    order-independent (same fixed-point discipline as
-    ext_pagerank_copurchase). Caveat: flooring an ``ln()``-derived
-    value is only parity-safe while no corpus value lands within 1 ULP
-    of a floor boundary — true on the fixed fixtures, not a guaranteed
-    invariant across libm builds. Porting to a new platform: coarsen
-    the quantum (1e4) or reformulate integer-only (counts-ratio style,
-    as ext_pagerank_copurchase does)."""
+    1e-4-nat units per occurrence before summing, so per-doc totals
+    are order-independent (same fixed-point discipline as
+    ext_pagerank_copurchase). The quantum is 1e4 — coarse enough that
+    a multi-ULP libm divergence between JVM and DuckDB cannot reach a
+    floor boundary for any plausible count triple (hammered in
+    tests/test_properties.py), fine enough for perplexity bucketing
+    (0.1 milli-nat resolution)."""
     docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     toks = docs.select("doc_id", T.tokens(F.col("text")).alias("t"))
     db = docs.select(
@@ -786,8 +788,8 @@ def ext_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("c_bg") + F.lit(1.0))
                     / (F.col("c_prev") + F.col("v"))
                 )
-                * F.lit(1000000.0)
-            ).alias("nll_micros"),
+                * F.lit(10000.0)
+            ).alias("nll_e4"),
         )
     )
     return (
@@ -795,9 +797,9 @@ def ext_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum("nll_micros").alias("nll_micros_total"),
-            F.expr("CAST(sum(nll_micros) DIV count(1) AS BIGINT)").alias(
-                "avg_nll_micros"
+            F.sum("nll_e4").alias("nll_e4_total"),
+            F.expr("CAST(sum(nll_e4) DIV count(1) AS BIGINT)").alias(
+                "avg_nll_e4"
             ),
         )
     )
@@ -891,16 +893,19 @@ def ext_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Efraimidis–Spirakis order statistic: rank by u^(1/w) ⇔ rank by
     # ln(u)/w (w > 0, monotone transform). u is the salted-md5
     # uniform (h % 1e6 + 0.5) / 1e6 — strictly inside (0,1), so ln is
-    # finite. The key is floored into integer nano-units so the
-    # ORDER BY compares bigints, not engine-formatted doubles.
+    # finite. ln touches floats exactly ONCE, on the finite 1e6-value
+    # u domain, quantized to micro-nats: the minimum distance of
+    # -ln(u)*1e6 to a floor boundary over ALL 1e6 inputs is 2.7e-7
+    # (asserted in tests/test_properties.py) vs a ~2e-9 worst-case
+    # libm ULP — no platform's ln can flip any floor. Everything
+    # after is exact BIGINT division, so the key — and the top-100 it
+    # drives — is engine-exact by construction, not by fixture luck.
     oracle="""
     WITH keyed AS (
       SELECT doc_id, lang, n_chars,
-        CAST(floor(
-          ln((CAST(('0x' || substring(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-              % 1000000 + 0.5) / 1000000.0)
-          / GREATEST(n_chars, 1) * 1000000000
-        ) AS BIGINT) AS key_nanos
+        -((CAST(floor(-ln((CAST(('0x' || substring(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              % 1000000 + 0.5) / 1000000.0) * 1000000) AS BIGINT) * 1000)
+          // GREATEST(n_chars, 1)) AS key_nanos
       FROM documents
     )
     SELECT doc_id, lang, n_chars, key_nanos
@@ -918,7 +923,14 @@ def ext_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     computation + TakeOrderedAndProject top-k: no shuffle of the
     corpus, no driver-side state, and the salted-hash uniform makes
     the draw reproducible under corpus growth (a doc's key never
-    changes, so adding data only ever displaces the boundary)."""
+    changes, so adding data only ever displaces the boundary).
+
+    Key arithmetic (r4 advice — ULP-proof reformulation): quantize
+    L = floor(-ln(u)·1e6) once over u's finite 1e6-value domain
+    (margin to any floor boundary ≥ 2.7e-7 ≫ libm ULP, so L is a
+    platform-independent integer), then key = -((L·1000) div w) in
+    exact BIGINT math — the same nano-nat resolution as the previous
+    float path with zero remaining cross-engine float comparisons."""
     docs = _t(spark, sf_dir, "documents")
     h = F.conv(
         F.substring(
@@ -930,9 +942,12 @@ def ext_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         10,
     ).cast("long")
     u = (h % 1000000 + F.lit(0.5)) / F.lit(1000000.0)
-    key = F.floor(
-        F.log(u) / F.greatest(F.col("n_chars"), F.lit(1)) * F.lit(1000000000.0)
-    ).cast("long")
+    neg_ln_micros = F.floor(-F.log(u) * F.lit(1000000.0)).cast("long")
+    key = -F.call_function(
+        "div",
+        neg_ln_micros * F.lit(1000),
+        F.greatest(F.col("n_chars"), F.lit(1)).cast("long"),
+    )
     return (
         docs.select("doc_id", "lang", "n_chars", key.alias("key_nanos"))
         .orderBy(F.col("key_nanos").desc(), "doc_id")
@@ -983,11 +998,12 @@ def ext_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ext_bm25_topk",
-    # Per-term BM25 contributions are floored into integer micro-units
-    # BEFORE the per-(query, doc) sum, so the score — and the top-5
-    # ordering it drives — is order-independent and engine-exact
-    # (ln / division carry the usual ≤1-ULP caveat, harmless behind
-    # the 1e6 floor; same discipline as ext_lm_perplexity).
+    # Per-term BM25 contributions are floored into integer 1e-4
+    # units BEFORE the per-(query, doc) sum, so the score — and the
+    # top-5 ordering it drives — is order-independent and engine-exact.
+    # Quantum coarsened 1e6 → 1e4 (r4 advice): a multi-ULP libm
+    # divergence is ~7 orders of magnitude below the boundary spacing
+    # (boundary-hammered in tests/test_properties.py).
     oracle="""
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -1014,8 +1030,8 @@ def ext_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
           ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
           * (tf.tf * 2.2)
           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
-          * 1000000
-        ) AS BIGINT) AS term_score_micros
+          * 10000
+        ) AS BIGINT) AS term_score_e4
       FROM qterms q
       JOIN tf ON q.term = tf.term
       JOIN df ON q.term = df.term
@@ -1024,16 +1040,16 @@ def ext_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     totals AS (
       SELECT query_id, doc_id,
-             CAST(SUM(term_score_micros) AS BIGINT) AS score_micros
+             CAST(SUM(term_score_e4) AS BIGINT) AS score_e4
       FROM scored GROUP BY 1, 2
     ),
     ranked AS (
-      SELECT query_id, doc_id, score_micros,
+      SELECT query_id, doc_id, score_e4,
              row_number() OVER (PARTITION BY query_id
-                                ORDER BY score_micros DESC, doc_id) AS rn
+                                ORDER BY score_e4 DESC, doc_id) AS rn
       FROM totals
     )
-    SELECT query_id, doc_id, score_micros, CAST(rn AS BIGINT) AS rn
+    SELECT query_id, doc_id, score_e4, CAST(rn AS BIGINT) AS rn
     FROM ranked WHERE rn <= 5
     """,
 )
@@ -1091,20 +1107,20 @@ def ext_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.lit(1.2)
                     * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl"))
                 )
-                * F.lit(1000000.0)
-            ).alias("term_score_micros"),
+                * F.lit(10000.0)
+            ).alias("term_score_e4"),
         )
     )
     totals = scored.groupBy("query_id", "doc_id").agg(
-        F.sum("term_score_micros").alias("score_micros")
+        F.sum("term_score_e4").alias("score_e4")
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("score_micros").desc(), "doc_id"
+        F.col("score_e4").desc(), "doc_id"
     )
     return (
         totals.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 5)
-        .select("query_id", "doc_id", "score_micros", "rn")
+        .select("query_id", "doc_id", "score_e4", "rn")
     )
 
 

@@ -168,3 +168,120 @@ def test_prefix_filter_matches_all_pairs_on_random_corpora(spark, docs, threshol
         for r in neardup.prefix_filter_jaccard_pairs(df, threshold=threshold).collect()
     }
     assert pf == exact
+
+
+# ---------------------------------------------------------------------------
+# ln()/floor quantization parity (r4 advice: kill the ULP risk in
+# ext_lm_perplexity / ext_weighted_sample / ext_bm25_topk / ext_dsir)
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_log_domain_margin():
+    """ext_weighted_sample quantizes L = floor(-ln(u)·1e6) over u's
+    FINITE domain {(k+0.5)/1e6 : k ∈ [0, 1e6)}. Scan the whole domain
+    and assert every value of -ln(u)·1e6 sits ≥ 1e-7 from a floor
+    boundary — ~50× the worst-case libm ULP at this magnitude
+    (~2e-9), so no platform's ln() can flip any floor and the
+    downstream BIGINT-division key is engine-exact by construction.
+    The measured minimum is 2.675e-7 at k = 858058."""
+    import numpy as np
+
+    k = np.arange(1_000_000, dtype=np.float64)
+    x = -np.log((k + 0.5) / 1_000_000.0) * 1_000_000.0
+    dist = np.abs(x - np.rint(x))
+    assert float(dist.min()) > 1e-7, (
+        f"floor-boundary margin collapsed: min={dist.min()} "
+        f"at k={int(dist.argmin())}"
+    )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    triples=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=10_000_000),   # c_bg
+            st.integers(min_value=1, max_value=100_000_000),  # c_prev
+            st.integers(min_value=1, max_value=1_000_000),    # v
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_nll_e4_quantization_matches_duckdb(spark, ddb, triples):
+    """The lm-perplexity quantization floor(-ln((c+1)/(p+v))·1e4) must
+    agree between the JVM (java.lang.Math.log via Catalyst) and DuckDB
+    (libm) for arbitrary count triples — the 1e4 quantum leaves a
+    multi-ULP divergence ~7 orders of magnitude short of a boundary.
+    One Spark job per hypothesis example (batch of triples)."""
+    rows = [(i, a, b, c) for i, (a, b, c) in enumerate(triples)]
+    sdf = spark.createDataFrame(rows, "i long, c_bg long, c_prev long, v long")
+    got = {
+        r["i"]: r["q"]
+        for r in sdf.select(
+            "i",
+            F.floor(
+                -F.log(
+                    (F.col("c_bg") + F.lit(1.0)) / (F.col("c_prev") + F.col("v"))
+                )
+                * F.lit(10000.0)
+            ).cast("long").alias("q"),
+        ).collect()
+    }
+    want = {
+        i: q
+        for i, q in ddb.execute(
+            "SELECT i, CAST(floor(-ln((c_bg + 1.0) / (c_prev + v)) * 10000)"
+            "       AS BIGINT) "
+            "FROM (SELECT unnest($1, recursive := true)) "
+            "t(i, c_bg, c_prev, v)",
+            [[{"i": i, "c_bg": a, "c_prev": b, "v": c} for i, a, b, c in rows]],
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_nll_e4_quantization_near_boundary_adversarial(spark, ddb):
+    """Deterministic hammer at the floor boundaries themselves: scan
+    count triples for the ones whose -ln((c+1)/(p+v))·1e4 lands
+    CLOSEST to an integer (the only places a libm divergence could
+    ever matter) and require Spark and DuckDB to floor them
+    identically. math.log (CPython) is a third libm lineage, so the
+    triples chosen adversarially against it exercise genuinely tight
+    boundaries for the other two engines."""
+    import math
+
+    cand: list[tuple[float, int, int, int]] = []
+    for c_bg in range(1, 400):
+        for c_prev in range(c_bg, 4000, 7):
+            v = 1 + (c_bg * 31 + c_prev) % 997
+            x = -math.log((c_bg + 1.0) / (c_prev + v)) * 10000.0
+            cand.append((abs(x - round(x)), c_bg, c_prev, v))
+    cand.sort()
+    rows = [(i, a, b, c) for i, (_, a, b, c) in enumerate(cand[:200])]
+    sdf = spark.createDataFrame(rows, "i long, c_bg long, c_prev long, v long")
+    got = sorted(
+        (r["i"], r["q"])
+        for r in sdf.select(
+            "i",
+            F.floor(
+                -F.log(
+                    (F.col("c_bg") + F.lit(1.0)) / (F.col("c_prev") + F.col("v"))
+                )
+                * F.lit(10000.0)
+            ).cast("long").alias("q"),
+        ).collect()
+    )
+    want = sorted(
+        ddb.execute(
+            "SELECT i, CAST(floor(-ln((c_bg + 1.0) / (c_prev + v)) * 10000)"
+            "       AS BIGINT) "
+            "FROM (SELECT unnest($1, recursive := true)) "
+            "t(i, c_bg, c_prev, v)",
+            [[{"i": i, "c_bg": a, "c_prev": b, "v": c} for i, a, b, c in rows]],
+        ).fetchall()
+    )
+    assert got == want
