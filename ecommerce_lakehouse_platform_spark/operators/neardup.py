@@ -46,6 +46,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard ≥ threshold (doc_a < doc_b).
 
@@ -75,6 +76,12 @@ def ngram_jaccard_pairs(
     unpersisted, so loopy callers (bench, long-lived services) should
     ``spark.catalog.clearCache()`` between invocations; the footprint
     per call is bounded by the distinct-shingle table.
+
+    ``materialize=True`` is the self-cleaning alternative: the pair
+    list (tiny next to the shingle table) is eagerly materialized via
+    ``localCheckpoint`` and the shingle cache is unpersisted before
+    returning — no CacheManager entry survives the call, at the cost
+    of running the computation at call time.
     """
     ds = _doc_shingles(docs, id_col, text_col, n)
     if max_df is not None:
@@ -103,7 +110,11 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return jac.select("doc_a", "doc_b", "n_shared", "n_a", "n_b", "jaccard")
+    out = jac.select("doc_a", "doc_b", "n_shared", "n_a", "n_b", "jaccard")
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        ds.unpersist()
+    return out
 
 
 def shingle_containment_pairs(
@@ -113,6 +124,7 @@ def shingle_containment_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_df: int | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Asymmetric shingle containment C(A→B) = |A∩B| / |A| for
     sub-document duplicate detection (doc_a < doc_b; kept when either
@@ -133,7 +145,10 @@ def shingle_containment_pairs(
     callers (benchmarks, services) must release it after materializing
     the result — ``spark.catalog.clearCache()`` or hold a reference to
     the input and ``unpersist()`` — or pinned InMemoryRelations
-    accumulate across calls.
+    accumulate across calls. ``materialize=True`` (what the registry
+    query uses) is the self-cleaning mode: the pair list is eagerly
+    localCheckpointed and the shingle cache unpersisted before
+    returning, so no CacheManager entry survives the call.
     """
     ds = _doc_shingles(docs, id_col, text_col, n)
     if max_df is not None:
@@ -153,7 +168,7 @@ def shingle_containment_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
-    return (
+    out = (
         shared.join(sa, ["doc_a"])
         .join(sb, ["doc_b"])
         .withColumn(
@@ -170,6 +185,10 @@ def shingle_containment_pairs(
             "containment_a", "containment_b",
         )
     )
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        ds.unpersist()
+    return out
 
 
 def prefix_filter_jaccard_pairs(

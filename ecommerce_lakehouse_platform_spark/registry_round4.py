@@ -489,16 +489,27 @@ def ext_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _copurchase_edges(li: DataFrame, dedupe: bool = False) -> DataFrame:
     """Directed co-purchase edge list (src, dst), both directions,
-    cached — two queries iterate over it (label propagation, k-hop
-    BFS). Equi-join on the order key, so pair generation is
-    per-basket, never a global cartesian.
+    cached — three queries read it (label propagation and k-hop BFS
+    iterate over it; negative-edge sampling anti-joins against it).
+    Equi-join on the order key, so pair generation is per-basket,
+    never a global cartesian.
 
-    ``dedupe`` is OFF by default: both consumers fold neighbors
-    through MIN, which is duplicate-insensitive, and the measured dup
-    rate of basket pairs is <1% — a full ``distinct`` shuffle of the
-    edge relation buys nothing (removing it was ~1.6x on the sf0.1
-    bench). Pass ``dedupe=True`` for any consumer whose aggregate is
-    multiplicity-sensitive (counts, sums, degree weights)."""
+    ``dedupe`` is OFF by default: the iterating consumers fold
+    neighbors through MIN, which is duplicate-insensitive, and the
+    measured dup rate of basket pairs is <1% — a full ``distinct``
+    shuffle of the edge relation buys nothing (removing it was ~1.6x
+    on the sf0.1 bench). Pass ``dedupe=True`` for any consumer whose
+    aggregate is multiplicity-sensitive (counts, sums, degree
+    weights).
+
+    Cache discipline: each call pins ONE CacheManager entry (the edge
+    relation) that this helper cannot release — its consumers return
+    lazy frames that still read it. Loopy callers must
+    ``spark.catalog.clearCache()`` between invocations (bench.py
+    does, between every timed run); one-shot callers (the driver's
+    correctness pass) leak at most one edge-relation per query, which
+    dies with the session. Same contract as
+    operators/neardup.ngram_jaccard_pairs."""
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
     edges = (

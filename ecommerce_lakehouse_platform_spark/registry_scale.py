@@ -989,11 +989,14 @@ def ext_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     is ≥60% contained in the other — catches sub-document duplication
     (whole-doc quotes, boilerplate-wrapped reposts) that symmetric
     Jaccard scores near zero. Integer counts divide to bit-exact
-    doubles in both engines, so the pair list hashes identically."""
+    doubles in both engines, so the pair list hashes identically.
+    ``materialize=True`` = self-cleaning cache mode: the pair list is
+    checkpointed and the shingle cache released inside the call, so
+    repeated invocations (bench loops, services) pin nothing."""
     from .operators.neardup import shingle_containment_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return shingle_containment_pairs(docs, n=3, threshold=0.6)
+    return shingle_containment_pairs(docs, n=3, threshold=0.6, materialize=True)
 
 
 @query(

@@ -158,3 +158,36 @@ def test_incremental_minhash_equals_full_restricted(spark):
     assert any(k[0] % 2 == 0 or k[1] % 2 == 0 for k in got), (
         "expected at least one batch-vs-history pair"
     )
+
+
+def test_containment_materialize_releases_cache(spark):
+    """materialize=True must (a) return the same pairs as the lazy
+    mode and (b) leave NO pinned SQL-cache entry behind — the
+    self-cleaning contract loopy callers rely on (r4 advice item)."""
+    spark.catalog.clearCache()
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g h i j k l m n o p q r s t"),
+            (3, "z y x w v u t s"),
+        ],
+        ["doc_id", "text"],
+    )
+    lazy = sorted(
+        map(
+            tuple,
+            neardup.shingle_containment_pairs(docs, threshold=0.5).collect(),
+        )
+    )
+    spark.catalog.clearCache()
+    eager = sorted(
+        map(
+            tuple,
+            neardup.shingle_containment_pairs(
+                docs, threshold=0.5, materialize=True
+            ).collect(),
+        )
+    )
+    assert eager == lazy and len(eager) >= 1
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty(), "materialize=True left a pinned SQL cache entry"
