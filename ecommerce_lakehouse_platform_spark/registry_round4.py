@@ -41,7 +41,15 @@ from .registry import _t, query
 # ---------------------------------------------------------------------------
 
 _SEG_W = 4  # tokens per segment ("line")
-_BOILER_DF = 3  # segment appearing in >= this many docs is boilerplate
+# Boilerplate threshold as a FRACTION of the corpus (per-mille), not
+# an absolute count: a fixed "df >= 3" silently reclassifies every
+# moderately common line as boilerplate once the corpus grows (at 10x
+# the docs, 3 appearances is noise, not a footer). threshold =
+# max(2, ceil(6‰ * n_docs)) — integer-exact in both engines via
+# (6n + 999) DIV 1000, and equal to the previous absolute 3 at the
+# 500-doc fixtures, so behavior at test scale is unchanged.
+_BOILER_PM = 6  # per-mille of corpus
+_BOILER_MIN = 2  # floor: a segment in >= 2 docs can never be unique
 
 
 @query(
@@ -49,6 +57,11 @@ _BOILER_DF = 3  # segment appearing in >= this many docs is boilerplate
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    thr AS (
+      SELECT GREATEST({_BOILER_MIN},
+                      ({_BOILER_PM} * (SELECT COUNT(*) FROM documents) + 999)
+                        // 1000) AS boiler_df
     ),
     seg AS (
       SELECT doc_id, CAST(i AS BIGINT) AS seg_no,
@@ -59,13 +72,13 @@ _BOILER_DF = 3  # segment appearing in >= this many docs is boilerplate
     sdf AS (SELECT seg, COUNT(DISTINCT doc_id) AS df FROM seg GROUP BY seg)
     SELECT s.doc_id,
       CAST(COUNT(*) AS BIGINT) AS n_segments,
-      CAST(SUM(CASE WHEN df >= {_BOILER_DF} THEN 1 ELSE 0 END) AS BIGINT)
+      CAST(SUM(CASE WHEN df >= boiler_df THEN 1 ELSE 0 END) AS BIGINT)
         AS n_boilerplate,
       COALESCE(
-        string_agg(CASE WHEN df < {_BOILER_DF} THEN s.seg END,
+        string_agg(CASE WHEN df < boiler_df THEN s.seg END,
                    ' ' ORDER BY s.seg_no),
         '') AS clean_text
-    FROM seg s JOIN sdf USING (seg)
+    FROM seg s JOIN sdf USING (seg) CROSS JOIN thr
     GROUP BY s.doc_id
     """,
 )
@@ -73,18 +86,36 @@ def ext_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-level (segment-level) boilerplate removal, the C4/CCNet
     move: chunk every document into fixed 4-token segments, count
     each segment's document frequency corpus-wide, and strip segments
-    appearing in >= 3 distinct documents (navboxes, footers, legal
-    boilerplate in a real web corpus). Output per doc: segment count,
-    removed count, and the cleaned text reassembled in segment order.
+    appearing in at least max(2, ceil(0.6% of docs)) distinct
+    documents (navboxes, footers, legal boilerplate in a real web
+    corpus). Output per doc: segment count, removed count, and the
+    cleaned text reassembled in segment order.
+
+    The threshold is a FRACTION of the corpus (r4 advice): an
+    absolute df cutoff is not growth-stable — under corpus growth it
+    reclassifies ever-more-common-but-legitimate lines as
+    boilerplate, where a fractional cutoff keeps the classification
+    of a segment with stable relative frequency fixed
+    (property-tested at two corpus sizes in
+    tests/test_boilerplate_growth.py). The
+    threshold arithmetic is pure integer ((6n+999) DIV 1000), so both
+    engines agree at any corpus size.
 
     Scale shape: explode → one df aggregation on the segment hash →
     one join back → one per-doc aggregation, all shuffle-partitioned
     on segment / doc keys; reassembly is an in-group ``array_sort`` of
     (seg_no, seg) structs, never a global sort. The df table could be
     broadcast when a stop-segment cap bounds it; here it stays a
-    shuffle join since boilerplate df has no upper bound.
+    shuffle join since boilerplate df has no upper bound. The
+    threshold is a 1-row broadcast.
     """
     docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
+    thr = docs.agg(
+        F.greatest(
+            F.lit(_BOILER_MIN),
+            F.expr(f"({_BOILER_PM} * count(1) + 999) DIV 1000"),
+        ).cast("long").alias("boiler_df")
+    )
     toks = docs.select("doc_id", F.split("text", " ").alias("ts"))
     segs = toks.select(
         "doc_id",
@@ -103,15 +134,15 @@ def ext_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg_df = segs.groupBy("seg").agg(
         F.countDistinct("doc_id").alias("df")
     )
-    scored = segs.join(seg_df, "seg")
+    scored = segs.join(seg_df, "seg").crossJoin(F.broadcast(thr))
     kept_struct = F.when(
-        F.col("df") < _BOILER_DF,
+        F.col("df") < F.col("boiler_df"),
         F.struct(F.col("seg_no").alias("n"), F.col("seg").alias("s")),
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_segments"),
         F.sum(
-            F.when(F.col("df") >= _BOILER_DF, 1).otherwise(0)
+            F.when(F.col("df") >= F.col("boiler_df"), 1).otherwise(0)
         ).cast("long").alias("n_boilerplate"),
         F.array_join(
             F.transform(
