@@ -24,10 +24,15 @@ def test_dedup_lines_no_window_no_global_sort(spark):
     single-task window over segments would be the bottleneck."""
     plan = _plan(spark, "ext_dedup_lines")
     assert "Window" not in plan
-    # the only Sorts allowed are SMJ-local (sort-merge join sides)
-    for m in re.finditer(r"^\(\d+\) Sort\b.*$", plan, re.M):
-        pass  # SMJ sorts are fine; the killer is a global Sort node
     assert "rangepartitioning" not in plan.lower()
+    # the only Sorts allowed are SMJ-local. The simple-mode plan
+    # prints every Sort's global flag inline ("Sort [...], false, 0");
+    # assert no Sort is global. (At fixture size the joins broadcast
+    # and there may be no Sort at all — the rangepartitioning assert
+    # above already excludes the global-sort exchange either way.)
+    simple = _plan(spark, "ext_dedup_lines", mode="simple")
+    sorts = re.findall(r"Sort \[[^\]]*\], (true|false),", simple)
+    assert all(flag == "false" for flag in sorts), simple
 
 
 def test_rfm_ranking_windows_are_partitioned(spark):
