@@ -776,90 +776,83 @@ from . import registry_round4  # noqa: E402,F401  (import-for-side-effect)
 # ---------------------------------------------------------------------------
 # The external correctness harness samples a *prefix* of ``queries()``
 # insertion order, so the front of the dict is the most-scrutinized
-# real estate.  Union-of-rounds coverage so far: r1+r2 checked the
-# original 50-key prefix, r3 checked the 50 listed in
-# CORRECTNESS_r03.json.  This round leads with every query that still
-# has NO external differential row from any round (the round-3/4
-# additions), then re-checks the riskiest previously-green queries
-# (iterative / fixed-point / streaming paths most likely to drift),
-# then closes with reference staples as cross-round canaries.
+# real estate. The window is EXACTLY 50 keys — the harness's checked
+# prefix length — because round 4 listed 68 and the 18 tail entries
+# silently got no external row (r4 verdict item 2). Union-of-rounds
+# coverage entering round 5: every one of the 136 registered queries
+# has at least one external green row; the staleness ledger is r4=50,
+# r3=43, r2=43.
+#
+# Round-5 rotation policy (r4 verdict): first the 7 queries whose
+# CODE or VALUES changed this round (ULP-quantization reformulations,
+# the two-pass-rank persist, the fractional boilerplate threshold) —
+# a changed query's previous green row proves nothing; then the 43
+# queries whose newest external row is r2 (gold/dq/dash staples, the
+# r1 text/media/curation ops), clearing all staleness older than two
+# rounds. The 43 r3-checked queries stay out this round (newest row
+# two rounds old — within policy) and rotate back in r6.
 # Everything else keeps registration order behind the window, and the
 # repo-side sf0.01 oracle suite (tests/test_registry_oracle.py, same
 # gate as the harness) still covers every registered query each
 # session.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # --- No external differential row in r1/r2/r3 (round-3 adds) ---
-    "ext_heavy_hitters",
-    "ext_bpe_pair_counts",
-    "ext_pagerank_copurchase",
-    "ext_dedup_incremental",
-    "ext_corpus_mixture",
-    "ext_length_bucket_batching",
-    "ext_hard_negative_mining",
-    "ext_groupwise_stats",
-    "ext_url_canonicalize",
-    "stream_dedup_index_maintenance",
-    "stream_dedup_exactly_once",
-    "ext_ann_recall",
+    # --- Changed this round: re-check is mandatory, not rotation ---
     "ext_lm_perplexity",
-    "ext_triangle_count",
     "ext_weighted_sample",
-    "ext_dedup_containment",
     "ext_bm25_topk",
-    "ext_cohort_retention",
-    # --- Round-4 additions (no external row yet) ---
-    "ext_gapfill_daily",
-    "ext_event_transitions",
-    "ext_text_postings",
-    "ext_graph_khop",
-    "stream_interval_join_outer",
-    "ext_dup_span_islands",
     "ext_dsir_importance",
     "ext_global_score_rank",
-    "ext_skew_diagnosis",
-    "ext_multitouch_attribution",
-    "ext_negative_edges",
-    "ext_langid_confusion",
-    "ext_peak_concurrency",
-    "ext_time_to_convert",
-    "ext_winsorized_stats",
-    "ext_time_decayed_ltv",
-    "ext_bpe_apply_merge",
-    "ext_dedup_lines",
     "ext_rfm_segmentation",
-    "ext_market_basket",
-    "ext_dedup_sorted_neighborhood",
-    "ext_compaction_bins",
-    "ext_label_propagation",
-    # --- Riskiest previously-green re-checks (iterative, fixed-point,
-    # streaming, ANN — the paths where a regression is most plausible)
-    "ext_sketch_profile",
-    "ext_dedup_clusters",
-    "ext_dedup_semantic_clusters",
-    "ext_dedup_prefix_filter",
-    "ext_dedup_minhash_lsh",
-    "ext_dedup_ngram_jaccard",
-    "ext_dedup_simhash",
-    "ext_dedup_embedding",
-    "ext_similarity_topk",
-    "ext_similarity_ivf",
-    "ext_similarity_lsh",
-    "ext_knn_label_predict",
-    "stream_interval_join",
-    "stream_time_window_rollup",
-    "stream_session_stateful",
-    "stream_session_window",
-    "ext_scd2_user_state",
-    "ext_merge_upsert",
-    "ext_snapshot_diff",
+    "ext_dedup_lines",
+    # --- Newest external row is r2: the 43-query staleness rotation ---
+    # reference staples (silver ops)
+    "op_clean_id",
+    "op_project_silver_customers",
+    "op_project_silver_orders",
+    "op_join_left_enrich_items",
+    "op_filter_range",
+    "op_agg_pivotcount",
+    "op_agg_reviews",
+    "op_agg_having",
+    # gold models
+    "gold_daily_metrics",
+    "gold_product_metrics",
+    "gold_product_funnel",
+    "gold_session_metrics",
+    "gold_session_metrics_attrs",
+    # dashboards
+    "dash_sales_overview",
+    "dash_site_funnel",
+    "dash_customer_360",
+    # data-quality gates
+    "dq_notnull_products",
+    "dq_pk_unique_customer",
+    "dq_nonneg_amounts",
+    "dq_bounded_rates",
+    # r1 text / media / curation ops
+    "ext_text_stats",
+    "ext_text_langid",
+    "ext_text_fingerprint",
+    "ext_json_extract",
+    "ext_binary_metadata",
+    "ext_media_resize",
+    "ext_media_frames",
+    "ext_dedup_exact",
+    "ext_corpus_curation",
+    "ext_train_test_split",
+    "ext_interval_join_errors",
+    "ext_time_bucket_rollup",
+    "ext_asof_attribution",
+    "ext_text_length_quantiles",
+    "ext_dedup_normalized",
+    "ext_text_vocab",
+    "ext_text_tfidf",
+    "ext_text_repetition",
+    "ext_skew_salted_join",
+    "ext_text_unk_replace",
+    "ext_shard_packing",
+    "ext_sample_stratified",
     "ext_decontamination",
-    "ext_pii_pseudonymize",
-    "ext_embedding_centroids",
-    # --- Reference staples: cross-round regression canaries ---
-    "op_agg_sales",
-    "op_dedupe_latest",
-    "gold_customer_360",
-    "dash_product_performance",
 )
 
 
