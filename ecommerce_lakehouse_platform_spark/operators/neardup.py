@@ -385,6 +385,7 @@ def minhash_lsh_pairs(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    max_bucket: int = 64,
 ) -> DataFrame:
     """MinHash LSH candidate pairs, verified with exact Jaccard.
 
@@ -393,17 +394,59 @@ def minhash_lsh_pairs(
     hash — linear-ish, never all-pairs); candidates are then verified
     with exact shingle-set Jaccard so the output has no false
     positives (recall < 1 remains, as for any LSH).
+
+    ``max_bucket`` is the skew guard the sf1 scaling probe proved
+    necessary: a band bucket holds every doc whose band minhashes
+    coincide, and ultra-common shingles (boilerplate at web scale)
+    produce GIANT buckets whose all-pairs expansion is quadratic in
+    bucket size — measured 3.6k → 42M candidate pairs going sf0.1 →
+    sf1 on an adversarially dense corpus, with single buckets of
+    3800 docs. Buckets larger than ``max_bucket`` degrade to CHAIN
+    linking: members are joined to their doc_id-order neighbor only
+    (size-1 pairs instead of size²/2), so candidate generation stays
+    linear in bucket size while transitive-closure consumers
+    (connected-components dedup) still recover full duplicate
+    clusters — a clone group that floods a bucket is reconnected by
+    its verified chain. The residual recall loss is pairs BELOW
+    chain adjacency in every giant bucket they share and absent from
+    all small ones; at fixture scale the cap is the identity (largest
+    observed bucket is 13 docs at sf0.1), asserted by test, so the
+    exact-oracle contract is untouched.
     """
     sets_df = _shingle_sets(docs, id_col, text_col, n)
-    buckets = _minhash_band_buckets(sets_df, num_perm, bands)
-    a = buckets.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
-    b = buckets.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
-    candidates = (
+    # materialize the bucket frame before the self-join: the signature
+    # pass (num_perm xxhash64 evaluations per shingle, the dominant
+    # cost) would otherwise be planned into BOTH join subtrees and
+    # computed twice — measured 2x end-to-end at the sf1 scaling
+    # probe (88s -> 45s on 50k docs). localCheckpoint (not cache)
+    # keeps it out of the CacheManager; the RDD is GC-cleaned with
+    # the frame.
+    buckets = _minhash_band_buckets(sets_df, num_perm, bands).localCheckpoint(
+        eager=False
+    )
+    w = Window.partitionBy("band", "bucket")
+    sized = buckets.withColumn("_bsz", F.count(F.lit(1)).over(w))
+    small = sized.filter(F.col("_bsz") <= max_bucket)
+    a = small.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    b = small.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    cand_small = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
-        .distinct()
     )
+    # giant buckets: neighbor-chain in doc_id order (ASC ⇒ doc_a <
+    # doc_b by construction); the window is per-bucket, so the single
+    # task per giant bucket is linear in its size
+    chain = (
+        sized.filter(F.col("_bsz") > max_bucket)
+        .withColumn(
+            "_nxt",
+            F.lead("doc_id").over(w.orderBy("doc_id")),
+        )
+        .filter(F.col("_nxt").isNotNull())
+        .select(F.col("doc_id").alias("doc_a"), F.col("_nxt").alias("doc_b"))
+    )
+    candidates = cand_small.unionByName(chain).distinct()
     return _verify_exact_jaccard(candidates, sets_df, threshold)
 
 
@@ -539,13 +582,20 @@ def simhash_pairs(
         )
         for b in range(bands)
     ]
-    buckets = sh.select(
-        "doc_id", "simhash", F.explode(F.array(*band_cols)).alias("bb")
-    ).select(
-        "doc_id",
-        "simhash",
-        F.col("bb.band").alias("band"),
-        F.col("bb.bucket").alias("bucket"),
+    buckets = (
+        sh.select(
+            "doc_id", "simhash", F.explode(F.array(*band_cols)).alias("bb")
+        )
+        .select(
+            "doc_id",
+            "simhash",
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
+        )
+        # same single-evaluation barrier as minhash_lsh_pairs: the
+        # fingerprint pass feeds both self-join sides and must not be
+        # computed twice
+        .localCheckpoint(eager=False)
     )
     a = buckets.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "bucket"

@@ -191,3 +191,42 @@ def test_containment_materialize_releases_cache(spark):
     assert eager == lazy and len(eager) >= 1
     cm = spark._jsparkSession.sharedState().cacheManager()
     assert cm.isEmpty(), "materialize=True left a pinned SQL cache entry"
+
+
+def test_minhash_bucket_cap_identity_at_fixture_scale(spark):
+    """max_bucket=64 must be the IDENTITY on the fixture corpus (its
+    largest band bucket holds ~13 docs): same verified pairs as an
+    effectively-uncapped run. This is what keeps the registered
+    query's exact-oracle contract intact while the cap guards the
+    giant-bucket quadratic blowup at scale."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    capped = sorted(
+        map(tuple, neardup.minhash_lsh_pairs(docs, bands=32).collect())
+    )
+    uncapped = sorted(
+        map(
+            tuple,
+            neardup.minhash_lsh_pairs(
+                docs, bands=32, max_bucket=1_000_000_000
+            ).collect(),
+        )
+    )
+    assert capped == uncapped and len(capped) > 0
+
+
+def test_minhash_giant_bucket_chain_preserves_clone_cluster(spark):
+    """A clone group bigger than max_bucket floods every band bucket;
+    the cap must degrade it to a verified doc_id-order CHAIN, not drop
+    it — so connected components over the output still recover the
+    full duplicate cluster. 30 clones with max_bucket=10: expect the
+    29 consecutive pairs (all jaccard 1.0) to survive and to span all
+    30 docs transitively."""
+    clones = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(30)]
+    others = [(100 + i, f"unique text number {i} about topic {i} entirely") for i in range(5)]
+    docs = spark.createDataFrame(clones + others, ["doc_id", "text"])
+    pairs = neardup.minhash_lsh_pairs(
+        docs, threshold=0.9, max_bucket=10
+    ).collect()
+    chain = {(r.doc_a, r.doc_b) for r in pairs if r.doc_a < 100 and r.doc_b < 100}
+    assert {(i, i + 1) for i in range(29)} <= chain
+    assert all(abs(r.jaccard - 1.0) < 1e-12 for r in pairs if r.doc_a < 100)
