@@ -126,6 +126,9 @@ def main() -> None:
                 "noop"
             ).save()
             runs.append(time.perf_counter() - start)
+            # stderr progress so an aborted run (OOM, timeout) still
+            # attributes the failure to the query that was executing
+            print(f"[bench] {name} run={len(runs)} {runs[-1]:.3f}s", file=sys.stderr)
         timings[name] = round(statistics.median(runs), 3)
         spreads[name] = round(statistics.stdev(runs), 3)
 
