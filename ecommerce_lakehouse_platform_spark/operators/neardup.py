@@ -39,6 +39,82 @@ def _doc_shingles(
     )
 
 
+# Stop-shingle cap defaults shared by every exact shingle self-join in
+# this module (and mirrored verbatim in the registered queries' DuckDB
+# oracle SQL): a shingle is boilerplate when it appears in more than
+# max(MAX_DF_FLOOR, ceil(MAX_DF_FRAC * n_docs)) documents. The floor
+# keeps the cap an identity on small corpora (df can never exceed
+# n_docs ≤ floor); the fraction is the scale knob. Why this exists: a
+# shingle in f docs contributes f² rows to the candidate self-join, so
+# uncapped boilerplate is quadratic in corpus size — the sf1 scaling
+# probe measured 6.0e9 candidate rows on 50k docs (max df 13,410; one
+# shingle alone 1.8e8 rows) of which 99.8% came from shingles in >1%
+# of the corpus, while the true ≥-threshold pair count was ~6k. With
+# this cap the same corpus generates ~1.4e7 candidate rows.
+MAX_DF_FRAC = 0.005
+MAX_DF_FLOOR = 32
+
+# DuckDB oracle twin of the default cap, kept HERE so the constants
+# and the SQL can never drift apart: registered queries that call the
+# capped generators splice this fragment into their oracle in place of
+# the plain shingle CTE. ``n_docs`` is COUNT(DISTINCT doc_id) over the
+# shingle table (docs with ≥ n tokens), exactly what
+# ``_cap_stop_shingles`` computes; the cap arithmetic is one IEEE
+# double multiply + CEIL in both engines, so the boundary is bit-exact
+# cross-engine.
+ORACLE_SH_CAPPED = f"""
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh0 AS (
+      SELECT DISTINCT doc_id,
+        unnest(list_transform(range(1, len(t)-1), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+      FROM toks WHERE len(t) >= 3
+    ),
+    keep AS (
+      SELECT s FROM sh0 GROUP BY s
+      HAVING COUNT(*) <= GREATEST({MAX_DF_FLOOR},
+        CEIL({MAX_DF_FRAC} * (SELECT COUNT(DISTINCT doc_id) FROM sh0)))
+    ),
+    sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s))
+"""
+
+
+def _cap_stop_shingles(
+    ds: DataFrame,
+    max_df: int | None,
+    max_df_frac: float | None,
+    max_df_floor: int,
+) -> DataFrame:
+    """Remove stop-shingles from a (doc_id, shingle) table.
+
+    Two independent caps, both applied when set: ``max_df`` is an
+    absolute document-frequency ceiling; ``max_df_frac`` is the
+    growth-stable fraction-of-corpus form, ``df ≤ greatest(floor,
+    ceil(frac · n_docs))``, where ``n_docs`` counts the documents
+    that produced at least one shingle (matching the oracle SQL's
+    ``COUNT(DISTINCT doc_id)`` over the shingle CTE).
+
+    Everything stays in-plan: ``n_docs`` is a one-row aggregate
+    broadcast into the frequency filter, never a driver-side action.
+    Sizes and intersections downstream both see the capped sets, so
+    the similarity stays internally consistent (it becomes "Jaccard /
+    containment over informative shingles" — the standard web-scale
+    trade; boilerplate-only overlap no longer counts as similarity).
+    """
+    if max_df is None and max_df_frac is None:
+        return ds
+    dfreq = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    if max_df_frac is not None:
+        nd = ds.agg(F.countDistinct("doc_id").alias("_nd"))
+        cap = F.greatest(
+            F.lit(int(max_df_floor)).cast("long"),
+            F.ceil(F.lit(float(max_df_frac)) * F.col("_nd")),
+        )
+        dfreq = dfreq.crossJoin(F.broadcast(nd)).filter(F.col("_df") <= cap)
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("_df") <= max_df)
+    return ds.join(dfreq.select("shingle"), ["shingle"])
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -46,6 +122,8 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    max_df_frac: float | None = MAX_DF_FRAC,
+    max_df_floor: int = MAX_DF_FLOOR,
     materialize: bool = False,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard ≥ threshold (doc_a < doc_b).
@@ -58,15 +136,22 @@ def ngram_jaccard_pairs(
     known hot spot: a shingle appearing in f docs contributes f²
     candidate rows to the self-join.
 
-    ``max_df`` is the skew guard for that: shingles appearing in more
-    than ``max_df`` docs are removed from the shingle SETS themselves
-    (stop-shingle removal — sizes and intersections both see the
-    capped sets, so the Jaccard stays internally consistent). With
-    ``max_df`` ≥ the corpus's true max document frequency the output
-    is identical to the uncapped run (property-tested); below it, the
-    similarity is computed over the informative shingles only — the
-    standard trade at web scale, where the top stop-shingles are
-    boilerplate.
+    ``max_df`` / ``max_df_frac`` are the skew guards for that:
+    shingles appearing in more than the cap's document count are
+    removed from the shingle SETS themselves (stop-shingle removal —
+    sizes and intersections both see the capped sets, so the Jaccard
+    stays internally consistent). With the cap ≥ the corpus's true
+    max document frequency the output is identical to the uncapped
+    run (property-tested); below it, the similarity is computed over
+    the informative shingles only — the standard trade at web scale,
+    where the top stop-shingles are boilerplate. The default is the
+    growth-stable fractional form ``df ≤ greatest(max_df_floor,
+    ceil(max_df_frac · n_docs))`` (see ``MAX_DF_FRAC`` above): an
+    identity at fixture scale (floor 32 vs observed max df 25) while
+    at the sf1 probe scale it collapses a 6.0e9-row candidate join to
+    ~1.4e7 rows. Registered queries mirror the identical cap in their
+    DuckDB oracle SQL, so the differential stays exact at any scale.
+    Pass ``max_df_frac=None`` for the uncapped all-pairs relation.
 
     The shingle table is ``cache()``d (it feeds the size aggregate and
     both join sides): an InMemoryRelation keeps the Catalyst plan —
@@ -83,12 +168,9 @@ def ngram_jaccard_pairs(
     returning — no CacheManager entry survives the call, at the cost
     of running the computation at call time.
     """
-    ds = _doc_shingles(docs, id_col, text_col, n)
-    if max_df is not None:
-        dfreq = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-        ds = ds.join(
-            dfreq.filter(F.col("_df") <= max_df).select("shingle"), ["shingle"]
-        )
+    ds = _cap_stop_shingles(
+        _doc_shingles(docs, id_col, text_col, n), max_df, max_df_frac, max_df_floor
+    )
     ds = ds.cache()
     sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = ds.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -124,6 +206,8 @@ def shingle_containment_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_df: int | None = None,
+    max_df_frac: float | None = MAX_DF_FRAC,
+    max_df_floor: int = MAX_DF_FLOOR,
     materialize: bool = False,
 ) -> DataFrame:
     """Asymmetric shingle containment C(A→B) = |A∩B| / |A| for
@@ -135,9 +219,11 @@ def shingle_containment_pairs(
     1.0 from the small side — the wrapped-repost / boilerplate-quote
     case a web-corpus dedup pass has to catch. Candidate generation is
     the same never-cartesian shingle self-equi-join as
-    ``ngram_jaccard_pairs`` (shared plan, shared ``max_df`` stop-
-    shingle guard); only the scoring differs: both per-direction
-    ratios are emitted and the filter keeps ``greatest`` of the two.
+    ``ngram_jaccard_pairs`` (shared plan, shared ``max_df`` /
+    ``max_df_frac`` stop-shingle guard — growth-stable fractional cap
+    on by default, mirrored in the registered oracle SQL); only the
+    scoring differs: both per-direction ratios are emitted and the
+    filter keeps ``greatest`` of the two.
 
     Cache discipline (same contract as ``ngram_jaccard_pairs``): this
     pins ONE ``cache()`` entry for the shingle set per call so the
@@ -150,12 +236,9 @@ def shingle_containment_pairs(
     localCheckpointed and the shingle cache unpersisted before
     returning, so no CacheManager entry survives the call.
     """
-    ds = _doc_shingles(docs, id_col, text_col, n)
-    if max_df is not None:
-        dfreq = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-        ds = ds.join(
-            dfreq.filter(F.col("_df") <= max_df).select("shingle"), ["shingle"]
-        )
+    ds = _cap_stop_shingles(
+        _doc_shingles(docs, id_col, text_col, n), max_df, max_df_frac, max_df_floor
+    )
     ds = ds.cache()
     sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = ds.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -197,6 +280,9 @@ def prefix_filter_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
+    max_df_frac: float | None = MAX_DF_FRAC,
+    max_df_floor: int = MAX_DF_FLOOR,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs ≥ threshold via PREFIX FILTERING
     (the PPJoin candidate rule, Xiao et al., WWW'08 — public paper).
@@ -215,10 +301,22 @@ def prefix_filter_jaccard_pairs(
     while staying exact. One extra shuffle (the df-frequency join)
     buys a quadratically smaller join.
 
-    Same output schema as :func:`ngram_jaccard_pairs`, so the two are
-    interchangeable and cross-checkable.
+    Prefix filtering alone is NOT enough on a boilerplate-dense
+    corpus: at moderate thresholds the prefix keeps most of each set,
+    so a stop-shingle can still reach millions of prefixes (the sf1
+    probe measured 4.4e8 prefix-join candidates at t=0.5 against a
+    ~6e3-pair true answer). The shared ``max_df`` / ``max_df_frac``
+    stop-shingle cap therefore applies here too, BEFORE frequencies
+    are ranked, with the same default and the same oracle-mirroring
+    contract as :func:`ngram_jaccard_pairs`.
+
+    Same output schema and same capped-set measure as
+    :func:`ngram_jaccard_pairs`, so the two are interchangeable and
+    cross-checkable.
     """
-    ds = _doc_shingles(docs, id_col, text_col, n)
+    ds = _cap_stop_shingles(
+        _doc_shingles(docs, id_col, text_col, n), max_df, max_df_frac, max_df_floor
+    )
     dfreq = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ranked = ds.join(dfreq, ["shingle"])
     per_doc = (

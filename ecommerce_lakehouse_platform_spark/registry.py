@@ -783,18 +783,21 @@ from . import registry_round4  # noqa: E402,F401  (import-for-side-effect)
 # has at least one external green row; the staleness ledger is r4=50,
 # r3=43, r2=43.
 #
-# Round-5 rotation policy (r4 verdict): first the 7 queries whose
+# Round-5 rotation policy (r4 verdict): first the 12 queries whose
 # CODE or VALUES changed this round (ULP-quantization reformulations,
-# the two-pass-rank persist, the fractional boilerplate threshold) —
-# a changed query's previous green row proves nothing; then the 43
-# queries whose newest external row is r2 (gold/dq/dash staples, the
-# r1 text/media/curation ops), clearing all staleness older than two
-# rounds. The 43 r3-checked queries stay out this round (newest row
-# two rounds old — within policy) and rotate back in r6.
-# Everything else keeps registration order behind the window, and the
-# repo-side sf0.01 oracle suite (tests/test_registry_oracle.py, same
-# gate as the harness) still covers every registered query each
-# session.
+# the two-pass-rank persist, the fractional boilerplate threshold,
+# and the five exact shingle-join queries that gained the mirrored
+# stop-shingle cap after the sf1 probe caught the uncapped join at
+# 1389s) — a changed query's previous green row proves nothing; then
+# 38 of the 43 queries whose newest external row is r2 (gold/dq/dash
+# staples, the r1 text/media ops). Changed queries displace stale
+# ones, so the five tail entries of the staleness rotation
+# (ext_skew_salted_join, ext_text_unk_replace, ext_shard_packing,
+# ext_sample_stratified, ext_decontamination) slip to r6 along with
+# the r3 cohort. Everything else keeps registration order behind the
+# window, and the repo-side sf0.01 oracle suite
+# (tests/test_registry_oracle.py, same gate as the harness) still
+# covers every registered query each session.
 _DRIVER_WINDOW: tuple[str, ...] = (
     # --- Changed this round: re-check is mandatory, not rotation ---
     "ext_lm_perplexity",
@@ -804,6 +807,11 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "ext_global_score_rank",
     "ext_rfm_segmentation",
     "ext_dedup_lines",
+    "ext_dedup_ngram_jaccard",
+    "ext_dedup_clusters",
+    "ext_dedup_keep_best",
+    "ext_dedup_prefix_filter",
+    "ext_dedup_containment",
     # --- Newest external row is r2: the 43-query staleness rotation ---
     # reference staples (silver ops)
     "op_clean_id",
@@ -848,11 +856,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "ext_text_vocab",
     "ext_text_tfidf",
     "ext_text_repetition",
-    "ext_skew_salted_join",
-    "ext_text_unk_replace",
-    "ext_shard_packing",
-    "ext_sample_stratified",
-    "ext_decontamination",
 )
 
 

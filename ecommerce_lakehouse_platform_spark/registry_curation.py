@@ -120,13 +120,11 @@ def ext_text_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Quality-aware cluster retention (dedup keeps the BEST doc, not the min-id)
 # ---------------------------------------------------------------------------
 
-_CC_PAIRS_02 = """
-    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-    sh AS (
-      SELECT DISTINCT doc_id,
-        unnest(list_transform(range(1, len(t)-1), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
-      FROM toks WHERE len(t) >= 3
-    ),
+# Shingle CTE is the capped twin (operators/neardup.py
+# ORACLE_SH_CAPPED) — mirrors the generators' default stop-shingle
+# cap so the pair relation matches ngram_jaccard_pairs at any scale.
+_CC_PAIRS_02 = f"""
+    {neardup.ORACLE_SH_CAPPED},
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
     shared AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
@@ -281,13 +279,11 @@ def ext_dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ext_dedup_prefix_filter",
-    oracle="""
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-    sh AS (
-      SELECT DISTINCT doc_id,
-        unnest(list_transform(range(1, len(t)-1), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
-      FROM toks WHERE len(t) >= 3
-    ),
+    # Capped shingle CTE (operators/neardup.py ORACLE_SH_CAPPED):
+    # prefix filtering is exact over whatever sets it is given, and
+    # the sets both engines see are the capped ones.
+    oracle=f"""
+    WITH {neardup.ORACLE_SH_CAPPED},
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
     shared AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared

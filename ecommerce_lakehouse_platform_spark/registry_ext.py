@@ -1037,13 +1037,13 @@ def ext_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ext_dedup_ngram_jaccard",
-    oracle="""
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-    sh AS (
-      SELECT DISTINCT doc_id,
-        unnest(list_transform(range(1, len(t)-1), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
-      FROM toks WHERE len(t) >= 3
-    ),
+    # The shingle CTE is the CAPPED twin (operators/neardup.py
+    # ORACLE_SH_CAPPED): stop-shingles above max(32, 0.5% of corpus)
+    # document frequency are removed from the sets in BOTH engines —
+    # identity at fixture scale (floor 32 vs max observed df 25),
+    # quadratic-blowup guard at probe scale and beyond.
+    oracle=f"""
+    WITH {neardup.ORACLE_SH_CAPPED},
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
     shared AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
@@ -1061,7 +1061,10 @@ def ext_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs 3-gram Jaccard near-dup pairs (≥ 0.5) via
     shared-shingle join — the ground truth the LSH variants
-    approximate."""
+    approximate. Jaccard is over INFORMATIVE shingles: the default
+    stop-shingle cap (df ≤ max(32, 0.5% of corpus), mirrored in the
+    oracle) keeps the self-join linear-ish on boilerplate-dense
+    corpora where uncapped candidates grow quadratically."""
     docs = _t(spark, sf_dir, "documents")
     return neardup.ngram_jaccard_pairs(docs, threshold=0.5)
 
@@ -1105,13 +1108,9 @@ def ext_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ext_dedup_clusters",
-    oracle="""
-    WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-    sh AS (
-      SELECT DISTINCT doc_id,
-        unnest(list_transform(range(1, len(t)-1), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
-      FROM toks WHERE len(t) >= 3
-    ),
+    # Capped shingle CTE — see ext_dedup_ngram_jaccard's note.
+    oracle=f"""
+    WITH RECURSIVE {neardup.ORACLE_SH_CAPPED},
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
     shared AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
@@ -1138,13 +1137,17 @@ def ext_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup *clustering*: exact 3-gram-Jaccard pairs (≥ 0.2) →
-    connected components (operators/cluster.py, min-label propagation
-    with pointer jumping) → every doc mapped to its cluster's minimum
-    id, singletons to themselves, one canonical keeper per cluster.
+    """Near-dup *clustering*: exact 3-gram-Jaccard pairs (≥ 0.2,
+    default stop-shingle cap — the uncapped pair join measured 1389s
+    at the sf1 probe vs ~5s at sf0.1, 99.8% of its 6.0e9 candidate
+    rows from boilerplate shingles) → connected components
+    (operators/cluster.py, min-label propagation with pointer
+    jumping) → every doc mapped to its cluster's minimum id,
+    singletons to themselves, one canonical keeper per cluster.
     Transitive closure is the step pair-listing misses: A≈B≈C collapses
     to one group even when A and C are not directly similar. Oracle is
-    a DuckDB recursive-CTE transitive closure over the same pairs."""
+    a DuckDB recursive-CTE transitive closure over the same capped
+    pairs."""
     from .operators.cluster import dedup_clusters
 
     docs = _t(spark, sf_dir, "documents")

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from .functions import text as T
 from .operators.frequency import heavy_hitters
 from .operators.neardup import _spread
+from .operators.neardup import ORACLE_SH_CAPPED as _SH_CAPPED
 from .operators.pagerank import pagerank_int
 from .registry import ORACLES, _t, query
 
@@ -957,14 +958,10 @@ def ext_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ext_dedup_containment",
-    oracle="""
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-    sh AS (
-      SELECT DISTINCT doc_id,
-        unnest(list_transform(range(1, len(t)-1),
-               i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
-      FROM toks WHERE len(t) >= 3
-    ),
+    # Capped shingle CTE (operators/neardup.py ORACLE_SH_CAPPED) —
+    # mirrors shingle_containment_pairs' default stop-shingle cap.
+    oracle=f"""
+    WITH {_SH_CAPPED},
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
     shared AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared

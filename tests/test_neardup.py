@@ -230,3 +230,124 @@ def test_minhash_giant_bucket_chain_preserves_clone_cluster(spark):
     chain = {(r.doc_a, r.doc_b) for r in pairs if r.doc_a < 100 and r.doc_b < 100}
     assert {(i, i + 1) for i in range(29)} <= chain
     assert all(abs(r.jaccard - 1.0) < 1e-12 for r in pairs if r.doc_a < 100)
+
+
+def test_fractional_cap_arithmetic_on_shingle_table(spark):
+    """Unit-level check of _cap_stop_shingles' growth-stable cap,
+    df <= greatest(floor, ceil(frac * n_docs)), on a constructed
+    (doc_id, shingle) table where the frac term EXCEEDS the floor:
+    n_docs=10_000 -> cap = max(32, ceil(50.0)) = 50, so a df-45
+    shingle survives ONLY because the fraction raised the cap and a
+    df-60 shingle is cut. The same table truncated to 100 docs flips
+    the cap to the floor (32) and cuts the df-45 shingle too."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"rare_{i}") for i in range(10_000)]
+    rows += [(i, "warm") for i in range(45)]
+    rows += [(i, "hot") for i in range(60)]
+    ds = spark.createDataFrame(rows, ["doc_id", "shingle"])
+    kept = {
+        r.shingle
+        for r in neardup._cap_stop_shingles(ds, None, 0.005, 32)
+        .select("shingle")
+        .distinct()
+        .collect()
+    }
+    assert "warm" in kept and "hot" not in kept
+    assert f"rare_{9_999}" in kept
+
+    small = ds.filter(F.col("doc_id") < 100)
+    kept_small = {
+        r.shingle
+        for r in neardup._cap_stop_shingles(small, None, 0.005, 32)
+        .select("shingle")
+        .distinct()
+        .collect()
+    }
+    assert "warm" not in kept_small and "hot" not in kept_small
+    assert "rare_0" in kept_small
+
+
+def _py_capped_jaccard(texts: dict[int, str], n: int, threshold: float,
+                       frac: float, floor: int):
+    """Pure-Python mini-oracle for the capped exact-Jaccard relation."""
+    import math
+
+    sets = {}
+    for d, t in texts.items():
+        toks = t.split(" ")
+        if len(toks) >= n:
+            sets[d] = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+    df: dict[str, int] = {}
+    for s in sets.values():
+        for sh in s:
+            df[sh] = df.get(sh, 0) + 1
+    cap = max(floor, math.ceil(frac * len(sets)))
+    capped = {d: {sh for sh in s if df[sh] <= cap} for d, s in sets.items()}
+    out = {}
+    ids = sorted(capped)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(capped[a] & capped[b])
+            union = len(capped[a] | capped[b])
+            if union and inter / union >= threshold:
+                out[(a, b)] = (inter, len(capped[a]), len(capped[b]))
+    return out
+
+
+def test_fractional_cap_binding_end_to_end_vs_python_oracle(spark):
+    """40-doc corpus where every doc shares an identical boilerplate
+    run (its interior shingles have df 40 > floor 32 -> cut) and two
+    docs additionally share a rare phrase. The capped generator must
+    match a pure-Python reimplementation of the capped relation
+    exactly — pairs, intersection counts, and CAPPED set sizes — and
+    must differ from the uncapped run (which drowns in
+    boilerplate-only similarity)."""
+    boiler = "terms of service apply all rights reserved contact us today"
+    texts = {
+        i: f"unique{i}a unique{i}b unique{i}c unique{i}d {boiler}"
+        for i in range(40)
+    }
+    rare = "quantum flux capacitor overdrive engages warp drive smoothly"
+    texts[0] = f"{rare} unique0a unique0b {boiler}"
+    texts[1] = f"{rare} unique1a unique1b {boiler}"
+    docs = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+
+    got = {
+        (r.doc_a, r.doc_b): (r.n_shared, r.n_a, r.n_b)
+        for r in neardup.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    want = _py_capped_jaccard(texts, n=3, threshold=0.3, frac=0.005, floor=32)
+    assert got == want and (0, 1) in got
+
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in neardup.ngram_jaccard_pairs(
+            docs, threshold=0.3, max_df_frac=None
+        ).collect()
+    }
+    assert uncapped != set(got), "cap should change a boilerplate-dense corpus"
+
+
+def test_prefix_filter_matches_allpairs_under_same_cap(spark):
+    """prefix_filter_jaccard_pairs and ngram_jaccard_pairs share the
+    stop-shingle cap default, so they must stay interchangeable —
+    identical pairs and scores — on a corpus where the cap BINDS."""
+    boiler = "click here to subscribe to our newsletter for updates now"
+    texts = {
+        i: f"body{i}x body{i}y body{i}z body{i}w {boiler}" for i in range(40)
+    }
+    texts[7] = f"shared payload alpha beta body7x {boiler}"
+    texts[9] = f"shared payload alpha beta body9x {boiler}"
+    docs = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    allpairs = {
+        (r.doc_a, r.doc_b): (r.n_shared, r.n_a, r.n_b, round(r.jaccard, 12))
+        for r in neardup.ngram_jaccard_pairs(docs, threshold=0.25).collect()
+    }
+    prefix = {
+        (r.doc_a, r.doc_b): (r.n_shared, r.n_a, r.n_b, round(r.jaccard, 12))
+        for r in neardup.prefix_filter_jaccard_pairs(
+            docs, threshold=0.25
+        ).collect()
+    }
+    assert allpairs == prefix and (7, 9) in allpairs

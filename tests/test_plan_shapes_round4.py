@@ -196,6 +196,13 @@ def test_changed_queries_sit_inside_driver_window():
         "ext_global_score_rank",  # two-pass rank persist barrier
         "ext_rfm_segmentation",   # two-pass rank persist barrier
         "ext_dedup_lines",        # fractional boilerplate threshold
+        # stop-shingle cap (mirrored in oracle) on the exact
+        # shingle-join family — the sf1 probe's 1389s fix
+        "ext_dedup_ngram_jaccard",
+        "ext_dedup_clusters",
+        "ext_dedup_keep_best",
+        "ext_dedup_prefix_filter",
+        "ext_dedup_containment",
     }
     window = set(registry._DRIVER_WINDOW)
     assert changed_r5 <= window, sorted(changed_r5 - window)
