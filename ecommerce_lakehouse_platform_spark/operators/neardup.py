@@ -769,6 +769,15 @@ def embedding_neardup_pairs_bucketed(
     the cross-check ``tests/test_neardup.py`` pins against
     ``embedding_neardup_pairs``.
 
+    ``n_centroids`` is the scale knob and must GROW with the corpus:
+    at fixed C the within-bucket pair count is quadratic in n (the
+    sf1 probe measured 7.7× wall-time for 10× vectors at C=8 —
+    BENCH_SF1.md). Assignment costs n·C cosines and pairing ~n²/C,
+    so C ∝ √n balances both at O(n^1.5) — the classic IVF operating
+    point; a 100 TB run sizes C per shard accordingly. The registered
+    query keeps C=8 because its DuckDB oracle mirrors the centroid
+    pick verbatim (LIMIT C), making the differential exact.
+
     Every ingredient (salted-MD5 centroid pick, left-fold cosine,
     argmax assignment with id tiebreak) is bit-reproducible in DuckDB,
     so the registry oracle mirrors the bucketing exactly.
