@@ -87,6 +87,8 @@ HEADLINE = [
     "ext_dsir_importance",
     "ext_multitouch_attribution",
     "ext_peak_concurrency",
+    # round 5 additions
+    "ext_dedup_span_cut",
 ]
 
 

@@ -790,11 +790,13 @@ from . import registry_round4  # noqa: E402,F401  (import-for-side-effect)
 # stop-shingle cap after the sf1 probe caught the uncapped join at
 # 1389s) — a changed query's previous green row proves nothing; then
 # 38 of the 43 queries whose newest external row is r2 (gold/dq/dash
-# staples, the r1 text/media ops). Changed queries displace stale
-# ones, so the five tail entries of the staleness rotation
-# (ext_skew_salted_join, ext_text_unk_replace, ext_shard_packing,
-# ext_sample_stratified, ext_decontamination) slip to r6 along with
-# the r3 cohort. Everything else keeps registration order behind the
+# staples, the r1 text/media ops), plus the one query ADDED this
+# round (ext_dedup_span_cut — a new query must get its first external
+# row in its first round to keep union coverage at 100%). Changed and
+# new queries displace stale ones, so the six tail entries of the
+# staleness rotation (ext_skew_salted_join, ext_text_unk_replace,
+# ext_shard_packing, ext_sample_stratified, ext_decontamination,
+# ext_text_repetition) slip to r6 along with the r3 cohort. Everything else keeps registration order behind the
 # window, and the repo-side sf0.01 oracle suite
 # (tests/test_registry_oracle.py, same gate as the harness) still
 # covers every registered query each session.
@@ -812,6 +814,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "ext_dedup_keep_best",
     "ext_dedup_prefix_filter",
     "ext_dedup_containment",
+    # --- New this round: first external row happens now or never ---
+    "ext_dedup_span_cut",
     # --- Newest external row is r2: the 43-query staleness rotation ---
     # reference staples (silver ops)
     "op_clean_id",
@@ -855,7 +859,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "ext_dedup_normalized",
     "ext_text_vocab",
     "ext_text_tfidf",
-    "ext_text_repetition",
 )
 
 

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from .functions import text as T
 from .operators import neardup, similarity
+from .operators.neardup import _spread
 from .registry import _t, query
 
 # ---------------------------------------------------------------------------
@@ -72,6 +73,121 @@ def ext_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_dup_spans").cast("double") / F.col("n_spans")).alias(
                 "dup_ratio"
             ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Substring-dedup application (remove duplicated spans, rebuild text)
+# ---------------------------------------------------------------------------
+
+@query(
+    "ext_dedup_span_cut",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    post AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS p, t[i+1] AS tok
+      FROM toks, unnest(range(0, CAST(len(t) AS BIGINT))) AS u(i)
+    ),
+    pos AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS p,
+        concat_ws(' ', t[i+1], t[i+2], t[i+3], t[i+4],
+                       t[i+5], t[i+6], t[i+7], t[i+8]) AS s
+      FROM toks, unnest(range(0, CAST(len(t) - 7 AS BIGINT))) AS u(i)
+      WHERE len(t) >= 8
+    ),
+    sh AS (SELECT DISTINCT doc_id, s FROM pos),
+    freq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1),
+    dup AS (SELECT doc_id, p FROM pos JOIN freq USING (s) WHERE df >= 2),
+    cov AS (
+      SELECT DISTINCT doc_id, p + CAST(j AS BIGINT) AS q
+      FROM dup, unnest(range(0, 8)) AS v(j)
+    ),
+    kept AS (
+      SELECT pt.doc_id, pt.p, pt.tok
+      FROM post pt ANTI JOIN cov c ON pt.doc_id = c.doc_id AND pt.p = c.q
+    ),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             string_agg(tok, ' ' ORDER BY p) AS cleaned
+      FROM kept GROUP BY 1
+    )
+    SELECT d.doc_id,
+      CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+      CAST(len(string_split(d.text, ' ')) - COALESCE(a.n_kept, 0) AS BIGINT)
+        AS n_removed,
+      COALESCE(a.cleaned, '') AS cleaned_text
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def ext_dedup_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the substring-dedup cut — the step after
+    ext_dup_span_islands in the Lee et al. pipeline: every token
+    position covered by any cross-document duplicated 8-gram span
+    ([p, p+7] for each duplicated occurrence p) is removed, and the
+    surviving tokens are reassembled in order into the cleaned text.
+    Emits per doc the original token count, removed-token count, and
+    the rewritten text (empty string when a doc is entirely
+    duplicated material).
+
+    Scale shape (all linear, window-free): positional shingling and
+    token positions are map-side explodes; span df is one shuffle on
+    the 8-gram key; coverage is a bounded 8× fan-out of duplicated
+    positions; removal is an anti-join on (doc, position); reassembly
+    is one groupBy(doc) with an in-group array_sort — the same
+    no-global-sort reassembly as ext_dedup_lines. The covered-position
+    explode is equivalent to materializing the merged islands' token
+    union, so no interval-merge window is needed."""
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select("doc_id", "text", F.split("text", " ").alias("t"))
+    post = toks.select(
+        "doc_id", F.posexplode("t").alias("p", "tok")
+    ).withColumn("p", F.col("p").cast("long"))
+    spans = toks.filter(F.size("t") >= 8).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 8),
+                lambda i: F.array_join(F.slice("t", i + 1, 8), " "),
+            )
+        ).alias("p", "s"),
+    ).withColumn("p", F.col("p").cast("long"))
+    freq = spans.select("doc_id", "s").distinct().groupBy("s").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    dup = spans.join(
+        freq.filter(F.col("df") >= 2).select("s"), ["s"], "leftsemi"
+    )
+    cov = dup.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("p"), F.col("p") + 7)).alias("q"),
+    ).distinct()
+    kept = post.join(
+        cov,
+        (post["doc_id"] == cov["doc_id"]) & (post["p"] == cov["q"]),
+        "left_anti",
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("cleaned"),
+    )
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
+    return (
+        docs.select("doc_id", "text")
+        .join(agg, ["doc_id"], "left")
+        .select(
+            "doc_id",
+            n_tokens.alias("n_tokens"),
+            (n_tokens - F.coalesce(F.col("n_kept"), F.lit(0))).cast(
+                "long"
+            ).alias("n_removed"),
+            F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned_text"),
         )
     )
 

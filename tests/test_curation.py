@@ -175,3 +175,55 @@ def test_centroids_match_plain_mean_within_quantization(spark):
         | (F.col("centroid") < F.col("mean") - 1.0 / 1048576 - 1e-12)
     ).count()
     assert bad == 0
+
+
+def test_span_cut_matches_islands_coverage(spark):
+    """The cut application and the island report must agree doc by
+    doc: a doc's removed-token count equals its islands'
+    covered_tokens (the covered-position union IS the island union),
+    and docs absent from the island report lose nothing — their
+    cleaned text round-trips the original."""
+    cut = registry.QUERIES["ext_dedup_span_cut"](spark, SF_SMOKE)
+    isl = registry.QUERIES["ext_dup_span_islands"](spark, SF_SMOKE)
+    j = cut.join(isl.select("doc_id", "covered_tokens"), ["doc_id"], "left")
+    mismatch = j.filter(
+        F.col("n_removed") != F.coalesce(F.col("covered_tokens"), F.lit(0))
+    ).count()
+    assert mismatch == 0
+    untouched = cut.filter(F.col("n_removed") == 0)
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    bad = (
+        untouched.join(docs, ["doc_id"])
+        .filter(F.col("cleaned_text") != F.col("text"))
+        .count()
+    )
+    assert bad == 0
+    assert cut.filter(F.col("n_removed") > 0).count() > 0
+
+
+def test_span_cut_planted_duplicate_span(spark):
+    """Two docs sharing one 8-token run, padded with unique tokens:
+    exactly the 8 shared positions vanish from each, the unique
+    padding survives in order, and a third unrelated doc is
+    untouched."""
+    from ecommerce_lakehouse_platform_spark.registry_curation import (
+        ext_dedup_span_cut,
+    )
+    shared = "one two three four five six seven eight"
+    rows = [
+        (1, f"a1 b1 {shared} c1 d1"),
+        (2, f"a2 {shared} b2 c2 d2"),
+        (3, "totally unrelated text with nothing duplicated here at all"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.parquet(os.path.join(td, "documents.parquet"))
+        out = {
+            r.doc_id: r
+            for r in ext_dedup_span_cut(spark, td).collect()
+        }
+    assert out[1].n_removed == 8 and out[1].cleaned_text == "a1 b1 c1 d1"
+    assert out[2].n_removed == 8 and out[2].cleaned_text == "a2 b2 c2 d2"
+    assert out[3].n_removed == 0
+    assert out[3].cleaned_text == rows[2][1]

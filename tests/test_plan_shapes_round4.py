@@ -203,6 +203,8 @@ def test_changed_queries_sit_inside_driver_window():
         "ext_dedup_keep_best",
         "ext_dedup_prefix_filter",
         "ext_dedup_containment",
+        # new this round — first external row must happen now
+        "ext_dedup_span_cut",
     }
     window = set(registry._DRIVER_WINDOW)
     assert changed_r5 <= window, sorted(changed_r5 - window)
