@@ -789,17 +789,18 @@ from . import registry_round4  # noqa: E402,F401  (import-for-side-effect)
 # and the five exact shingle-join queries that gained the mirrored
 # stop-shingle cap after the sf1 probe caught the uncapped join at
 # 1389s) — a changed query's previous green row proves nothing; then
-# 38 of the 43 queries whose newest external row is r2 (gold/dq/dash
-# staples, the r1 text/media ops), plus the one query ADDED this
-# round (ext_dedup_span_cut — a new query must get its first external
-# row in its first round to keep union coverage at 100%). Changed and
-# new queries displace stale ones, so the six tail entries of the
+# the one query ADDED this round (ext_dedup_span_cut — a new query
+# must get its first external row in its first round to keep union
+# coverage at 100%); then 37 of the 43 queries whose newest external
+# row is r2 (gold/dq/dash staples, the r1 text/media ops). Changed
+# and new queries displace stale ones, so the six tail entries of the
 # staleness rotation (ext_skew_salted_join, ext_text_unk_replace,
 # ext_shard_packing, ext_sample_stratified, ext_decontamination,
-# ext_text_repetition) slip to r6 along with the r3 cohort. Everything else keeps registration order behind the
-# window, and the repo-side sf0.01 oracle suite
-# (tests/test_registry_oracle.py, same gate as the harness) still
-# covers every registered query each session.
+# ext_text_repetition) slip to r6 along with the r3 cohort.
+# Everything else keeps registration order behind the window, and the
+# repo-side sf0.01 oracle suite (tests/test_registry_oracle.py, same
+# gate as the harness) still covers every registered query each
+# session.
 _DRIVER_WINDOW: tuple[str, ...] = (
     # --- Changed this round: re-check is mandatory, not rotation ---
     "ext_lm_perplexity",
