@@ -42,17 +42,28 @@ def _doc_shingles(
 # Stop-shingle cap defaults shared by every exact shingle self-join in
 # this module (and mirrored verbatim in the registered queries' DuckDB
 # oracle SQL): a shingle is boilerplate when it appears in more than
-# max(MAX_DF_FLOOR, ceil(MAX_DF_FRAC * n_docs)) documents. The floor
-# keeps the cap an identity on small corpora (df can never exceed
-# n_docs ≤ floor); the fraction is the scale knob. Why this exists: a
-# shingle in f docs contributes f² rows to the candidate self-join, so
+#     max(MAX_DF_FLOOR, min(ceil(MAX_DF_FRAC * n_docs), MAX_DF_CEIL))
+# documents. The floor keeps the cap an identity on small corpora (df
+# can never exceed n_docs ≤ floor); the fraction is the scale knob;
+# the ceiling is the asymptotic guarantee. Why this exists: a shingle
+# in f docs contributes f² rows to the candidate self-join, so
 # uncapped boilerplate is quadratic in corpus size — the sf1 scaling
 # probe measured 6.0e9 candidate rows on 50k docs (max df 13,410; one
 # shingle alone 1.8e8 rows) of which 99.8% came from shingles in >1%
 # of the corpus, while the true ≥-threshold pair count was ~6k. With
 # this cap the same corpus generates ~1.4e7 candidate rows.
+#
+# Why the ceiling: a purely fractional cap bounds candidates only by
+# (frac·n)·Σf — still super-linear on an adversarial df distribution
+# that piles mass just under the fraction. Clamping the cap at an
+# absolute MAX_DF_CEIL makes the candidate volume ≤ MAX_DF_CEIL · Σf
+# = O(corpus) unconditionally. An absolute document-frequency cutoff
+# for "boilerplate, period" is standard IR practice; the ceiling only
+# starts to bind beyond ~819k documents (0.005·n > 4096), far above
+# every test scale, so it changes nothing below web scale.
 MAX_DF_FRAC = 0.005
 MAX_DF_FLOOR = 32
+MAX_DF_CEIL = 4096
 
 # DuckDB oracle twin of the default cap, kept HERE so the constants
 # and the SQL can never drift apart: registered queries that call the
@@ -71,8 +82,9 @@ ORACLE_SH_CAPPED = f"""
     ),
     keep AS (
       SELECT s FROM sh0 GROUP BY s
-      HAVING COUNT(*) <= GREATEST({MAX_DF_FLOOR},
-        CEIL({MAX_DF_FRAC} * (SELECT COUNT(DISTINCT doc_id) FROM sh0)))
+      HAVING COUNT(*) <= GREATEST({MAX_DF_FLOOR}, LEAST(
+        CEIL({MAX_DF_FRAC} * (SELECT COUNT(DISTINCT doc_id) FROM sh0)),
+        {MAX_DF_CEIL}))
     ),
     sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s))
 """
@@ -83,15 +95,18 @@ def _cap_stop_shingles(
     max_df: int | None,
     max_df_frac: float | None,
     max_df_floor: int,
+    max_df_ceil: int = MAX_DF_CEIL,
 ) -> DataFrame:
     """Remove stop-shingles from a (doc_id, shingle) table.
 
     Two independent caps, both applied when set: ``max_df`` is an
     absolute document-frequency ceiling; ``max_df_frac`` is the
     growth-stable fraction-of-corpus form, ``df ≤ greatest(floor,
-    ceil(frac · n_docs))``, where ``n_docs`` counts the documents
-    that produced at least one shingle (matching the oracle SQL's
-    ``COUNT(DISTINCT doc_id)`` over the shingle CTE).
+    least(ceil(frac · n_docs), max_df_ceil))``, where ``n_docs``
+    counts the documents that produced at least one shingle (matching
+    the oracle SQL's ``COUNT(DISTINCT doc_id)`` over the shingle
+    CTE). The ``max_df_ceil`` clamp is what makes the candidate join
+    O(corpus) unconditionally — see the MAX_DF_CEIL note above.
 
     Everything stays in-plan: ``n_docs`` is a one-row aggregate
     broadcast into the frequency filter, never a driver-side action.
@@ -107,7 +122,10 @@ def _cap_stop_shingles(
         nd = ds.agg(F.countDistinct("doc_id").alias("_nd"))
         cap = F.greatest(
             F.lit(int(max_df_floor)).cast("long"),
-            F.ceil(F.lit(float(max_df_frac)) * F.col("_nd")),
+            F.least(
+                F.ceil(F.lit(float(max_df_frac)) * F.col("_nd")),
+                F.lit(int(max_df_ceil)).cast("long"),
+            ),
         )
         dfreq = dfreq.crossJoin(F.broadcast(nd)).filter(F.col("_df") <= cap)
     if max_df is not None:
@@ -146,7 +164,7 @@ def ngram_jaccard_pairs(
     the informative shingles only — the standard trade at web scale,
     where the top stop-shingles are boilerplate. The default is the
     growth-stable fractional form ``df ≤ greatest(max_df_floor,
-    ceil(max_df_frac · n_docs))`` (see ``MAX_DF_FRAC`` above): an
+    least(ceil(max_df_frac · n_docs), MAX_DF_CEIL))`` (see ``MAX_DF_FRAC`` above): an
     identity at fixture scale (floor 32 vs observed max df 25) while
     at the sf1 probe scale it collapses a 6.0e9-row candidate join to
     ~1.4e7 rows. Registered queries mirror the identical cap in their

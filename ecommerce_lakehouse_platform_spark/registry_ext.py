@@ -1038,7 +1038,7 @@ def ext_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ext_dedup_ngram_jaccard",
     # The shingle CTE is the CAPPED twin (operators/neardup.py
-    # ORACLE_SH_CAPPED): stop-shingles above max(32, 0.5% of corpus)
+    # ORACLE_SH_CAPPED): stop-shingles above max(32, min(0.5% of corpus, 4096))
     # document frequency are removed from the sets in BOTH engines —
     # identity at fixture scale (floor 32 vs max observed df 25),
     # quadratic-blowup guard at probe scale and beyond.
@@ -1062,8 +1062,8 @@ def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs 3-gram Jaccard near-dup pairs (≥ 0.5) via
     shared-shingle join — the ground truth the LSH variants
     approximate. Jaccard is over INFORMATIVE shingles: the default
-    stop-shingle cap (df ≤ max(32, 0.5% of corpus), mirrored in the
-    oracle) keeps the self-join linear-ish on boilerplate-dense
+    stop-shingle cap (df ≤ max(32, min(0.5% of corpus, 4096)), mirrored
+    in the oracle) keeps the self-join linear-ish on boilerplate-dense
     corpora where uncapped candidates grow quadratically."""
     docs = _t(spark, sf_dir, "documents")
     return neardup.ngram_jaccard_pairs(docs, threshold=0.5)

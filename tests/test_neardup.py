@@ -268,6 +268,39 @@ def test_fractional_cap_arithmetic_on_shingle_table(spark):
     assert "rare_0" in kept_small
 
 
+def test_absolute_ceiling_clamps_fractional_cap(spark):
+    """Beyond ~819k docs the fractional cap would keep growing with
+    the corpus — and with it the f² candidate bound. The MAX_DF_CEIL
+    clamp freezes it: on a 1M-doc table, cap = max(32,
+    min(ceil(5000.0), 4096)) = 4096, so a df-4096 shingle survives
+    and a df-5000 shingle (under the unclamped fractional cap, but
+    over the ceiling) is cut. This is the property that makes the
+    candidate join O(corpus): capped volume ≤ MAX_DF_CEIL · rows."""
+    from pyspark.sql import functions as F
+
+    n = 1_000_000
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("rare_"), F.col("id")).alias("shingle"),
+    )
+    at_ceil = spark.range(4096).select(
+        F.col("id").alias("doc_id"), F.lit("at_ceiling").alias("shingle")
+    )
+    over = spark.range(5000).select(
+        F.col("id").alias("doc_id"), F.lit("over_ceiling").alias("shingle")
+    )
+    ds = base.unionByName(at_ceil).unionByName(over)
+    kept = {
+        r.shingle
+        for r in neardup._cap_stop_shingles(ds, None, 0.005, 32)
+        .select("shingle")
+        .distinct()
+        .filter(F.col("shingle").isin("at_ceiling", "over_ceiling"))
+        .collect()
+    }
+    assert kept == {"at_ceiling"}
+
+
 def _py_capped_jaccard(texts: dict[int, str], n: int, threshold: float,
                        frac: float, floor: int):
     """Pure-Python mini-oracle for the capped exact-Jaccard relation."""
