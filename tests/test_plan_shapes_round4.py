@@ -208,3 +208,18 @@ def test_changed_queries_sit_inside_driver_window():
     }
     window = set(registry._DRIVER_WINDOW)
     assert changed_r5 <= window, sorted(changed_r5 - window)
+
+
+def test_bench_headline_names_are_registered():
+    """bench.py filters HEADLINE against the registry, so a renamed
+    query silently vanishes from the bench (the filter hides the
+    mismatch instead of failing). Pin every headline name to a real
+    registration, and every headline entry to an oracle pair — a
+    benched query with no differential twin is an unchecked claim."""
+    import bench
+    from ecommerce_lakehouse_platform_spark import registry
+
+    missing = [n for n in bench.HEADLINE if n not in registry.QUERIES]
+    assert not missing, f"headline names not registered: {missing}"
+    unoracled = [n for n in bench.HEADLINE if n not in registry.ORACLES]
+    assert not unoracled, f"headline queries without oracle: {unoracled}"
