@@ -223,3 +223,18 @@ def test_bench_headline_names_are_registered():
     assert not missing, f"headline names not registered: {missing}"
     unoracled = [n for n in bench.HEADLINE if n not in registry.ORACLES]
     assert not unoracled, f"headline queries without oracle: {unoracled}"
+
+
+def test_span_cut_no_window_no_cartesian(spark):
+    """The cut application must stay linear: token removal is an
+    anti-join on (doc, position) and reassembly is an in-group
+    array_sort — no window, no cartesian/BNLJ, no global sort
+    anywhere (a per-doc window over positions would serialize long
+    docs; a global sort would serialize the corpus)."""
+    plan = _plan(spark, "ext_dedup_span_cut")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    simple = _plan(spark, "ext_dedup_span_cut", mode="simple")
+    sorts = re.findall(r"Sort \[[^\]]*\], (true|false),", simple)
+    assert all(flag == "false" for flag in sorts), simple
