@@ -137,3 +137,19 @@ def langid(text: Column | str) -> Column:
     for lang in reversed(list(STOPWORDS)):  # earlier langs win ties
         expr = F.when((ratios[lang] > 0) & (ratios[lang] == best), lang).otherwise(expr)
     return expr
+
+
+# DuckDB oracle twins of the language-ID stopword ratios, kept HERE
+# (dependency-free module) so registry_ext and registry_round4 can
+# both splice them without importing each other — sub-registry import
+# order is not guaranteed (see registry.py's deferred-token note).
+LANG_SQL_LISTS = {
+    lang: "[" + ",".join(f"'{w}'" for w in words) + "]"
+    for lang, words in STOPWORDS.items()
+}
+_LANGID_RATIO_SQL = (
+    "CAST(len(list_filter(toks, s -> list_contains({lst}, s))) AS DOUBLE) / len(toks)"
+)
+LANGID_RATIOS_SQL = {
+    l: _LANGID_RATIO_SQL.format(lst=lst) for l, lst in LANG_SQL_LISTS.items()
+}

@@ -114,9 +114,41 @@ def _cap_stop_shingles(
     the similarity stays internally consistent (it becomes "Jaccard /
     containment over informative shingles" — the standard web-scale
     trade; boilerplate-only overlap no longer counts as similarity).
+
+    PRECONDITION: ``ds`` must hold DISTINCT (doc_id, shingle) pairs —
+    document frequency is a plain count per shingle under that
+    contract, matching the oracle SQL's COUNT over the DISTINCT
+    shingle CTE. Every caller in this module goes through
+    ``_doc_shingles``, which distincts; a non-distinct caller would
+    over-count df and cut the wrong shingles.
     """
     if max_df is None and max_df_frac is None:
         return ds
+    return ds.join(
+        _capped_shingle_df(
+            ds, max_df, max_df_frac, max_df_floor, max_df_ceil
+        ).select("shingle"),
+        ["shingle"],
+    )
+
+
+def _capped_shingle_df(
+    ds: DataFrame,
+    max_df: int | None,
+    max_df_frac: float | None,
+    max_df_floor: int,
+    max_df_ceil: int = MAX_DF_CEIL,
+) -> DataFrame:
+    """(shingle, _df) document frequencies, restricted to shingles
+    that survive the stop-shingle cap (all shingles when no cap set).
+
+    Single aggregation serving BOTH the cap filter and any downstream
+    frequency ranking (prefix filtering orders by ascending df): a
+    surviving shingle's df is identical before and after capping —
+    capping removes whole shingle groups, never individual (doc_id,
+    shingle) rows — so one pass suffices. Same DISTINCT-pairs
+    precondition as :func:`_cap_stop_shingles`.
+    """
     dfreq = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     if max_df_frac is not None:
         nd = ds.agg(F.countDistinct("doc_id").alias("_nd"))
@@ -127,10 +159,14 @@ def _cap_stop_shingles(
                 F.lit(int(max_df_ceil)).cast("long"),
             ),
         )
-        dfreq = dfreq.crossJoin(F.broadcast(nd)).filter(F.col("_df") <= cap)
+        dfreq = (
+            dfreq.crossJoin(F.broadcast(nd))
+            .filter(F.col("_df") <= cap)
+            .drop("_nd")
+        )
     if max_df is not None:
         dfreq = dfreq.filter(F.col("_df") <= max_df)
-    return ds.join(dfreq.select("shingle"), ["shingle"])
+    return dfreq
 
 
 def ngram_jaccard_pairs(
@@ -317,7 +353,11 @@ def prefix_filter_jaccard_pairs(
     rows); restricting to rarest-first prefixes drops the frequent
     shingles from the join key entirely, cutting candidates by ~1/t²
     while staying exact. One extra shuffle (the df-frequency join)
-    buys a quadratically smaller join.
+    buys a quadratically smaller join — and it is ONE aggregation
+    serving both the stop-shingle cap and the rarest-first ranking
+    (a surviving shingle's df is unchanged by capping, so the fused
+    pass is exact; r5 ran the df aggregate twice over the biggest
+    intermediate, the dominant regression that round).
 
     Prefix filtering alone is NOT enough on a boilerplate-dense
     corpus: at moderate thresholds the prefix keeps most of each set,
@@ -332,11 +372,11 @@ def prefix_filter_jaccard_pairs(
     :func:`ngram_jaccard_pairs`, so the two are interchangeable and
     cross-checkable.
     """
-    ds = _cap_stop_shingles(
-        _doc_shingles(docs, id_col, text_col, n), max_df, max_df_frac, max_df_floor
-    )
-    dfreq = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    ranked = ds.join(dfreq, ["shingle"])
+    ds = _doc_shingles(docs, id_col, text_col, n)
+    dfreq = _capped_shingle_df(ds, max_df, max_df_frac, max_df_floor)
+    # one inner join both CAPS (cut shingles are absent from dfreq)
+    # and RANKS (attaches df for the rarest-first prefix ordering)
+    ranked = ds.join(dfreq.withColumnRenamed("_df", "df"), ["shingle"])
     per_doc = (
         ranked.groupBy("doc_id")
         .agg(F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias("_ord"))
@@ -766,12 +806,29 @@ def embedding_neardup_pairs(
     )
 
 
+def adaptive_n_centroids(n_vectors: int, floor: int = 8) -> int:
+    """The C ∝ √n IVF operating point: ``max(floor, ceil(sqrt(n)))``.
+
+    Assignment costs n·C cosines and within-bucket pairing ~n²/C, so
+    C = √n balances both at O(n^1.5) — the standard IVF sizing rule.
+    The floor keeps tiny corpora from degenerating to near-all-pairs.
+    One IEEE-double sqrt + ceil, bit-identical to the DuckDB oracle
+    fragment ``GREATEST(floor, CAST(ceil(sqrt(COUNT(*))) AS BIGINT))``
+    (``math.sqrt`` and DuckDB ``sqrt`` are both correctly-rounded
+    doubles, exact on perfect squares), so registered queries can
+    mirror the adaptive pick cross-engine.
+    """
+    import math
+
+    return max(int(floor), int(math.ceil(math.sqrt(max(0, n_vectors)))))
+
+
 def embedding_neardup_pairs_bucketed(
     embeddings: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
-    n_centroids: int = 8,
+    n_centroids: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style bucketed near-dup pairs: IVF-assign every vector
     to its nearest deterministic centroid (operators/similarity.py),
@@ -790,11 +847,16 @@ def embedding_neardup_pairs_bucketed(
     ``n_centroids`` is the scale knob and must GROW with the corpus:
     at fixed C the within-bucket pair count is quadratic in n (the
     sf1 probe measured 7.7× wall-time for 10× vectors at C=8 —
-    BENCH_SF1.md). Assignment costs n·C cosines and pairing ~n²/C,
-    so C ∝ √n balances both at O(n^1.5) — the classic IVF operating
-    point; a 100 TB run sizes C per shard accordingly. The registered
-    query keeps C=8 because its DuckDB oracle mirrors the centroid
-    pick verbatim (LIMIT C), making the differential exact.
+    BENCH_SF1.md). The default (``n_centroids=None``) therefore sizes
+    C adaptively at :func:`adaptive_n_centroids` — C ∝ √n, the classic
+    IVF operating point, O(n^1.5) total work. Sizing the index costs
+    one scalar ``count()`` action (metadata-cheap on parquet) — the
+    same legitimate driver-side-decision class as the clustering
+    convergence probe, not a data collect. The registered queries
+    mirror the adaptive pick in their DuckDB oracles (a row_number
+    ≤ GREATEST(8, ceil(sqrt(COUNT(*)))) centroid CTE), keeping the
+    differential exact at every scale, exactly as the stop-shingle
+    cap is mirrored.
 
     Every ingredient (salted-MD5 centroid pick, left-fold cosine,
     argmax assignment with id tiebreak) is bit-reproducible in DuckDB,
@@ -803,6 +865,8 @@ def embedding_neardup_pairs_bucketed(
     from ..functions.vectors import cosine
     from .similarity import assign_ivf_buckets
 
+    if n_centroids is None:
+        n_centroids = adaptive_n_centroids(embeddings.count())
     _, assigned = assign_ivf_buckets(
         embeddings, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
     )

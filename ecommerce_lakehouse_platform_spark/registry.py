@@ -52,6 +52,33 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def resolve_deferred_oracles() -> None:
+    """Splice __ORACLE_<NAME>__ tokens with the named oracle's SQL.
+
+    A sub-registry oracle may embed another registered oracle as a CTE
+    (ext_ann_recall nests the exact-top-k and IVF chains), but import
+    order between sub-registries is NOT guaranteed: a test importing
+    registry_ext first leaves registry.py's bottom imports running
+    against a partially-initialized registry_ext, so indexing ORACLES
+    at *their* import time raised KeyError. Instead, dependents spell
+    the nesting as a deferred token, and this idempotent resolver runs
+    at the end of registry.py AND of every sub-registry module — the
+    first-imported module's body is the last to finish, so whichever
+    module the user imported first performs the final, complete
+    resolution. Tokens whose dependency is not yet registered (or is
+    itself unresolved) are left in place for a later call;
+    tests/test_registry_oracle.py asserts none survive a full import.
+    """
+    for name, sql in list(ORACLES.items()):
+        if "__ORACLE_" not in sql:
+            continue
+        for dep, dep_sql in ORACLES.items():
+            token = f"__ORACLE_{dep.upper()}__"
+            if token in sql and "__ORACLE_" not in dep_sql:
+                sql = sql.replace(token, dep_sql)
+        ORACLES[name] = sql
+
+
 # ---------------------------------------------------------------------------
 # §2.2 Projections / filters / predicates
 # ---------------------------------------------------------------------------
@@ -769,6 +796,9 @@ from . import registry_relational  # noqa: E402,F401  (import-for-side-effect)
 from . import registry_curation  # noqa: E402,F401  (import-for-side-effect)
 from . import registry_scale  # noqa: E402,F401  (import-for-side-effect)
 from . import registry_round4  # noqa: E402,F401  (import-for-side-effect)
+
+
+resolve_deferred_oracles()
 
 
 # ---------------------------------------------------------------------------

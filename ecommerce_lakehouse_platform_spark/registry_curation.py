@@ -331,10 +331,21 @@ def _cos_sql(x: str, y: str) -> str:
     "ext_dedup_semantic_clusters",
     oracle=f"""
     WITH RECURSIVE cent AS (
-      SELECT vec_id AS centroid_id, embedding AS cvec
-      FROM embeddings
-      ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id
-      LIMIT 8
+      -- adaptive C = GREATEST(8, ceil(sqrt(n))): the same formula as
+      -- operators/neardup.adaptive_n_centroids, so the bucketing (and
+      -- therefore the clusters) mirror at EVERY scale, not just the
+      -- fixture size. row_number over the salted-md5 order is the
+      -- same total order as Spark's TakeOrderedAndProject pick.
+      SELECT centroid_id, cvec FROM (
+        SELECT vec_id AS centroid_id, embedding AS cvec,
+          row_number() OVER (
+            ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id
+          ) AS rn
+        FROM embeddings
+      ) WHERE rn <= (
+        SELECT GREATEST(8, CAST(ceil(sqrt(COUNT(*))) AS BIGINT))
+        FROM embeddings
+      )
     ),
     assigned AS (
       SELECT vec_id, embedding, centroid_id AS bucket_id FROM (
@@ -372,17 +383,20 @@ def ext_dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     *within buckets only* → connected components → one canonical
     vector per semantic cluster. Within-cluster-only pairing is the
     published SemDeDup contract and the 100 TB shape: the only
-    broadcast is the 8-row centroid table and the pair join is an
-    equi-join on bucket_id (never all-pairs). Same clustering kernel
-    as the lexical path (operators/cluster.py) fed by a different pair
-    generator. The salted-MD5 centroid pick, left-fold cosine, and
-    argmax assignment are all bit-reproducible in DuckDB, so the
-    oracle mirrors the bucketing exactly."""
+    broadcast is the C-row centroid table and the pair join is an
+    equi-join on bucket_id (never all-pairs), with C sized adaptively
+    at the √n IVF operating point (fixed C=8 measured 7.7× wall-time
+    for 10× vectors in the sf1 probe; adaptive C keeps within-bucket
+    pairing ~n^1.5). Same clustering kernel as the lexical path
+    (operators/cluster.py) fed by a different pair generator. The
+    salted-MD5 centroid pick, adaptive-C formula, left-fold cosine,
+    and argmax assignment are all bit-reproducible in DuckDB, so the
+    oracle mirrors the bucketing exactly at every scale."""
     from .operators.cluster import dedup_clusters
 
     emb = _t(spark, sf_dir, "embeddings")
     pairs = neardup.embedding_neardup_pairs_bucketed(
-        emb, threshold=0.4, n_centroids=8
+        emb, threshold=0.4
     ).select("id_a", "id_b")
     return dedup_clusters(
         emb.select("vec_id"), pairs, id_col="vec_id", pair_a="id_a", pair_b="id_b"
@@ -818,3 +832,11 @@ def ext_knn_label_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id", "true_label", F.col("vote").alias("predicted_label"), "n_votes")
     )
+
+
+# Deferred oracle-nesting tokens (see registry.resolve_deferred_oracles):
+# this module may be the first-imported, hence the last to finish — run
+# the idempotent resolver so every token is spliced regardless of order.
+from .registry import resolve_deferred_oracles as _rdo  # noqa: E402
+_rdo()
+del _rdo

@@ -66,16 +66,9 @@ def ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LANG_SQL_LISTS = {
-    "en": "['the','a','of','and','to','in','is']",
-    "es": "['el','la','de','y','que','en']",
-    "fr": "['le','la','de','et','que','en']",
-    "de": "['der','die','das','und','zu','in']",
-}
-_RATIO = (
-    "CAST(len(list_filter(toks, s -> list_contains({lst}, s))) AS DOUBLE) / len(toks)"
-)
-_RATIOS = {l: _RATIO.format(lst=lst) for l, lst in _LANG_SQL_LISTS.items()}
+# Oracle fragments live in functions/text.py (dependency-free) so
+# registry_round4 can splice them without importing this module.
+_RATIOS = T.LANGID_RATIOS_SQL
 
 @query(
     "ext_text_langid",
@@ -1212,29 +1205,74 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cos_sql(a: str, b: str) -> str:
+    """DuckDB cosine fragment mirroring functions/vectors.py: strict
+    left fold of the element products / norms in double."""
+    def _dot(x: str, y: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, len({x})+1), "
+            f"i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)), (x,y) -> x+y)"
+        )
+    return f"{_dot(a, b)} / (sqrt({_dot(a, a)}) * sqrt({_dot(b, b)}))"
+
+
+# DuckDB twin of the ADAPTIVE IVF bucketing (operators/neardup.py
+# adaptive_n_centroids + operators/similarity.py assign_ivf_buckets):
+# C = GREATEST(8, ceil(sqrt(n))) centroids picked by salted-md5
+# row_number (same total order as Spark's TakeOrderedAndProject pick),
+# argmax-cosine assignment with centroid_id tiebreak. Kept as one
+# fragment so the C formula can never drift from the Python side.
+_ORACLE_IVF_ADAPTIVE = f"""
+    cent AS (
+      SELECT centroid_id, cvec FROM (
+        SELECT vec_id AS centroid_id, embedding AS cvec,
+          row_number() OVER (
+            ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id
+          ) AS rn
+        FROM embeddings
+      ) WHERE rn <= (
+        SELECT GREATEST(8, CAST(ceil(sqrt(COUNT(*))) AS BIGINT))
+        FROM embeddings
+      )
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, centroid_id AS bucket_id FROM (
+        SELECT v.vec_id, v.embedding, c.centroid_id,
+          row_number() OVER (
+            PARTITION BY v.vec_id
+            ORDER BY {_cos_sql('v.embedding', 'c.cvec')} DESC, c.centroid_id
+          ) AS rn
+        FROM embeddings v CROSS JOIN cent c
+      ) WHERE rn = 1
+    )
+"""
+
+
 @query(
     "ext_dedup_embedding",
-    oracle="""
-    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    oracle=f"""
+    WITH {_ORACLE_IVF_ADAPTIVE},
     pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        list_reduce(list_transform(range(1, len(a.embedding)+1),
-          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x,y) -> x+y)
-        / (sqrt(list_reduce(list_transform(range(1, len(a.embedding)+1),
-             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x,y) -> x+y))
-           * sqrt(list_reduce(list_transform(range(1, len(b.embedding)+1),
-               i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x,y) -> x+y)))
-        AS cosine_sim
-      FROM e a JOIN e b ON a.vec_id < b.vec_id
+        {_cos_sql('a.embedding', 'b.embedding')} AS cosine_sim
+      FROM assigned a JOIN assigned b
+        ON a.bucket_id = b.bucket_id AND a.vec_id < b.vec_id
     )
     SELECT id_a, id_b, cosine_sim FROM pairs WHERE cosine_sim >= 0.4
     """,
 )
 def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (≥ 0.4); the double left-fold
-    is bit-identical across engines so no rounding is applied."""
+    """Embedding-cosine near-dup pairs (≥ 0.4) on the 100 TB path:
+    adaptive-C IVF bucketing (C = max(8, ⌈√n⌉)) + within-bucket
+    cosine scoring — the only broadcast is the C-row centroid table
+    and the pair join is an equi-join on bucket_id, never all-pairs.
+    The salted-md5 centroid pick, argmax assignment, and double
+    left-fold cosine are bit-identical across engines, so the oracle
+    replays the whole bucketed pipeline including the √n cap. The
+    brute-force all-pairs generator stays as the C=1 cross-check in
+    tests/test_neardup.py only."""
     emb = _t(spark, sf_dir, "embeddings")
-    return neardup.embedding_neardup_pairs(emb, threshold=0.4)
+    return neardup.embedding_neardup_pairs_bucketed(emb, threshold=0.4)
 
 
 # ---------------------------------------------------------------------------
@@ -1270,17 +1308,6 @@ def ext_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
     return similarity.cosine_topk(emb, queries_df, k=5)
-
-
-def _cos_sql(a: str, b: str) -> str:
-    """DuckDB cosine fragment mirroring functions/vectors.py: strict
-    left fold of the element products / norms in double."""
-    def _dot(x: str, y: str) -> str:
-        return (
-            f"list_reduce(list_transform(range(1, len({x})+1), "
-            f"i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)), (x,y) -> x+y)"
-        )
-    return f"{_dot(a, b)} / (sqrt({_dot(a, a)}) * sqrt({_dot(b, b)}))"
 
 
 @query(
@@ -1691,3 +1718,11 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_count",
         "session_revenue",
     )
+
+
+# Deferred oracle-nesting tokens (see registry.resolve_deferred_oracles):
+# this module may be the first-imported, hence the last to finish — run
+# the idempotent resolver so every token is spliced regardless of order.
+from .registry import resolve_deferred_oracles as _rdo  # noqa: E402
+_rdo()
+del _rdo

@@ -920,3 +920,11 @@ def ext_moving_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w7).cast("long").alias("trailing_7d_days"),
         F.sum("rev").over(wcum).cast("double").alias("cumulative_revenue"),
     )
+
+
+# Deferred oracle-nesting tokens (see registry.resolve_deferred_oracles):
+# this module may be the first-imported, hence the last to finish — run
+# the idempotent resolver so every token is spliced regardless of order.
+from .registry import resolve_deferred_oracles as _rdo  # noqa: E402
+_rdo()
+del _rdo

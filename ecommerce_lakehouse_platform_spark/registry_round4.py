@@ -1577,7 +1577,10 @@ def ext_negative_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _langid_confusion_oracle() -> str:
-    from .registry_ext import _RATIOS
+    # fragments live in functions/text.py: importing registry_ext here
+    # fails when THIS module is reached through registry.py's bottom
+    # imports while registry_ext is still partially initialized
+    from .functions.text import LANGID_RATIOS_SQL as _RATIOS
 
     pred = f"""
       CASE
@@ -2053,3 +2056,11 @@ def ext_bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens_after"
         ),
     )
+
+
+# Deferred oracle-nesting tokens (see registry.resolve_deferred_oracles):
+# this module may be the first-imported, hence the last to finish — run
+# the idempotent resolver so every token is spliced regardless of order.
+from .registry import resolve_deferred_oracles as _rdo  # noqa: E402
+_rdo()
+del _rdo

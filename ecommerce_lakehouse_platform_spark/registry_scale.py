@@ -18,7 +18,7 @@ from .operators.frequency import heavy_hitters
 from .operators.neardup import _spread
 from .operators.neardup import ORACLE_SH_CAPPED as _SH_CAPPED
 from .operators.pagerank import pagerank_int
-from .registry import ORACLES, _t, query
+from .registry import _t, query
 
 
 @query(
@@ -644,11 +644,14 @@ def stream_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_ann_recall",
     # Both ANN paths are deterministic, so even the QUALITY METRIC is
     # oracle-checkable: the oracle nests the exact-top-k and IVF
-    # oracle chains (registered above) as CTEs and recomputes
-    # recall@5 from scratch.
-    oracle=f"""
-    WITH exact_topk AS ({ORACLES["ext_similarity_topk"]}),
-    approx_topk AS ({ORACLES["ext_similarity_ivf"]})
+    # oracle chains as CTEs and recomputes recall@5 from scratch.
+    # The nesting is a DEFERRED token (resolved in registry.py after
+    # every sub-registry has registered): indexing ORACLES here at
+    # import time broke when a test imported a sub-registry module
+    # before registry_ext had populated those keys.
+    oracle="""
+    WITH exact_topk AS (__ORACLE_EXT_SIMILARITY_TOPK__),
+    approx_topk AS (__ORACLE_EXT_SIMILARITY_IVF__)
     SELECT e.query_id,
       CAST(COUNT(*) AS BIGINT) AS n_exact,
       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
@@ -1182,3 +1185,11 @@ def ext_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).alias("active_users"))
     )
+
+
+# Deferred oracle-nesting tokens (see registry.resolve_deferred_oracles):
+# this module may be the first-imported, hence the last to finish — run
+# the idempotent resolver so every token is spliced regardless of order.
+from .registry import resolve_deferred_oracles as _rdo  # noqa: E402
+_rdo()
+del _rdo

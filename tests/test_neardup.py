@@ -99,6 +99,31 @@ def test_bucketed_embedding_pairs_subset_and_pruned(spark):
     assert candidates < 0.5 * all_pairs, (candidates, all_pairs)
 
 
+def test_bucketed_embedding_adaptive_default(spark):
+    """n_centroids=None sizes C at the √n IVF operating point and must
+    equal the explicit-C call bit-for-bit (same pairs, same cosines).
+    This is the default the registered queries run."""
+    import math
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    n = emb.count()
+    expected_c = max(8, math.ceil(math.sqrt(n)))
+    assert neardup.adaptive_n_centroids(n) == expected_c
+    adaptive = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in neardup.embedding_neardup_pairs_bucketed(
+            emb, threshold=0.4
+        ).collect()
+    }
+    explicit = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in neardup.embedding_neardup_pairs_bucketed(
+            emb, threshold=0.4, n_centroids=expected_c
+        ).collect()
+    }
+    assert adaptive == explicit
+
+
 def test_max_df_cap_is_identity_when_loose(spark):
     """Stop-shingle cap: with max_df ≥ the corpus's true max document
     frequency the capped run must equal the uncapped run exactly; with
