@@ -34,12 +34,13 @@ from .registry import _t, query
 )
 def ext_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy hitters (frequency ≥ ⌈0.0005·N⌉) over the lineitem
-    part key via the two-pass Misra-Gries plan
-    (operators/frequency.py): bounded-memory per-partition candidate
-    summaries, then exact verification of candidates only. The output
-    is bit-identical to plain GROUP BY + HAVING — which is exactly
-    what the oracle runs — while the aggregation state at scale is
-    bounded by the candidate count, not the key cardinality."""
+    part key via the two-pass plan (operators/frequency.py): a fully
+    JVM per-partition local-threshold candidate pass (superset by
+    pigeonhole; ≤ P/φ candidates), then exact verification of
+    candidates only. The output is bit-identical to plain GROUP BY +
+    HAVING — which is exactly what the oracle runs — while the verify
+    shuffle only moves candidate rows. The Misra-Gries Arrow pass
+    remains as the bounded_memory=True alternative."""
     li = _t(spark, sf_dir, "lineitem")
     return heavy_hitters(li, "l_partkey", phi=0.0005)
 

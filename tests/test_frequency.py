@@ -1,5 +1,6 @@
-"""Two-pass heavy hitters: Misra-Gries candidate guarantees + exact
-equivalence to the plain GROUP BY + HAVING formulation."""
+"""Two-pass heavy hitters: candidate-pass superset guarantees (both
+the JVM partition-threshold default and the bounded-memory Misra-Gries
+alternative) + exact equivalence to GROUP BY + HAVING."""
 
 from __future__ import annotations
 
@@ -13,6 +14,7 @@ from pyspark.sql import functions as F
 from ecommerce_lakehouse_platform_spark.operators.frequency import (
     heavy_hitters,
     misra_gries_candidates,
+    partition_threshold_candidates,
 )
 
 
@@ -46,6 +48,32 @@ def test_candidates_are_superset_of_heavy_hitters(spark, sf_dir):
     cand = {r.item for r in misra_gries_candidates(items, "item", k).collect()}
     truth = {r.item for r in _exact_heavy_hitters(li, "l_partkey", phi).collect()}
     assert truth <= cand
+
+
+def test_jvm_candidates_are_superset_of_heavy_hitters(spark, sf_dir):
+    """The partition-threshold (JVM default) guarantee: a global heavy
+    hitter is a local heavy hitter somewhere, at any partitioning."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").repartition(7)
+    phi = 0.002
+    items = li.select(F.col("l_partkey").cast("string").alias("item"))
+    cand = {
+        r.item for r in partition_threshold_candidates(items, "item", phi).collect()
+    }
+    truth = {r.item for r in _exact_heavy_hitters(li, "l_partkey", phi).collect()}
+    assert truth <= cand
+
+
+def test_bounded_memory_path_equals_jvm_path(spark, sf_dir):
+    """Both candidate passes feed the same exact verify, so the two
+    heavy_hitters modes must return identical results."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    phi = 0.002
+    jvm = {tuple(r) for r in heavy_hitters(li, "l_partkey", phi).collect()}
+    mg = {
+        tuple(r)
+        for r in heavy_hitters(li, "l_partkey", phi, bounded_memory=True).collect()
+    }
+    assert jvm == mg
 
 
 def test_candidate_count_bounded_by_k_per_partition(spark):

@@ -19,11 +19,14 @@ def _plan(spark, name: str, mode: str = "formatted") -> str:
 def test_heavy_hitter_candidates_broadcast(spark):
     """The verify pass joins the (small) candidate set as a broadcast
     — shuffling the full item column to verify a handful of candidates
-    would defeat the bounded-memory design."""
+    would defeat the two-pass design — and the candidate pass is fully
+    JVM (no Arrow/Python boundary on a full-corpus scan: r5's
+    MapInPandas Misra-Gries pass made Python the dominant cost of an
+    otherwise all-JVM aggregation)."""
     plan = _plan(spark, "ext_heavy_hitters")
     assert "BroadcastHashJoin" in plan
-    # candidate summarization is the documented Arrow boundary
-    assert "MapInPandas" in plan
+    assert "MapInPandas" not in plan
+    assert "SPARK_PARTITION_ID" in plan.upper()
 
 
 def test_bpe_pair_counts_aggregates_before_explode(spark):
