@@ -72,13 +72,24 @@ MAX_DF_CEIL = 4096
 # shingle table (docs with ≥ n tokens), exactly what
 # ``_cap_stop_shingles`` computes; the cap arithmetic is one IEEE
 # double multiply + CEIL in both engines, so the boundary is bit-exact
-# cross-engine.
-ORACLE_SH_CAPPED = f"""
+# cross-engine. The shingle width is PARAMETERIZED — a query pairing
+# this fragment with a generator call must splice oracle_sh_capped(n)
+# for the same n it passes the generator (the module-level
+# ORACLE_SH_CAPPED constant is the n=3 instance every current
+# registered query uses).
+
+
+def oracle_sh_capped(n: int = 3) -> str:
+    """The capped-shingle oracle CTE for token ``n``-grams, generated
+    from the same arithmetic as the default fragment so the width can
+    never silently diverge from the generator's ``n``."""
+    terms = ", ".join(f"t[i+{j}]" if j else "t[i]" for j in range(n))
+    return f"""
     toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     sh0 AS (
       SELECT DISTINCT doc_id,
-        unnest(list_transform(range(1, len(t)-1), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
-      FROM toks WHERE len(t) >= 3
+        unnest(list_transform(range(1, len(t) + ({2 - n})), i -> concat_ws(' ', {terms}))) AS s
+      FROM toks WHERE len(t) >= {n}
     ),
     keep AS (
       SELECT s FROM sh0 GROUP BY s
@@ -88,6 +99,9 @@ ORACLE_SH_CAPPED = f"""
     ),
     sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s))
 """
+
+
+ORACLE_SH_CAPPED = oracle_sh_capped(3)
 
 
 def _cap_stop_shingles(
@@ -568,6 +582,19 @@ def minhash_lsh_pairs(
     all small ones; at fixture scale the cap is the identity (largest
     observed bucket is 13 docs at sf0.1), asserted by test, so the
     exact-oracle contract is untouched.
+
+    MEASURE NOTE: the exact generators (``ngram_jaccard_pairs`` et
+    al.) default to the stop-shingle cap, so once the cap binds
+    (beyond ~floor/frac corpus sizes) they score "Jaccard over
+    informative shingles" while this verify stage scores UNCAPPED
+    Jaccard over the full sets. At fixture scale both are the
+    identity; at probe scale and beyond, recall comparisons against
+    the capped ground truth measure two (deliberately) different
+    similarities — boilerplate-heavy pairs can pass here yet be
+    absent from the capped exact output. This is the documented
+    trade, not drift: the cap exists to keep the EXACT join linear,
+    while LSH needs no such guard (banding + ``max_bucket`` already
+    bound its candidate volume).
     """
     sets_df = _shingle_sets(docs, id_col, text_col, n)
     # materialize the bucket frame before the self-join: the signature

@@ -813,83 +813,85 @@ resolve_deferred_oracles()
 # has at least one external green row; the staleness ledger is r4=50,
 # r3=43, r2=43.
 #
-# Round-5 rotation policy (r4 verdict): first the 12 queries whose
-# CODE or VALUES changed this round (ULP-quantization reformulations,
-# the two-pass-rank persist, the fractional boilerplate threshold,
-# and the five exact shingle-join queries that gained the mirrored
-# stop-shingle cap after the sf1 probe caught the uncapped join at
-# 1389s) — a changed query's previous green row proves nothing; then
-# the one query ADDED this round (ext_dedup_span_cut — a new query
-# must get its first external row in its first round to keep union
-# coverage at 100%); then 37 of the 43 queries whose newest external
-# row is r2 (gold/dq/dash staples, the r1 text/media ops). Changed
-# and new queries displace stale ones, so the six tail entries of the
-# staleness rotation (ext_skew_salted_join, ext_text_unk_replace,
-# ext_shard_packing, ext_sample_stratified, ext_decontamination,
-# ext_text_repetition) slip to r6 along with the r3 cohort.
+# Round-6 rotation policy (r5 verdict items 3 & 8): first the 9
+# queries whose CODE changed this round — the adaptive-C IVF swap
+# (ext_dedup_embedding now runs the bucketed generator;
+# ext_dedup_semantic_clusters sizes C = max(8, ceil(sqrt(n))) with the
+# oracle mirroring the formula), the fused single-df-pass prefix
+# filter, the two other exact shingle queries sharing the refactored
+# cap helper, the JVM heavy-hitter candidate pass, the deferred-token
+# ext_ann_recall oracle, and the two langid queries whose oracle
+# fragments moved to functions/text.py — a changed query's previous
+# green row proves nothing; then 2 high-churn r5 canaries
+# (ext_dedup_clusters, ext_bm25_topk — r5 verdict item 3); then the 6
+# queries displaced since r2 (the stalest external rows in the
+# ledger); then 33 of the 42 queries whose newest external row is r3,
+# explicitly including op_dedupe_latest and gold_customer_360 (the
+# keep-latest idiom staleness canary, r5 verdict item 8). The 9 r3
+# entries that slip to r7 are simple relational ops re-proven every
+# session by the local sf0.001+sf0.01 differential
+# (ext_scalar_subquery, ext_setops_users, ext_histogram_totals,
+# ext_profile_orders, ext_stats_correlation, ext_cube_returns,
+# ext_rollup_revenue, ext_unpivot_lineitem, ext_join_semi_anti).
 # Everything else keeps registration order behind the window, and the
 # repo-side sf0.01 oracle suite (tests/test_registry_oracle.py, same
 # gate as the harness) still covers every registered query each
 # session.
 _DRIVER_WINDOW: tuple[str, ...] = (
     # --- Changed this round: re-check is mandatory, not rotation ---
-    "ext_lm_perplexity",
-    "ext_weighted_sample",
-    "ext_bm25_topk",
-    "ext_dsir_importance",
-    "ext_global_score_rank",
-    "ext_rfm_segmentation",
-    "ext_dedup_lines",
-    "ext_dedup_ngram_jaccard",
-    "ext_dedup_clusters",
-    "ext_dedup_keep_best",
+    "ext_dedup_embedding",
+    "ext_dedup_semantic_clusters",
     "ext_dedup_prefix_filter",
+    "ext_dedup_ngram_jaccard",
     "ext_dedup_containment",
-    # --- New this round: first external row happens now or never ---
-    "ext_dedup_span_cut",
-    # --- Newest external row is r2: the 43-query staleness rotation ---
-    # reference staples (silver ops)
-    "op_clean_id",
-    "op_project_silver_customers",
-    "op_project_silver_orders",
-    "op_join_left_enrich_items",
-    "op_filter_range",
-    "op_agg_pivotcount",
-    "op_agg_reviews",
-    "op_agg_having",
-    # gold models
-    "gold_daily_metrics",
-    "gold_product_metrics",
-    "gold_product_funnel",
-    "gold_session_metrics",
-    "gold_session_metrics_attrs",
-    # dashboards
-    "dash_sales_overview",
-    "dash_site_funnel",
-    "dash_customer_360",
-    # data-quality gates
-    "dq_notnull_products",
-    "dq_pk_unique_customer",
-    "dq_nonneg_amounts",
-    "dq_bounded_rates",
-    # r1 text / media / curation ops
-    "ext_text_stats",
+    "ext_heavy_hitters",
+    "ext_ann_recall",
     "ext_text_langid",
-    "ext_text_fingerprint",
-    "ext_json_extract",
-    "ext_binary_metadata",
-    "ext_media_resize",
-    "ext_media_frames",
-    "ext_dedup_exact",
-    "ext_corpus_curation",
-    "ext_train_test_split",
-    "ext_interval_join_errors",
-    "ext_time_bucket_rollup",
-    "ext_asof_attribution",
-    "ext_text_length_quantiles",
-    "ext_dedup_normalized",
-    "ext_text_vocab",
-    "ext_text_tfidf",
+    "ext_langid_confusion",
+    # --- r5 high-churn canaries ---
+    "ext_dedup_clusters",
+    "ext_bm25_topk",
+    # --- Newest external row is r2 (stalest; displaced twice) ---
+    "ext_skew_salted_join",
+    "ext_text_unk_replace",
+    "ext_shard_packing",
+    "ext_sample_stratified",
+    "ext_decontamination",
+    "ext_text_repetition",
+    # --- Newest external row is r3: the staleness rotation ---
+    "op_dedupe_latest",
+    "gold_customer_360",
+    "dash_product_performance",
+    "op_agg_sales",
+    "op_sql_named_params",
+    "stream_interval_join",
+    "stream_session_stateful",
+    "stream_session_window",
+    "stream_time_window_rollup",
+    "ext_doc_chunking",
+    "ext_dup_span_coverage",
+    "ext_embedding_centroids",
+    "ext_event_paths",
+    "ext_fuzzy_blocked_join",
+    "ext_incremental_rollup",
+    "ext_knn_label_predict",
+    "ext_lang_temperature_sample",
+    "ext_media_embed_topk",
+    "ext_merge_upsert",
+    "ext_moving_revenue",
+    "ext_ordered_funnel",
+    "ext_outlier_iqr",
+    "ext_pii_pseudonymize",
+    "ext_pivot_events",
+    "ext_quality_band_filter",
+    "ext_scd2_user_state",
+    "ext_similarity_ivf",
+    "ext_similarity_lsh",
+    "ext_snapshot_diff",
+    "ext_text_subword_stats",
+    "ext_topk_per_group",
+    "ext_window_funcs",
+    "ext_zorder_layout",
 )
 
 

@@ -66,3 +66,63 @@ def test_silver_orders_round_trips_xml(spark):
         assert _canon(back) == _canon(base)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _table_format_available(spark, fmt: str) -> bool:
+    """True when the lakehouse table format's runtime is actually on
+    the classpath (delta-spark / iceberg-spark-runtime). This sandbox
+    ships neither, so these tests normally SKIP — the point is that
+    the moment the jar is present, the real-format branch of
+    write_table (sources/writers.py) is exercised instead of silently
+    falling back to parquet forever."""
+    try:
+        if fmt == "delta":
+            import delta  # noqa: F401
+
+            return True
+        if fmt == "iceberg":
+            spark._jvm.java.lang.Class.forName(
+                "org.apache.iceberg.spark.SparkCatalog"
+            )
+            return True
+    except Exception:
+        return False
+    return False
+
+
+def test_delta_overwrite_schema_evolution(spark):
+    """The reference's core sink is managed Delta with overwriteSchema
+    (/root/reference/02_silver/02_silver_transform.py:29-37): a full
+    overwrite may WIDEN the schema. Round-trip an overwrite that adds
+    a column through write_table's delta branch and read it back."""
+    if not _table_format_available(spark, "delta"):
+        pytest.skip("delta-spark runtime not on the classpath")
+    from ecommerce_lakehouse_platform_spark.sources.writers import write_table
+
+    base = silver_orders(load_table(spark, SF_SMOKE, "orders")).drop("order_ts")
+    tmp = tempfile.mkdtemp(prefix="fmt_delta_")
+    try:
+        write_table(base, tmp, fmt="delta")
+        evolved = base.withColumn("load_round", F.lit(2))
+        write_table(evolved, tmp, fmt="delta")  # overwriteSchema branch
+        back = spark.read.format("delta").load(tmp)
+        assert set(back.columns) == set(evolved.columns)
+        assert back.count() == base.count()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_iceberg_overwrite_round_trip(spark):
+    """Iceberg twin of the Delta probe for deployments standardized on
+    Iceberg: same overwrite semantics through the catalog API."""
+    if not _table_format_available(spark, "iceberg"):
+        pytest.skip("iceberg-spark runtime not on the classpath")
+    base = silver_orders(load_table(spark, SF_SMOKE, "orders")).drop("order_ts")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS local.fmt_probe")
+    try:
+        base.writeTo("local.fmt_probe.orders").createOrReplace()
+        back = spark.table("local.fmt_probe.orders")
+        assert back.schema == base.schema
+        assert _canon(back) == _canon(base)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS local.fmt_probe.orders")

@@ -124,6 +124,43 @@ def test_bucketed_embedding_adaptive_default(spark):
     assert adaptive == explicit
 
 
+def test_oracle_sh_capped_parameterized_n(spark):
+    """oracle_sh_capped(n) must mirror the Spark generator for n != 3
+    too — the fragment used to hard-code 3-gram shingling, so a future
+    registered query at another width would have silently lost
+    cross-engine parity. Differential at n=2 on the smoke fixture."""
+    import duckdb
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    got = {
+        (r.doc_a, r.doc_b): (r.n_shared, r.n_a, r.n_b, round(r.jaccard, 12))
+        for r in neardup.ngram_jaccard_pairs(docs, n=2, threshold=0.5).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    sql = f"""
+    WITH {neardup.oracle_sh_capped(2)},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_shared, sa.n AS n_a, sb.n AS n_b,
+      CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) AS jaccard
+    FROM shared
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= 0.5
+    """
+    want = {
+        (doc_a, doc_b): (n_shared, n_a, n_b, round(jac, 12))
+        for doc_a, doc_b, n_shared, n_a, n_b, jac in con.sql(sql).fetchall()
+    }
+    assert got == want and neardup.oracle_sh_capped(3) == neardup.ORACLE_SH_CAPPED
+
+
 def test_max_df_cap_is_identity_when_loose(spark):
     """Stop-shingle cap: with max_df ≥ the corpus's true max document
     frequency the capped run must equal the uncapped run exactly; with

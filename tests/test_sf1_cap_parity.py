@@ -68,8 +68,14 @@ def test_capped_query_parity_where_cap_binds(spark, sf1_ddb, name):
     assert not problems, problems
     # the regime check: this corpus must actually exercise the cap
     # (a fixture regression back to low-df documents would silently
-    # turn this suite into a second identity test)
-    max_df = sf1_ddb.execute(
+    # turn this suite into a second identity test). The expected cap
+    # is DERIVED from the fixture itself — a hard-coded constant goes
+    # stale if the fixture is regenerated at a different doc count.
+    import math
+
+    from ecommerce_lakehouse_platform_spark.operators import neardup as nd
+
+    max_df, n_docs = sf1_ddb.execute(
         """
         WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         sh AS (
@@ -78,7 +84,14 @@ def test_capped_query_parity_where_cap_binds(spark, sf1_ddb, name):
                    i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
           FROM toks WHERE len(t) >= 3
         )
-        SELECT MAX(cnt) FROM (SELECT COUNT(*) AS cnt FROM sh GROUP BY s)
+        SELECT MAX(cnt), (SELECT COUNT(DISTINCT doc_id) FROM sh)
+        FROM (SELECT COUNT(*) AS cnt FROM sh GROUP BY s)
         """
-    ).fetchone()[0]
-    assert max_df > 250, f"cap no longer binds on this fixture (max df {max_df})"
+    ).fetchone()
+    cap = max(
+        nd.MAX_DF_FLOOR,
+        min(math.ceil(nd.MAX_DF_FRAC * n_docs), nd.MAX_DF_CEIL),
+    )
+    assert max_df > cap, (
+        f"cap no longer binds on this fixture (max df {max_df} <= cap {cap})"
+    )
