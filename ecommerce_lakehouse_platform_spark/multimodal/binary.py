@@ -172,6 +172,71 @@ def resize_media(
     return df.mapInPandas(batches, schema=RESIZED_SCHEMA)
 
 
+# Output contract of perceptual hashing: one 48-bit hash per media row.
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def media_phash(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Perceptual hash per media payload via mapInPandas — the
+    image-dedup fingerprint stage (blockhash/pHash family: quantize
+    decoded content into coarse statistics, one bit per statistic-vs-
+    mean comparison, so visually identical media collide and minor
+    re-encodes land at small Hamming distance).
+
+    A real implementation decodes the raster and thresholds DCT/block
+    luminance against the median — codec-bound, so ``fake=False``
+    raises NotImplementedError here. ``fake=True`` runs the
+    deterministic stand-in through identical Arrow plumbing: 48
+    byte-value histogram bins (value mod 48), bit j set iff
+    ``48·count_j > total_bytes`` — the same statistic-vs-mean shape,
+    with EXACT integer comparisons only (no float thresholds), so the
+    hash is bit-reproducible in any engine (the DuckDB oracle replays
+    it in the hex domain). 48 bits keeps every hash a positive BIGINT
+    in both engines. Empty payloads hash to 0.
+
+    Downstream is pure JVM relational work: exact dedup is one
+    groupBy(phash); Hamming near-dup reuses the SimHash banding idiom
+    (operators/neardup.simhash_pairs) on this column unchanged.
+    """
+    n_bits = 48
+
+    def _fake_phash(payload: bytes) -> int:
+        if not payload:
+            return 0
+        counts = [0] * n_bits
+        for b in payload:
+            counts[b % n_bits] += 1
+        total = len(payload)
+        h = 0
+        for j in range(n_bits):
+            if n_bits * counts[j] > total:
+                h |= 1 << j
+        return h
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "real perceptual hashing requires image codec libraries; "
+                    "run with fake=True for the deterministic stand-in"
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "phash": pdf["payload"].map(_fake_phash).astype("int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=PHASH_SCHEMA)
+
+
 # Output contract of frame sampling: 1 video row → N frame rows.
 FRAME_SCHEMA = StructType(
     [

@@ -228,6 +228,70 @@ def ext_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ext_media_phash_dedup",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS len
+      FROM documents
+    ),
+    bytes AS (
+      SELECT media_id,
+        (strpos('0123456789ABCDEF',
+                substring(h, CAST(i AS BIGINT) * 2 + 1, 1)) - 1) * 16
+          + (strpos('0123456789ABCDEF',
+                    substring(h, CAST(i AS BIGINT) * 2 + 2, 1)) - 1) AS val,
+        len
+      FROM m, unnest(range(0, len)) AS u(i)
+    ),
+    bins AS (
+      SELECT media_id, len, val % 48 AS bin, COUNT(*) AS cnt
+      FROM bytes GROUP BY 1, 2, 3
+    ),
+    ph AS (
+      SELECT media_id,
+        CAST(SUM(CASE WHEN 48 * cnt > len
+                 THEN CAST(1 AS BIGINT) << bin ELSE 0 END) AS BIGINT) AS phash
+      FROM bins GROUP BY 1
+    ),
+    hashed AS (
+      SELECT m.media_id, COALESCE(p.phash, 0) AS phash
+      FROM m LEFT JOIN ph p USING (media_id)
+    )
+    SELECT media_id, phash,
+      MIN(media_id) OVER (PARTITION BY phash) AS canonical_media_id,
+      media_id != MIN(media_id) OVER (PARTITION BY phash) AS is_duplicate,
+      COUNT(*) OVER (PARTITION BY phash) AS group_size
+    FROM hashed
+    """,
+)
+def ext_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dedup by perceptual hash — the standard first pass of
+    multimodal corpus curation: fingerprint every image
+    (multimodal/binary.media_phash, deterministic stand-in codec
+    through the real Arrow plumbing), then one JVM groupBy(phash)
+    assigns each media row its canonical (min-id) representative and
+    duplicate flag. Equality buckets scale as a plain hash aggregate;
+    Hamming-distance near-dup reuses the SimHash banding idiom on the
+    phash column when re-encode tolerance is needed. Bit-exact
+    cross-engine: the hash uses only integer comparisons, replayed by
+    the oracle in the hex domain."""
+    docs = _t(spark, sf_dir, "documents")
+    from .multimodal.binary import media_phash
+
+    ph = media_phash(attach_binary_payload(docs), fake=True)
+    w = Window.partitionBy("phash")
+    canonical = F.min("media_id").over(w)
+    return ph.select(
+        "media_id",
+        "phash",
+        canonical.alias("canonical_media_id"),
+        (F.col("media_id") != canonical).alias("is_duplicate"),
+        F.count(F.lit(1)).over(w).alias("group_size"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deduplication family
 # ---------------------------------------------------------------------------

@@ -8,6 +8,7 @@ from ecommerce_lakehouse_platform_spark.multimodal.binary import (
     attach_binary_payload,
     binary_metadata,
     decode_media,
+    media_phash,
     resize_media,
     sample_frames,
 )
@@ -84,9 +85,46 @@ def test_resize_and_sample_stubs_raise(spark):
     for op in (
         lambda: resize_media(media, 4, 4).collect(),
         lambda: sample_frames(media).collect(),
+        lambda: media_phash(media).collect(),
     ):
         with pytest.raises(Exception) as exc_info:
             op()
         assert "NotImplementedError" in str(exc_info.value) or isinstance(
             exc_info.value, NotImplementedError
         )
+
+
+def test_fake_phash_matches_reference_bits(spark):
+    """The stand-in perceptual hash must equal the documented pure-
+    Python reference (48 byte-value bins, exact integer 48·cnt > total
+    threshold) — and identical payloads must collide (the dedup
+    contract)."""
+    docs = load_table(spark, SF_SMOKE, "documents").limit(30)
+    media = attach_binary_payload(docs)
+    got = {r.media_id: r.phash for r in media_phash(media, fake=True).collect()}
+
+    def ref(payload: bytes) -> int:
+        if not payload:
+            return 0
+        counts = [0] * 48
+        for b in payload:
+            counts[b % 48] += 1
+        return sum(
+            1 << j for j in range(48) if 48 * counts[j] > len(payload)
+        )
+
+    want = {
+        r.doc_id: ref(r.text.encode()) for r in docs.collect()
+    }
+    assert got == want
+    assert all(0 <= h < (1 << 48) for h in got.values())
+    # collision contract: identical payloads collide, and the empty
+    # payload hashes to 0
+    dup = spark.createDataFrame(
+        [(1, "image", b"same bytes"), (2, "image", b"same bytes"),
+         (3, "image", b"")],
+        schema="media_id long, media_type string, payload binary",
+    )
+    hashes = {r.media_id: r.phash for r in media_phash(dup, fake=True).collect()}
+    assert hashes[1] == hashes[2]
+    assert hashes[3] == 0

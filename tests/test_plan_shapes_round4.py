@@ -188,26 +188,27 @@ def test_changed_queries_sit_inside_driver_window():
     round's diff."""
     from ecommerce_lakehouse_platform_spark import registry
 
-    changed_r5 = {
-        "ext_lm_perplexity",      # 1e4 quantization, *_e4 columns
-        "ext_weighted_sample",    # integer-reformulated E-S key
-        "ext_bm25_topk",          # 1e4 quantization, *_e4 columns
-        "ext_dsir_importance",    # 1e4 quantization, *_e4 columns
-        "ext_global_score_rank",  # two-pass rank persist barrier
-        "ext_rfm_segmentation",   # two-pass rank persist barrier
-        "ext_dedup_lines",        # fractional boilerplate threshold
-        # stop-shingle cap (mirrored in oracle) on the exact
-        # shingle-join family — the sf1 probe's 1389s fix
-        "ext_dedup_ngram_jaccard",
-        "ext_dedup_clusters",
-        "ext_dedup_keep_best",
+    changed_r6 = {
+        # adaptive-C IVF bucketing is now the registered default,
+        # oracle mirrors C = max(8, ceil(sqrt(n)))
+        "ext_dedup_embedding",
+        "ext_dedup_semantic_clusters",
+        # fused single-df-pass prefix filter + shared cap helper
         "ext_dedup_prefix_filter",
+        "ext_dedup_ngram_jaccard",
         "ext_dedup_containment",
+        # JVM local-threshold candidate pass (MapInPandas removed)
+        "ext_heavy_hitters",
+        # deferred-token nested oracle resolution
+        "ext_ann_recall",
+        # langid oracle fragments moved to functions/text.py
+        "ext_text_langid",
+        "ext_langid_confusion",
         # new this round — first external row must happen now
-        "ext_dedup_span_cut",
+        "ext_media_phash_dedup",
     }
     window = set(registry._DRIVER_WINDOW)
-    assert changed_r5 <= window, sorted(changed_r5 - window)
+    assert changed_r6 <= window, sorted(changed_r6 - window)
 
 
 def test_bench_headline_names_are_registered():
