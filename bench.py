@@ -89,6 +89,13 @@ HEADLINE = [
     "ext_peak_concurrency",
     # round 5 additions
     "ext_dedup_span_cut",
+    # round 6 additions: the adaptive-C embedding near-dup paths (the
+    # round's headline scale fix — C = max(8, ceil(sqrt(n))) IVF
+    # bucketing, 2.0x at 10x data vs 7.7x with fixed C) and the
+    # multimodal perceptual-hash dedup
+    "ext_dedup_embedding",
+    "ext_dedup_semantic_clusters",
+    "ext_media_phash_dedup",
 ]
 
 
