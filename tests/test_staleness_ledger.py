@@ -1,0 +1,58 @@
+"""Rotation-policy invariants over the recorded driver artifacts.
+
+The external driver only re-checks the first 50 registered queries per
+round, so union coverage across rounds is a real obligation the
+window rotation must keep: a query with NO external green row ever
+must be sitting in the current window (its first row happens this
+round or never). tools/staleness_ledger.py prints the full ledger;
+this test pins the invariant so a window edit can't orphan a query.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+from ecommerce_lakehouse_platform_spark import registry
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(ROOT, "tools"))
+
+from staleness_ledger import load_rounds, newest_green  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def ledger():
+    rounds = load_rounds(ROOT)
+    if not rounds:
+        pytest.skip("no CORRECTNESS_r*.json artifacts recorded yet")
+    return newest_green(rounds)
+
+
+def test_every_query_covered_or_windowed(ledger):
+    window = set(registry._DRIVER_WINDOW)
+    orphaned = [
+        n for n in registry.QUERIES if n not in ledger and n not in window
+    ]
+    assert not orphaned, (
+        "queries with no external green row ever that are ALSO outside the "
+        f"current driver window (they can never get one): {orphaned}"
+    )
+
+
+def test_window_names_are_registered_and_unique():
+    window = list(registry._DRIVER_WINDOW)
+    assert len(window) == len(set(window)), "duplicate window entries"
+    missing = [n for n in window if n not in registry.QUERIES]
+    assert not missing, f"window names not registered: {missing}"
+
+
+def test_ledger_statuses_parse(ledger):
+    """Every recorded non-red row parses to a known status and a
+    recorded round number — guards the ledger tool itself against a
+    driver artifact format drift."""
+    for name, (rnd, status) in ledger.items():
+        assert isinstance(rnd, int) and rnd >= 1
+        assert status in ("green", "rows-only")
