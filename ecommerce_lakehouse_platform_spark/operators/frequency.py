@@ -52,20 +52,23 @@ def partition_threshold_candidates(
     partition reaches that partition's local threshold ⌈φ·N_p⌉.
 
     Superset guarantee and size bound: see the module docstring.
-    All JVM: two aggregations keyed by ``spark_partition_id()`` (the
+    All JVM: one aggregation keyed by ``spark_partition_id()`` (the
     map-side partial aggregate completes within each partition, so the
     exchange moves one pre-aggregated row per (partition, item), never
-    raw rows), one broadcast join of the tiny per-partition totals,
-    one filter. ``spark_partition_id`` is deterministic for a given
-    scan layout, and both aggregations read the same scan, so the two
-    sides agree on partition boundaries.
+    raw rows), then the per-partition totals are derived FROM that
+    aggregate (``Σ_lc`` per partition) rather than re-scanned — the
+    corpus is read exactly once, and the local counts and totals agree
+    on partition boundaries by construction (a second scan would rely
+    on ``spark_partition_id`` being reproduced identically across two
+    independent evaluations, which row-order-unstable lineage or task
+    retries need not honor).
     """
     items = df.select(F.col(item_col).cast("string").alias(item_col))
     with_pid = items.withColumn("_pid", F.spark_partition_id())
     local = with_pid.groupBy("_pid", item_col).agg(
         F.count(F.lit(1)).alias("_lc")
     )
-    ptot = with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("_np"))
+    ptot = local.groupBy("_pid").agg(F.sum("_lc").alias("_np"))
     return (
         local.join(F.broadcast(ptot), ["_pid"])
         .filter(F.col("_lc") >= F.ceil(F.lit(float(phi)) * F.col("_np")))

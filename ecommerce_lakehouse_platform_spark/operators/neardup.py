@@ -850,6 +850,62 @@ def adaptive_n_centroids(n_vectors: int, floor: int = 8) -> int:
     return max(int(floor), int(math.ceil(math.sqrt(max(0, n_vectors)))))
 
 
+def oracle_cosine_sql(x: str, y: str) -> str:
+    """DuckDB cosine between two embedding-list expressions — the same
+    strict double-precision left fold the Spark side runs
+    (functions/vectors.py), so the value is bit-identical
+    cross-engine. The CANONICAL fragment: every registry oracle that
+    scores a cosine must splice this (not a local copy) so the fold
+    shape can never drift between queries."""
+
+    def _dot(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, len({a})+1), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
+            f"(acc,v) -> acc+v)"
+        )
+
+    return f"{_dot(x, y)} / (sqrt({_dot(x, x)}) * sqrt({_dot(y, y)}))"
+
+
+def oracle_ivf_adaptive(floor: int = 8) -> str:
+    """DuckDB twin of the ADAPTIVE IVF bucketing
+    (:func:`adaptive_n_centroids` + operators/similarity.py
+    ``assign_ivf_buckets``): ``cent``/``assigned`` CTEs with
+    C = GREATEST(floor, ceil(sqrt(n))) centroids picked by salted-md5
+    row_number (the same total order as Spark's
+    TakeOrderedAndProject pick) and argmax-cosine assignment with
+    centroid_id tiebreak. Generated from one place so the C formula
+    and centroid order can never drift between the registries that
+    mirror the bucketing (previously registry_ext and
+    registry_curation each carried a copy)."""
+    return f"""
+    cent AS (
+      SELECT centroid_id, cvec FROM (
+        SELECT vec_id AS centroid_id, embedding AS cvec,
+          row_number() OVER (
+            ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id
+          ) AS rn
+        FROM embeddings
+      ) WHERE rn <= (
+        SELECT GREATEST({int(floor)}, CAST(ceil(sqrt(COUNT(*))) AS BIGINT))
+        FROM embeddings
+      )
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, centroid_id AS bucket_id FROM (
+        SELECT v.vec_id, v.embedding, c.centroid_id,
+          row_number() OVER (
+            PARTITION BY v.vec_id
+            ORDER BY {oracle_cosine_sql('v.embedding', 'c.cvec')} DESC,
+                     c.centroid_id
+          ) AS rn
+        FROM embeddings v CROSS JOIN cent c
+      ) WHERE rn = 1
+    )
+"""
+
+
 def embedding_neardup_pairs_bucketed(
     embeddings: DataFrame,
     id_col: str = "vec_id",

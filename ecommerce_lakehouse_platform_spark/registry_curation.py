@@ -305,63 +305,19 @@ def ext_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Semantic dedup clusters (embedding-space transitive closure)
 # ---------------------------------------------------------------------------
 
-_COS_AB = """
-        list_reduce(list_transform(range(1, len(a.embedding)+1),
-          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x,y) -> x+y)
-        / (sqrt(list_reduce(list_transform(range(1, len(a.embedding)+1),
-             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x,y) -> x+y))
-           * sqrt(list_reduce(list_transform(range(1, len(b.embedding)+1),
-               i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x,y) -> x+y)))
-"""
-
-def _cos_sql(x: str, y: str) -> str:
-    """DuckDB cosine between two embedding-list expressions — the same
-    double-precision left fold the Spark side runs (bit-identical)."""
-    return f"""
-        list_reduce(list_transform(range(1, len({x})+1),
-          i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)), (p,q) -> p+q)
-        / (sqrt(list_reduce(list_transform(range(1, len({x})+1),
-             i -> CAST({x}[i] AS DOUBLE) * CAST({x}[i] AS DOUBLE)), (p,q) -> p+q))
-           * sqrt(list_reduce(list_transform(range(1, len({y})+1),
-               i -> CAST({y}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)), (p,q) -> p+q)))
-    """
-
-
 @query(
     "ext_dedup_semantic_clusters",
+    # cent/assigned: the CANONICAL adaptive-C IVF twin
+    # (operators/neardup.oracle_ivf_adaptive — same fragment
+    # registry_ext splices, so the C formula and centroid order can
+    # never drift between the two embedding queries).
     oracle=f"""
-    WITH RECURSIVE cent AS (
-      -- adaptive C = GREATEST(8, ceil(sqrt(n))): the same formula as
-      -- operators/neardup.adaptive_n_centroids, so the bucketing (and
-      -- therefore the clusters) mirror at EVERY scale, not just the
-      -- fixture size. row_number over the salted-md5 order is the
-      -- same total order as Spark's TakeOrderedAndProject pick.
-      SELECT centroid_id, cvec FROM (
-        SELECT vec_id AS centroid_id, embedding AS cvec,
-          row_number() OVER (
-            ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id
-          ) AS rn
-        FROM embeddings
-      ) WHERE rn <= (
-        SELECT GREATEST(8, CAST(ceil(sqrt(COUNT(*))) AS BIGINT))
-        FROM embeddings
-      )
-    ),
-    assigned AS (
-      SELECT vec_id, embedding, centroid_id AS bucket_id FROM (
-        SELECT v.vec_id, v.embedding, c.centroid_id,
-          row_number() OVER (
-            PARTITION BY v.vec_id
-            ORDER BY {_cos_sql("v.embedding", "c.cvec")} DESC, c.centroid_id
-          ) AS rn
-        FROM embeddings v CROSS JOIN cent c
-      ) WHERE rn = 1
-    ),
+    WITH RECURSIVE {neardup.oracle_ivf_adaptive()},
     pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
       FROM assigned a JOIN assigned b
         ON a.bucket_id = b.bucket_id AND a.vec_id < b.vec_id
-      WHERE {_COS_AB} >= 0.4
+      WHERE {neardup.oracle_cosine_sql("a.embedding", "b.embedding")} >= 0.4
     ),
     und AS (SELECT id_a AS x, id_b AS y FROM pairs
             UNION SELECT id_b, id_a FROM pairs),
@@ -706,7 +662,7 @@ def ext_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ext_media_embed_topk",
-    oracle="""
+    oracle=f"""
     WITH pay AS (SELECT doc_id AS media_id, encode(text) AS p FROM documents),
     bl AS (
       SELECT media_id,
@@ -722,10 +678,7 @@ def ext_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
       SELECT q.media_id AS query_id, c.media_id AS neighbor_id,
-        list_reduce(list_transform(range(1, 9), i -> q.f[i] * c.f[i]), (x,y) -> x+y)
-        / (sqrt(list_reduce(list_transform(range(1, 9), i -> q.f[i] * q.f[i]), (x,y) -> x+y))
-           * sqrt(list_reduce(list_transform(range(1, 9), i -> c.f[i] * c.f[i]), (x,y) -> x+y)))
-        AS cosine_sim
+        {neardup.oracle_cosine_sql("q.f", "c.f")} AS cosine_sim
       FROM feat q JOIN feat c ON q.media_id != c.media_id
       WHERE q.media_id < 10
     )
@@ -761,14 +714,8 @@ def ext_media_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # kNN label prediction over embeddings (majority vote of top-k neighbors)
 # ---------------------------------------------------------------------------
 
-_COS = """
-      list_reduce(list_transform(range(1, len(q.embedding)+1),
-        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), (x,y) -> x+y)
-      / (sqrt(list_reduce(list_transform(range(1, len(q.embedding)+1),
-           i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)), (x,y) -> x+y))
-         * sqrt(list_reduce(list_transform(range(1, len(c.embedding)+1),
-             i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), (x,y) -> x+y)))
-"""
+# the canonical cross-engine cosine fold (operators/neardup.py)
+_COS = neardup.oracle_cosine_sql("q.embedding", "c.embedding")
 
 @query(
     "ext_knn_label_predict",

@@ -1269,47 +1269,12 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cos_sql(a: str, b: str) -> str:
-    """DuckDB cosine fragment mirroring functions/vectors.py: strict
-    left fold of the element products / norms in double."""
-    def _dot(x: str, y: str) -> str:
-        return (
-            f"list_reduce(list_transform(range(1, len({x})+1), "
-            f"i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)), (x,y) -> x+y)"
-        )
-    return f"{_dot(a, b)} / (sqrt({_dot(a, a)}) * sqrt({_dot(b, b)}))"
-
-
-# DuckDB twin of the ADAPTIVE IVF bucketing (operators/neardup.py
-# adaptive_n_centroids + operators/similarity.py assign_ivf_buckets):
-# C = GREATEST(8, ceil(sqrt(n))) centroids picked by salted-md5
-# row_number (same total order as Spark's TakeOrderedAndProject pick),
-# argmax-cosine assignment with centroid_id tiebreak. Kept as one
-# fragment so the C formula can never drift from the Python side.
-_ORACLE_IVF_ADAPTIVE = f"""
-    cent AS (
-      SELECT centroid_id, cvec FROM (
-        SELECT vec_id AS centroid_id, embedding AS cvec,
-          row_number() OVER (
-            ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id
-          ) AS rn
-        FROM embeddings
-      ) WHERE rn <= (
-        SELECT GREATEST(8, CAST(ceil(sqrt(COUNT(*))) AS BIGINT))
-        FROM embeddings
-      )
-    ),
-    assigned AS (
-      SELECT vec_id, embedding, centroid_id AS bucket_id FROM (
-        SELECT v.vec_id, v.embedding, c.centroid_id,
-          row_number() OVER (
-            PARTITION BY v.vec_id
-            ORDER BY {_cos_sql('v.embedding', 'c.cvec')} DESC, c.centroid_id
-          ) AS rn
-        FROM embeddings v CROSS JOIN cent c
-      ) WHERE rn = 1
-    )
-"""
+# Canonical cross-engine fragments (operators/neardup.py): the cosine
+# left fold and the adaptive-C IVF cent/assigned CTEs live in ONE
+# place so the C formula, centroid order, and fold shape can never
+# drift between the registries that mirror them.
+_cos_sql = neardup.oracle_cosine_sql
+_ORACLE_IVF_ADAPTIVE = neardup.oracle_ivf_adaptive()
 
 
 @query(
@@ -1345,17 +1310,12 @@ def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ext_similarity_topk",
-    oracle="""
+    # cosine: the canonical cross-engine fold (operators/neardup.py)
+    oracle=f"""
     WITH e AS (SELECT vec_id, embedding FROM embeddings),
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        list_reduce(list_transform(range(1, len(q.embedding)+1),
-          i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), (x,y) -> x+y)
-        / (sqrt(list_reduce(list_transform(range(1, len(q.embedding)+1),
-             i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)), (x,y) -> x+y))
-           * sqrt(list_reduce(list_transform(range(1, len(c.embedding)+1),
-               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), (x,y) -> x+y)))
-        AS cosine_sim
+        {_cos_sql("q.embedding", "c.embedding")} AS cosine_sim
       FROM e q JOIN e c ON q.vec_id != c.vec_id
       WHERE q.vec_id < 10
     )

@@ -17,6 +17,7 @@ from .functions import text as T
 from .operators.frequency import heavy_hitters
 from .operators.neardup import _spread
 from .operators.neardup import ORACLE_SH_CAPPED as _SH_CAPPED
+from .operators.neardup import oracle_cosine_sql as _oracle_cos
 from .operators.pagerank import pagerank_int
 from .registry import _t, query
 
@@ -365,20 +366,15 @@ def ext_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ext_hard_negative_mining",
-    oracle="""
+    # cosine: the canonical cross-engine fold (operators/neardup.py)
+    oracle=f"""
     WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
     q AS (SELECT vec_id AS query_id, embedding AS qvec, label AS qlabel
           FROM e WHERE vec_id < 10),
     scored AS (
       SELECT q.query_id, q.qlabel, c.vec_id AS neighbor_id,
              c.label AS neighbor_label,
-        list_reduce(list_transform(range(1, len(q.qvec)+1),
-          i -> CAST(q.qvec[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), (x,y) -> x+y)
-        / (sqrt(list_reduce(list_transform(range(1, len(q.qvec)+1),
-             i -> CAST(q.qvec[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)), (x,y) -> x+y))
-           * sqrt(list_reduce(list_transform(range(1, len(c.embedding)+1),
-               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), (x,y) -> x+y)))
-        AS cosine_sim
+        {_oracle_cos("q.qvec", "c.embedding")} AS cosine_sim
       FROM e c CROSS JOIN q WHERE c.vec_id != q.query_id
     ),
     pos AS (

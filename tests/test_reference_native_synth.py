@@ -43,9 +43,19 @@ def merged_raw(tmp_path_factory):
 
 
 @pytest.fixture(scope="module")
-def ref_run(spark, merged_raw):
-    tables, checks = run_reference_native(spark, merged_raw, as_of="2026-01-01")
-    return tables
+def ref_result(spark, merged_raw):
+    """One pipeline execution shared by every test in the module —
+    raise_on_dq_failure exercises the fail-fast gate on the same run
+    the value checks read (a second full run would add wall-time, not
+    coverage)."""
+    return run_reference_native(
+        spark, merged_raw, as_of="2026-01-01", raise_on_dq_failure=True
+    )
+
+
+@pytest.fixture(scope="module")
+def ref_run(ref_result):
+    return ref_result[0]
 
 
 @pytest.fixture(scope="module")
@@ -198,8 +208,6 @@ def test_customer_360_activity_from_synth_sessions(ref_run):
     assert idle.average_order_value is None
 
 
-def test_dq_gate_passes_with_synth_sources(spark, merged_raw):
-    _, checks = run_reference_native(
-        spark, merged_raw, as_of="2026-01-01", raise_on_dq_failure=True
-    )
-    assert all(c.passed for c in checks)
+def test_dq_gate_passes_with_synth_sources(ref_result):
+    checks = ref_result[1]
+    assert checks and all(c.passed for c in checks)

@@ -16,6 +16,20 @@ from .oracle_harness import compare, run_oracle
 ORACLE_QUERIES = sorted(registry.ORACLES)
 
 
+def test_no_unresolved_deferred_tokens():
+    """registry.resolve_deferred_oracles leaves a __ORACLE_<NAME>__
+    token in place when its dependency is missing at resolution time;
+    after a full import every token must be spliced — an unresolved
+    one would otherwise surface as an opaque DuckDB syntax error deep
+    inside a differential run (e.g. after renaming a nested oracle
+    without updating its dependents' tokens)."""
+    unresolved = {
+        name: sql for name, sql in registry.ORACLES.items()
+        if "__ORACLE_" in sql
+    }
+    assert not unresolved, sorted(unresolved)
+
+
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_oracle_parity_smoke(spark, name):
     sdf = registry.QUERIES[name](spark, SF_SMOKE)

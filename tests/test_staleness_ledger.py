@@ -49,6 +49,28 @@ def test_window_names_are_registered_and_unique():
     assert not missing, f"window names not registered: {missing}"
 
 
+def test_rows_only_never_masks_green():
+    """A later weaker rows-only row (err=no_oracle) must not overwrite
+    a query's hash-verified green round — the rotation would then
+    under-prioritize re-windowing the query whose VALUE verification
+    is actually stale."""
+    rounds = {
+        1: {"q": {"rows_match": True, "schema_match": True,
+                  "hash_match": True, "spark_rows": 5, "err": None}},
+        2: {"q": {"rows_match": None, "schema_match": None,
+                  "hash_match": None, "spark_rows": 5,
+                  "err": "no_oracle"},
+            "p": {"rows_match": None, "schema_match": None,
+                  "hash_match": None, "spark_rows": 3,
+                  "err": "no_oracle"}},
+        3: {"p": {"rows_match": True, "schema_match": True,
+                  "hash_match": True, "spark_rows": 3, "err": None}},
+    }
+    got = newest_green(rounds)
+    assert got["q"] == (1, "green")  # not masked by r2 rows-only
+    assert got["p"] == (3, "green")  # green upgrades rows-only
+
+
 def test_ledger_statuses_parse(ledger):
     """Every recorded non-red row parses to a known status and a
     recorded round number — guards the ledger tool itself against a

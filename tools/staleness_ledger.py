@@ -56,13 +56,23 @@ def entry_status(v: dict) -> str:
 
 
 def newest_green(rounds: dict[int, dict]) -> dict[str, tuple[int, str]]:
-    """query -> (round, status) of its newest non-red external row."""
+    """query -> (round, status) of its newest non-red external row.
+
+    Hash-verified ``green`` rows are never masked by a later weaker
+    ``rows-only`` row: if a query was ever value-verified, the ledger
+    reports its newest GREEN round (a later no-oracle row proves less,
+    not more); ``rows-only`` is reported only for queries that have
+    never had a hash-verified row.
+    """
     newest: dict[str, tuple[int, str]] = {}
     for rnd in sorted(rounds):
         for name, v in rounds[rnd].items():
             st = entry_status(v)
-            if st != "red":
-                newest[name] = (rnd, st)
+            if st == "red":
+                continue
+            if st == "rows-only" and newest.get(name, (0, ""))[1] == "green":
+                continue
+            newest[name] = (rnd, st)
     return newest
 
 
