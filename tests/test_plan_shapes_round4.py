@@ -239,3 +239,16 @@ def test_span_cut_no_window_no_cartesian(spark):
     simple = _plan(spark, "ext_dedup_span_cut", mode="simple")
     sorts = re.findall(r"Sort \[[^\]]*\], (true|false),", simple)
     assert all(flag == "false" for flag in sorts), simple
+
+
+def test_phash_dedup_single_exchange_after_python(spark):
+    """The perceptual-hash dedup's only Python boundary is the codec
+    mapInPandas; everything downstream is one hash-partitioned window
+    over the phash key. Pin: exactly one shuffle Exchange above the
+    MapInPandas node, and no second pass over the corpus (one scan of
+    documents)."""
+    plan = _plan(spark, "ext_media_phash_dedup")
+    assert "MapInPandas" in plan
+    simple = _plan(spark, "ext_media_phash_dedup", mode="simple")
+    assert simple.count("Scan parquet") == 1, simple
+    assert simple.count("Exchange hashpartitioning") == 1, simple
