@@ -63,18 +63,33 @@ def partition_threshold_candidates(
     independent evaluations, which row-order-unstable lineage or task
     retries need not honor).
     """
+    candidates, _ = _threshold_candidates_and_total(df, item_col, phi)
+    return candidates
+
+
+def _threshold_candidates_and_total(
+    df: DataFrame, item_col: str, phi: float
+) -> tuple[DataFrame, DataFrame]:
+    """(candidates, one-row total) from ONE aggregate subtree: the
+    per-partition local counts yield the candidates (local-threshold
+    filter), the per-partition totals (broadcast side of that filter),
+    AND the global row count ``Σ N_p`` — so :func:`heavy_hitters` does
+    not pay a third full scan just to learn N (the exact verify pass
+    is necessarily a second scan; the total is not)."""
     items = df.select(F.col(item_col).cast("string").alias(item_col))
     with_pid = items.withColumn("_pid", F.spark_partition_id())
     local = with_pid.groupBy("_pid", item_col).agg(
         F.count(F.lit(1)).alias("_lc")
     )
     ptot = local.groupBy("_pid").agg(F.sum("_lc").alias("_np"))
-    return (
+    candidates = (
         local.join(F.broadcast(ptot), ["_pid"])
         .filter(F.col("_lc") >= F.ceil(F.lit(float(phi)) * F.col("_np")))
         .select(item_col)
         .distinct()
     )
+    total = ptot.agg(F.sum("_np").cast("long").alias("_n"))
+    return candidates, total
 
 
 def misra_gries_candidates(
@@ -126,9 +141,11 @@ def heavy_hitters(
     if bounded_memory:
         k = max(1, math.ceil(1.0 / phi))
         candidates = misra_gries_candidates(items, "item", k).distinct()
+        total = items.agg(F.count(F.lit(1)).cast("long").alias("_n"))
     else:
-        candidates = partition_threshold_candidates(items, "item", phi)
-    total = items.agg(F.count(F.lit(1)).alias("_n"))
+        candidates, total = _threshold_candidates_and_total(
+            items, "item", phi
+        )
     exact = (
         items.join(F.broadcast(candidates), ["item"])
         .groupBy("item")
