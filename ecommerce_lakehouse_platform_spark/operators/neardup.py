@@ -197,39 +197,40 @@ def _capped_shingle_groups(
     stop-shingle cap, from ONE aggregation of the shingle table.
 
     The grouped formulation is the exact-pair family's 100 TB shape:
-    ``size(docs)`` IS the shingle's document frequency, so the cap
-    becomes a filter on the aggregate itself — no separate df pass and
-    no semi-join back into the shingle table — and candidate pairs
-    explode MAP-SIDE from each surviving doc set (k(k−1)/2 per
-    shingle, bounded by the cap's ceiling) instead of shuffling the
-    shingle table a second time for a self-equi-join. Net: one
-    exchange of the biggest intermediate replaces three (df aggregate,
-    cap semi-join, second join side); measured ~2× on the sf1 probe
-    (9.2s → 5.0s median for ngram_jaccard). Per-group memory is
-    bounded by ``max_df_ceil`` ids (~32 KB at the 4096 ceiling).
+    candidate pairs explode MAP-SIDE from each surviving doc set
+    (k(k−1)/2 rows per shingle, bounded by the cap's ceiling) instead
+    of shuffling the shingle table a second time for a
+    self-equi-join — the second join side and its exchange disappear.
+    Measured on the sf1 probe: ngram_jaccard 9.2s → 7.0s median
+    (→ 5.2s without the buffer guard below — the unbounded shape this
+    function deliberately does not use when a cap is set).
+
+    BUFFER GUARD: when a cap is set, the count-based pre-filter
+    (:func:`_capped_shingle_df` — plain partial counts, bounded
+    memory at any key skew) drops over-cap shingles BEFORE the
+    ``collect_set``. Collecting first and filtering on ``size(docs)``
+    after would assemble a web-scale stop-shingle's full doc set
+    (df ~1e8 for "the the the") in one aggregation buffer just to
+    discard it; with the guard, per-group buffers are bounded by
+    ``max_df_ceil`` ids (~32 KB at the 4096 ceiling) at ANY corpus
+    size, and the collect aggregation reuses the semi-join's shingle
+    partitioning (no extra exchange). With NO cap (both ``None`` —
+    the caller explicitly requested the uncapped all-pairs relation)
+    the sets collect directly and per-group memory is O(max df):
+    acceptable only where the caller already accepts the f²
+    candidate blowup that regime implies.
+
     Same cap arithmetic and DISTINCT-pairs precondition as
     :func:`_cap_stop_shingles`; output sets are identical, so the
     registered oracles are untouched.
     """
     ds = _doc_shingles(docs, id_col, text_col, n)
-    g = ds.groupBy("shingle").agg(F.collect_set("doc_id").alias("docs"))
-    if max_df_frac is not None:
-        nd = ds.agg(F.countDistinct("doc_id").alias("_nd"))
-        cap = F.greatest(
-            F.lit(int(max_df_floor)).cast("long"),
-            F.least(
-                F.ceil(F.lit(float(max_df_frac)) * F.col("_nd")),
-                F.lit(int(max_df_ceil)).cast("long"),
-            ),
-        )
-        g = (
-            g.crossJoin(F.broadcast(nd))
-            .filter(F.size("docs") <= cap)
-            .select("shingle", "docs")
-        )
-    if max_df is not None:
-        g = g.filter(F.size("docs") <= F.lit(int(max_df)))
-    return g
+    if max_df is not None or max_df_frac is not None:
+        keep = _capped_shingle_df(
+            ds, max_df, max_df_frac, max_df_floor, max_df_ceil
+        ).select("shingle")
+        ds = ds.join(keep, ["shingle"], "leftsemi")
+    return ds.groupBy("shingle").agg(F.collect_set("doc_id").alias("docs"))
 
 
 def _grouped_sizes_and_shared(g: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -267,12 +268,13 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard ≥ threshold (doc_a < doc_b).
 
-    Plan (grouped formulation — :func:`_capped_shingle_groups`): one
-    groupBy(shingle) collects each shingle's doc set, the cap filters
-    the aggregate, candidate pairs explode map-side from the doc sets
-    (pairs share ≥1 shingle — never a cartesian) → count shared →
-    join per-doc set sizes → |∩| / (|A|+|B|−|∩|). The group key is
-    high-cardinality so the single shuffle spreads well; stop-shingle
+    Plan (grouped formulation — :func:`_capped_shingle_groups`): the
+    bounded-memory cap pre-filter drops stop-shingles, one
+    groupBy(shingle) collects each surviving shingle's doc set, and
+    candidate pairs explode map-side from the doc sets (pairs share
+    ≥1 shingle — never a cartesian) → count shared → join per-doc
+    set sizes → |∩| / (|A|+|B|−|∩|). The group key is
+    high-cardinality so the shuffles spread well; stop-shingle
     skew (a shingle in thousands of docs) is the known hot spot: a
     shingle appearing in f docs contributes f(f−1)/2 candidate rows.
 
