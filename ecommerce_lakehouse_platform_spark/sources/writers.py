@@ -7,6 +7,15 @@ Delta table, optionally partitioned by a date column
 the runtime has it, Parquet otherwise (identical layout semantics);
 partitioning by the date column is what makes every dashboard's
 BETWEEN predicate a partition-pruned scan at scale.
+
+The table-format behaviors themselves — atomic versioned commits,
+schema enforcement/evolution, time travel, log-level partition
+pruning, MERGE, vacuum — are implemented and tested against the open
+Delta transaction-log protocol in :mod:`.deltalog` (this runtime has
+no delta-spark package). That API is explicit opt-in, not this
+function's fallback: a mini-log table keeps removed files on disk for
+time travel, so plain ``spark.read.parquet(path)`` readers of
+pipeline output would see stale rows if it were the default sink.
 """
 
 from __future__ import annotations
