@@ -41,16 +41,36 @@ deliberately small subset:
   older versions, exactly like the real command after its retention
   window).
 
+Also implemented, because each is the piece that matters at 100 TB:
+
+* **Parquet checkpoints** (``{version:020d}.checkpoint.parquet`` +
+  ``_last_checkpoint``, written every ``checkpoint_interval`` commits
+  like the real writer's default of 10): a snapshot read replays the
+  checkpoint's consolidated state plus only the JSON commits AFTER it,
+  so planning cost is O(files + commits-since-checkpoint) instead of
+  O(all commits ever). Time travel to pre-checkpoint versions falls
+  back to full JSON replay (the JSON log is retained).
+* **Change data feed** (``changes(from, to)``): row-level
+  insert/delete stream between versions with ``_change_type`` /
+  ``_commit_version`` / ``_commit_timestamp`` columns, derived from
+  the log's add/remove actions — and honoring ``dataChange=false``,
+  so compaction rewrites are invisible to downstream incremental
+  consumers (the property that makes CDC-driven pipelines safe to run
+  over a maintained table).
+* **OPTIMIZE-style compaction** (``optimize()``): bin small active
+  files per partition into fewer, committed as paired add/remove
+  actions with ``dataChange=false``; contents and history are
+  preserved, CDF readers see nothing.
+
 Deliberately NOT implemented (documented subset, all honest gaps):
-parquet checkpoints (every read replays the full log — fine for the
-commit counts tests produce; the protocol's checkpoint is a read
-optimization, not a semantic), multi-cluster LogStores (os.link
-put-if-absent covers single-host concurrency, which is what this
-runtime can exercise), deletion vectors, column mapping, and
-constraints. Data files are written by the stock Spark parquet writer,
-so everything under the log is ordinary whole-stage-codegen scan/write
-at any scale — the log adds metadata-only work proportional to the
-number of FILES, never rows.
+multi-cluster LogStores (os.link put-if-absent covers single-host
+concurrency, which is what this runtime can exercise), deletion
+vectors, column mapping, constraints, and expired-log cleanup (JSON
+commits are kept forever, so pre-checkpoint time travel always works
+here; the real writer eventually prunes them). Data files are written
+by the stock Spark parquet writer, so everything under the log is
+ordinary whole-stage-codegen scan/write at any scale — the log adds
+metadata-only work proportional to the number of FILES, never rows.
 """
 
 from __future__ import annotations
@@ -70,6 +90,7 @@ from pyspark.sql import types as T
 
 _LOG_DIR = "_delta_log"
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+_LAST_CHECKPOINT = "_last_checkpoint"
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -124,13 +145,67 @@ def _parse_partition_values(relpath: str) -> dict[str, str | None]:
     return values
 
 
-class MiniDeltaTable:
-    """A parquet table governed by a Delta-protocol transaction log."""
+def _checkpoint_arrow_schema():
+    """Arrow schema of the checkpoint parquet: one row per consolidated
+    action, the non-matching action structs null — the layout the
+    protocol specifies (a checkpoint is the replayed state as a table,
+    not a JSON transcript)."""
+    import pyarrow as pa
 
-    def __init__(self, spark: SparkSession, path: str) -> None:
+    return pa.schema(
+        [
+            (
+                "protocol",
+                pa.struct(
+                    [
+                        ("minReaderVersion", pa.int32()),
+                        ("minWriterVersion", pa.int32()),
+                    ]
+                ),
+            ),
+            (
+                "metaData",
+                pa.struct(
+                    [
+                        ("id", pa.string()),
+                        ("format", pa.struct([("provider", pa.string())])),
+                        ("schemaString", pa.string()),
+                        ("partitionColumns", pa.list_(pa.string())),
+                        ("createdTime", pa.int64()),
+                    ]
+                ),
+            ),
+            (
+                "add",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("partitionValues", pa.map_(pa.string(), pa.string())),
+                        ("size", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+
+class MiniDeltaTable:
+    """A parquet table governed by a Delta-protocol transaction log.
+
+    ``checkpoint_interval`` controls automatic checkpointing: every
+    N-th commit consolidates the log into a parquet checkpoint (the
+    real writer's ``delta.checkpointInterval`` defaults to 10). Pass
+    ``0`` to disable and replay JSON only."""
+
+    def __init__(
+        self, spark: SparkSession, path: str, checkpoint_interval: int = 10
+    ) -> None:
         self.spark = spark
         self.path = path
         self.log_dir = os.path.join(path, _LOG_DIR)
+        self.checkpoint_interval = checkpoint_interval
 
     # -- log plumbing ---------------------------------------------------
 
@@ -168,20 +243,33 @@ class MiniDeltaTable:
         schema: T.StructType | None = None
         partition_columns: list[str] = []
         files: dict[str, dict[str, Any]] = {}
+
+        def apply(action: dict[str, Any]) -> None:
+            nonlocal schema, partition_columns
+            if "metaData" in action:
+                meta = action["metaData"]
+                schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+                partition_columns = list(meta["partitionColumns"])
+            elif "add" in action:
+                files[action["add"]["path"]] = action["add"]
+            elif "remove" in action:
+                files.pop(action["remove"]["path"], None)
+
+        # Start from the newest checkpoint at-or-before the requested
+        # version; replay only the JSON commits after it. Requests
+        # older than every checkpoint (deep time travel) replay the
+        # retained JSON log from version 0.
+        start = 0
+        ckpt = self._latest_checkpoint_version()
+        if ckpt is not None and ckpt <= version:
+            for action in self._read_checkpoint(ckpt):
+                apply(action)
+            start = ckpt + 1
         for v in versions:
-            if v > version:
-                break
+            if v < start or v > version:
+                continue
             for action in self._read_actions(v):
-                if "metaData" in action:
-                    meta = action["metaData"]
-                    schema = T.StructType.fromJson(
-                        json.loads(meta["schemaString"])
-                    )
-                    partition_columns = list(meta["partitionColumns"])
-                elif "add" in action:
-                    files[action["add"]["path"]] = action["add"]
-                elif "remove" in action:
-                    files.pop(action["remove"]["path"], None)
+                apply(action)
         if schema is None:
             raise ValueError("corrupt log: no metaData action replayed")
         return Snapshot(version, schema, partition_columns, files)
@@ -373,6 +461,136 @@ class MiniDeltaTable:
             for action in actions:
                 fh.write(json.dumps(action, separators=(",", ":")) + "\n")
         _atomic_publish(tmp, self._version_file(version))
+        self._maybe_checkpoint(version)
+
+    # -- checkpoints ------------------------------------------------------
+
+    def _checkpoint_path(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"{version:020d}.checkpoint.parquet")
+
+    def _latest_checkpoint_version(self) -> int | None:
+        """The ``_last_checkpoint`` hint, validated against the file it
+        points at (the protocol treats the hint as advisory — a missing
+        or corrupt hint means full JSON replay, never an error)."""
+        hint = os.path.join(self.log_dir, _LAST_CHECKPOINT)
+        try:
+            with open(hint, encoding="utf-8") as fh:
+                version = int(json.load(fh)["version"])
+        except (OSError, ValueError, KeyError):
+            return None
+        return version if os.path.exists(self._checkpoint_path(version)) else None
+
+    def _maybe_checkpoint(self, version: int) -> None:
+        if (
+            self.checkpoint_interval
+            and version > 0
+            and version % self.checkpoint_interval == 0
+        ):
+            self.checkpoint(version)
+
+    def checkpoint(self, version: int | None = None) -> int:
+        """Consolidate the log as of ``version`` (default: latest) into
+        ``{version:020d}.checkpoint.parquet`` and point
+        ``_last_checkpoint`` at it. Metadata-only: the checkpoint holds
+        one row per live action (protocol, metaData, active adds), so
+        its size is O(files), and every later snapshot replays it plus
+        only the commits after it instead of the whole JSON history."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        versions = self.versions()
+        if version is None:
+            version = versions[-1]
+        protocol: dict[str, Any] | None = None
+        metadata: dict[str, Any] | None = None
+        files: dict[str, dict[str, Any]] = {}
+
+        def absorb(action: dict[str, Any]) -> None:
+            nonlocal protocol, metadata
+            if "protocol" in action:
+                protocol = action["protocol"]
+            elif "metaData" in action:
+                metadata = action["metaData"]
+            elif "add" in action:
+                files[action["add"]["path"]] = action["add"]
+            elif "remove" in action:
+                files.pop(action["remove"]["path"], None)
+
+        # chain from the previous checkpoint: each checkpoint costs
+        # O(files + commits since the last one), never O(history)
+        start = 0
+        prev = self._latest_checkpoint_version()
+        if prev is not None and prev <= version:
+            for action in self._read_checkpoint(prev):
+                absorb(action)
+            start = prev + 1
+        for v in versions:
+            if start <= v <= version:
+                for action in self._read_actions(v):
+                    absorb(action)
+        if protocol is None or metadata is None:
+            raise ValueError("corrupt log: no protocol/metaData to checkpoint")
+
+        rows: list[dict[str, Any]] = [
+            {"protocol": protocol, "metaData": None, "add": None},
+            {
+                "protocol": None,
+                "metaData": {
+                    "id": metadata["id"],
+                    "format": {"provider": metadata["format"]["provider"]},
+                    "schemaString": metadata["schemaString"],
+                    "partitionColumns": list(metadata["partitionColumns"]),
+                    "createdTime": metadata.get("createdTime"),
+                },
+                "add": None,
+            },
+        ]
+        for rel in sorted(files):
+            add = files[rel]
+            rows.append(
+                {
+                    "protocol": None,
+                    "metaData": None,
+                    "add": {
+                        "path": add["path"],
+                        "partitionValues": list(
+                            add.get("partitionValues", {}).items()
+                        ),
+                        "size": add.get("size"),
+                        "modificationTime": add.get("modificationTime"),
+                        # a checkpoint restates state, it is not a change
+                        "dataChange": False,
+                    },
+                }
+            )
+        schema = _checkpoint_arrow_schema()
+        table = pa.Table.from_pylist(rows, schema=schema)
+        tmp = os.path.join(self.log_dir, f".ckpt-{uuid.uuid4().hex}.parquet")
+        pq.write_table(table, tmp)
+        os.replace(tmp, self._checkpoint_path(version))
+        hint_tmp = os.path.join(self.log_dir, f".lc-{uuid.uuid4().hex}.json")
+        with open(hint_tmp, "w", encoding="utf-8") as fh:
+            json.dump({"version": version, "size": len(rows)}, fh)
+        os.replace(hint_tmp, os.path.join(self.log_dir, _LAST_CHECKPOINT))
+        return version
+
+    def _read_checkpoint(self, version: int) -> list[dict[str, Any]]:
+        """Checkpoint rows back as action dicts, same shape as the JSON
+        log lines, so snapshot replay treats both sources identically."""
+        import pyarrow.parquet as pq
+
+        actions: list[dict[str, Any]] = []
+        for row in pq.read_table(self._checkpoint_path(version)).to_pylist():
+            if row.get("protocol") is not None:
+                actions.append({"protocol": row["protocol"]})
+            elif row.get("metaData") is not None:
+                meta = dict(row["metaData"])
+                actions.append({"metaData": meta})
+            elif row.get("add") is not None:
+                add = dict(row["add"])
+                add["partitionValues"] = dict(add.get("partitionValues") or [])
+                actions.append({"add": add})
+        return actions
 
     # -- table operations on top of the log ------------------------------
 
@@ -389,6 +607,168 @@ class MiniDeltaTable:
         target = self.read()
         merged = merge_upsert(target, source.select(*target.columns), keys)
         return self.write(merged, mode="overwrite")
+
+    def changes(
+        self, starting_version: int, ending_version: int | None = None
+    ) -> DataFrame:
+        """Change data feed: row-level changes committed in versions
+        ``[starting_version, ending_version]`` as a DataFrame with the
+        table columns plus ``_change_type`` ('insert' | 'delete'),
+        ``_commit_version``, and ``_commit_timestamp`` — the contract
+        of Delta's ``table_changes``. Rows are reconstructed from the
+        commits' add/remove actions (an overwrite therefore appears as
+        delete-all + insert-all, which is what copy-on-write truly
+        did); actions with ``dataChange=false`` — compaction,
+        checkpoints — are skipped, so OPTIMIZE is invisible to
+        incremental consumers. Requires the referenced data files to
+        still exist (i.e. not vacuumed past ``starting_version``).
+
+        The scan itself is ordinary distributed parquet reading of
+        exactly the files each commit touched — at 100 TB an
+        incremental consumer reads the delta, never the table."""
+        versions = self.versions()
+        if not versions:
+            raise FileNotFoundError(f"not a table (no {_LOG_DIR}): {self.path}")
+        latest = versions[-1]
+        if ending_version is None:
+            ending_version = latest
+        if not 0 <= starting_version <= ending_version <= latest:
+            raise ValueError(
+                f"bad version range [{starting_version}, {ending_version}] "
+                f"for table history 0..{latest}"
+            )
+
+        def reconstruct(
+            rels: list[str], schema: T.StructType, change: str, v: int, ts: int
+        ) -> DataFrame:
+            paths = [os.path.join(self.path, rel) for rel in rels]
+            df = self.spark.read.option("basePath", self.path).parquet(*paths)
+            return df.select(
+                *[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    for f in schema
+                ],
+                F.lit(change).alias("_change_type"),
+                F.lit(v).alias("_commit_version"),
+                F.timestamp_millis(F.lit(ts)).alias("_commit_timestamp"),
+            )
+
+        parts: list[DataFrame] = []
+        for v in versions:
+            if not starting_version <= v <= ending_version:
+                continue
+            actions = self._read_actions(v)
+            ts = next(
+                (
+                    int(a["commitInfo"].get("timestamp", 0))
+                    for a in actions
+                    if "commitInfo" in a
+                ),
+                0,
+            )
+            adds = [
+                a["add"]["path"]
+                for a in actions
+                if "add" in a and a["add"].get("dataChange", True)
+            ]
+            removes = [
+                a["remove"]["path"]
+                for a in actions
+                if "remove" in a and a["remove"].get("dataChange", True)
+            ]
+            # removed rows were written under the schema in force BEFORE
+            # this commit; added rows under the schema AS OF this commit
+            if removes and v > 0:
+                parts.append(
+                    reconstruct(
+                        removes, self.snapshot(v - 1).schema, "delete", v, ts
+                    )
+                )
+            if adds:
+                parts.append(
+                    reconstruct(adds, self.snapshot(v).schema, "insert", v, ts)
+                )
+
+        if not parts:
+            empty = T.StructType(
+                list(self.snapshot(ending_version).schema)
+                + [
+                    T.StructField("_change_type", T.StringType()),
+                    T.StructField("_commit_version", T.IntegerType(), False),
+                    T.StructField("_commit_timestamp", T.TimestampType()),
+                ]
+            )
+            return self.spark.createDataFrame([], empty)
+        out = parts[0]
+        for df in parts[1:]:
+            # allowMissingColumns: a CDF window spanning a schema
+            # evolution surfaces old rows with nulls in the new columns
+            out = out.unionByName(df, allowMissingColumns=True)
+        return out
+
+    def optimize(self, max_file_bytes: int = 128 << 20) -> int | None:
+        """OPTIMIZE-style compaction: partitions holding more than one
+        active file are rewritten into ~``max_file_bytes`` bins and the
+        swap is committed as paired remove/add actions with
+        ``dataChange=false`` — history, time travel, and the change
+        feed all see a no-op, and ``vacuum`` later reclaims the small
+        files. Returns the committed version, or None when every
+        partition is already a single file."""
+        snap = self.snapshot()
+        groups: dict[tuple, list[dict[str, Any]]] = {}
+        for rel in sorted(snap.files):
+            add = snap.files[rel]
+            key = tuple(sorted((add.get("partitionValues") or {}).items()))
+            groups.setdefault(key, []).append(add)
+        targets = [adds for adds in groups.values() if len(adds) > 1]
+        if not targets:
+            return None
+        victim_rels = [a["path"] for adds in targets for a in adds]
+        total = sum(a.get("size") or 0 for adds in targets for a in adds)
+
+        df = self.spark.read.option("basePath", self.path).parquet(
+            *[os.path.join(self.path, rel) for rel in victim_rels]
+        )
+        df = df.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in snap.schema]
+        )
+        if snap.partition_columns:
+            # hash-repartition on the partition key: every partition
+            # value lands in exactly one task, so the partitioned
+            # writer emits one file per (task, partition) = one file
+            # per partition directory
+            df = df.repartition(*snap.partition_columns)
+        else:
+            df = df.repartition(max(1, -(-total // max_file_bytes)))
+        adds = self._stage_data_files(df, snap.partition_columns)
+
+        now_ms = int(time.time() * 1000)
+        actions: list[dict[str, Any]] = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "OPTIMIZE",
+                    "operationParameters": {
+                        "targetSize": str(max_file_bytes),
+                    },
+                }
+            }
+        ]
+        for rel in victim_rels:
+            actions.append(
+                {
+                    "remove": {
+                        "path": rel,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": False,
+                    }
+                }
+            )
+        for add in adds:
+            actions.append({"add": {**add, "dataChange": False}})
+        version = snap.version + 1
+        self._commit(version, actions)
+        return version
 
     def vacuum(self) -> list[str]:
         """Delete data files not referenced by the LATEST snapshot and

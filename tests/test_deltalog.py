@@ -154,6 +154,142 @@ def test_merge_upsert_is_copy_on_write(spark, tmp_table):
     assert _canon(tmp_table.read(version=v - 1)) == _canon(orders)
 
 
+def test_checkpoint_consolidates_replay(spark, tmp_table):
+    """Checkpoint every 3rd commit: snapshots replay the checkpoint
+    plus only the JSON commits after it, and deep time travel to
+    pre-checkpoint versions still works off the retained JSON log."""
+    tmp_table.checkpoint_interval = 3
+    orders = _orders(spark)
+    tmp_table.write(orders.limit(10))  # v0
+    evolved = orders.limit(10).withColumn("channel", F.lit("web"))
+    tmp_table.write(evolved, mode="overwrite", overwrite_schema=True)  # v1
+    for i in range(5):  # v2..v6; auto-checkpoints fire at v3 and v6
+        tmp_table.write(evolved.limit(2), mode="append")
+    assert os.path.exists(tmp_table._checkpoint_path(3))
+    assert os.path.exists(tmp_table._checkpoint_path(6))
+    assert tmp_table._latest_checkpoint_version() == 6
+
+    # replay provenance: a latest-snapshot read touches NO json commit
+    # at or before the checkpoint
+    seen: list[int] = []
+    real = tmp_table._read_actions
+    tmp_table._read_actions = lambda v: (seen.append(v), real(v))[1]
+    try:
+        snap = tmp_table.snapshot()
+        assert seen == []  # checkpoint at 6 == latest: zero JSON reads
+        tmp_table.write(evolved.limit(1), mode="append")  # v7
+        seen.clear()
+        assert tmp_table.snapshot().version == 7
+        assert seen == [7]
+    finally:
+        tmp_table._read_actions = real
+
+    # checkpointed state == pure-JSON replay, bit for bit
+    real_ckpt = tmp_table._latest_checkpoint_version
+    tmp_table._latest_checkpoint_version = lambda: None
+    try:
+        pure = tmp_table.snapshot()
+    finally:
+        tmp_table._latest_checkpoint_version = real_ckpt
+    # a checkpoint restates adds with dataChange=false (protocol rule),
+    # so compare everything else
+    def strip(files):
+        return {
+            p: {k: v for k, v in a.items() if k != "dataChange"}
+            for p, a in files.items()
+        }
+
+    assert strip(tmp_table.snapshot().files) == strip(pure.files)
+    assert tmp_table.snapshot().schema == pure.schema
+
+    # the checkpoint carries the evolved metaData; pre-evolution time
+    # travel (v0 < every checkpoint) replays the original schema
+    assert "channel" in tmp_table.read().columns
+    assert "channel" not in tmp_table.read(version=0).columns
+    assert tmp_table.read().count() == 10 + 5 * 2 + 1
+
+
+def test_changes_feed_reconstructs_row_level_cdc(spark, tmp_table):
+    from collections import Counter
+
+    orders = _orders(spark)
+    first = orders.orderBy("order_id").limit(20).localCheckpoint(eager=True)
+    extra = (
+        orders.orderBy(F.desc("order_id")).limit(10).localCheckpoint(eager=True)
+    )
+    tmp_table.write(first)  # v0
+    tmp_table.write(extra, mode="append")  # v1
+    tmp_table.write(first.limit(5), mode="overwrite")  # v2
+
+    one = tmp_table.changes(1, 1)
+    assert {"_change_type", "_commit_version", "_commit_timestamp"} <= set(
+        one.columns
+    )
+    assert one.groupBy("_change_type").count().collect()[0].asDict() == {
+        "_change_type": "insert",
+        "count": 10,
+    }
+    assert _canon(one.drop("_change_type", "_commit_version", "_commit_timestamp")) == _canon(extra)
+
+    # the overwrite is CDC-visible as delete-all + insert-all
+    two = dict(
+        (r["_change_type"], r["count"])
+        for r in tmp_table.changes(2, 2).groupBy("_change_type").count().collect()
+    )
+    assert two == {"delete": 30, "insert": 5}
+
+    # net fold over the full feed == the latest snapshot
+    feed = tmp_table.changes(0)
+    data_cols = [c for c in feed.columns if not c.startswith("_")]
+    net: Counter = Counter()
+    for row in feed.collect():
+        delta = 1 if row["_change_type"] == "insert" else -1
+        net[tuple(row[c] for c in data_cols)] += delta
+    latest = Counter(
+        tuple(r[c] for c in data_cols) for r in tmp_table.read().collect()
+    )
+    assert +net == latest
+    versions = {r["_commit_version"] for r in feed.collect()}
+    assert versions == {0, 1, 2}
+
+
+def test_optimize_compacts_invisibly(spark, tmp_table):
+    orders = _orders(spark).withColumn(
+        "order_month", F.date_format("order_date", "yyyy-MM")
+    )
+    chunk = orders.limit(30).localCheckpoint(eager=True)
+    tmp_table.write(chunk, partition_by=["order_month"])
+    tmp_table.write(chunk, mode="append")
+    tmp_table.write(chunk, mode="append")
+    before = tmp_table.snapshot()
+    per_part: dict[tuple, int] = {}
+    for add in before.files.values():
+        key = tuple(sorted(add["partitionValues"].items()))
+        per_part[key] = per_part.get(key, 0) + 1
+    assert max(per_part.values()) >= 3
+    expect = _canon(tmp_table.read())
+
+    v = tmp_table.optimize()
+    assert v == 3
+    after = tmp_table.snapshot()
+    compacted: dict[tuple, int] = {}
+    for add in after.files.values():
+        key = tuple(sorted(add["partitionValues"].items()))
+        compacted[key] = compacted.get(key, 0) + 1
+    assert max(compacted.values()) == 1
+    assert len(after.files) < len(before.files)
+    # contents identical; history records OPTIMIZE; CDF sees nothing
+    assert _canon(tmp_table.read()) == expect
+    assert tmp_table.history()[0]["operation"] == "OPTIMIZE"
+    assert tmp_table.changes(v, v).count() == 0
+    # idempotent: a second pass has nothing to do
+    assert tmp_table.optimize() is None
+    # vacuum reclaims the pre-compaction small files
+    removed = set(tmp_table.vacuum())
+    assert removed == set(before.files) - set(after.files)
+    assert _canon(tmp_table.read()) == expect
+
+
 def test_vacuum_drops_unreferenced_files_only(spark, tmp_table):
     orders = _orders(spark)
     tmp_table.write(orders)
