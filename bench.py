@@ -96,6 +96,9 @@ HEADLINE = [
     "ext_dedup_embedding",
     "ext_dedup_semantic_clusters",
     "ext_media_phash_dedup",
+    # iterative trained coarse quantizer (zero-shuffle assignment +
+    # one k×dim update shuffle per Lloyd iteration)
+    "ext_kmeans_embedding",
 ]
 
 

@@ -1,0 +1,170 @@
+"""Distributed Lloyd's k-means over an embedding column, fixed-point
+exact.
+
+The reference has no clustering operator; this belongs to the
+training-data extension surface (embedding-space curation: corpus
+partitioning, IVF coarse-quantizer training, SemDeDup-style bucket
+construction). ``operators/similarity.assign_ivf_buckets`` picks its
+centroids by deterministic salted-hash sampling; this module is the
+*trained* alternative — the classic broadcast-centroids formulation of
+Lloyd's algorithm (the same distributed shape as Spark MLlib KMeans):
+
+* per iteration, ONE map-side assignment pass over the corpus — the
+  k×dim centroid table is compiled into the plan as literals, so
+  assignment is pure whole-stage-codegen projection: no join, no
+  shuffle, no UDF;
+* plus ONE partial-aggregated groupBy shuffle of (cluster, pos)
+  component rows for the centroid update, cardinality ≤ k×dim after
+  the map-side combine;
+* the only driver traffic is the k×dim aggregated component sums per
+  iteration — the same O(k·dim) scalar-collect legitimacy class as
+  pagerank's convergence probe, and exactly what "broadcast the new
+  centroids" means on a real cluster.
+
+Each pass re-scans the (columnar, pruned) source instead of caching
+the quantized corpus: at 100 TB a persisted n×dim long column is not a
+thing, and the re-scan is the shape the cluster would run.
+
+Cross-engine exactness (the registry's DuckDB differential): vector
+components are quantized to the 2^-20 grid (float→double exact, ×2^20
+exact, floor exact), distances and component sums are BIGINT
+(order-independent), centroid updates use truncating integer division
+(Spark ``DIV`` == DuckDB ``//`` == :func:`_tdiv` here; all three
+truncate toward zero, verified on negative operands), and assignment
+ties break on the smaller cluster id — so every iteration, and
+therefore the final assignment, is bit-identical in both engines.
+Clusters that lose all members simply vanish (the update GROUP BY
+only re-emits clusters with members), which a SQL mirror reproduces
+for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1 << 20  # 2^-20 quantization grid, shared with the registry oracles
+
+
+def _tdiv(s: int, n: int) -> int:
+    """Truncate-toward-zero integer division — the semantics of Spark's
+    BIGINT ``DIV`` and DuckDB's BIGINT ``//`` (Python's ``//`` floors,
+    which differs on negative sums)."""
+    q = abs(s) // n
+    return -q if s < 0 else q
+
+
+def quantize_vectors(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, q): the embedding quantized onto the 2^-20 integer grid."""
+    return df.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda v: F.floor(v.cast("double") * SCALE).cast("long"),
+        ).alias("q"),
+    )
+
+
+def _assign(pts: DataFrame, centroids: list[tuple[int, list[int]]]) -> DataFrame:
+    """Map-side nearest-centroid assignment: the centroid matrix rides
+    in the plan as TWO constant literals (an ``array<array<bigint>>``
+    of vectors and an ``array<bigint>`` of cluster ids — single
+    Literal nodes, so plan/codegen size stays O(1) in k·dim instead of
+    unrolling k·dim expression nodes), distances are a
+    ``transform``/``zip_with``/``aggregate`` higher-order fold, and
+    ``array_min`` over (dist, id) structs is the lexicographic argmin
+    with the cluster-id tiebreak. Pure projection — zero shuffles, no
+    UDF. Magnitudes: |diff| ≤ 2^21, squared 2^42, ×dim well inside
+    long range."""
+    cid_arr = F.lit([int(cid) for cid, _ in centroids]).cast("array<bigint>")
+    vec_arr = F.lit([[int(x) for x in vec] for _, vec in centroids]).cast(
+        "array<array<bigint>>"
+    )
+    best = F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(len(centroids))),
+            lambda i: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("q"),
+                        F.element_at(vec_arr, i),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                F.element_at(cid_arr, i).alias("c"),
+            ),
+        )
+    )
+    return pts.select(
+        "*",
+        best["c"].alias("cluster"),
+        best["d"].alias("dist_sq"),
+    )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    k: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "kmeans:",
+) -> DataFrame:
+    """Lloyd's k-means: deterministic seeds, ``n_iters`` exact
+    fixed-point iterations, final assignment with cluster sizes.
+
+    Seeds are the ``k`` corpus vectors with the smallest salted
+    ``md5(id)`` (the same reproducible pseudo-sample as
+    ``assign_ivf_buckets``, executed as TakeOrdered — no global sort);
+    seed rank order is the cluster id. Returns
+    ``(id, cluster, dist_sq, cluster_n)`` where ``dist_sq`` is the
+    exact quantized squared distance to the final centroid.
+    """
+    pts = quantize_vectors(df, id_col, vec_col)
+
+    seed_rows = (
+        pts.select(
+            id_col,
+            "q",
+            F.md5(
+                F.concat(F.lit(salt), F.col(id_col).cast("string"))
+            ).alias("_h"),
+        )
+        .orderBy("_h", id_col)
+        .limit(k)
+        .collect()
+    )
+    seed_rows.sort(key=lambda r: (r["_h"], r[id_col]))
+    centroids = [(cid, list(r["q"])) for cid, r in enumerate(seed_rows)]
+
+    for _ in range(n_iters):
+        assigned = _assign(pts, centroids)
+        comp = assigned.select(
+            "cluster", F.posexplode("q").alias("pos", "qv")
+        )
+        sums = (
+            comp.groupBy("cluster", "pos")
+            .agg(F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, int]] = {}
+        for r in sums:
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = _tdiv(
+                r["s"], r["n"]
+            )
+        centroids = [
+            (cid, [d[p] for p in sorted(d)])
+            for cid, d in sorted(by_cluster.items())
+        ]
+
+    final = _assign(pts, centroids)
+    sizes = final.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("cluster_n")
+    )
+    return final.join(F.broadcast(sizes), "cluster").select(
+        id_col, "cluster", "dist_sq", "cluster_n"
+    )

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions import text as T
+from .operators import kmeans
 from .operators.frequency import heavy_hitters
 from .operators.neardup import _spread
 from .operators.neardup import ORACLE_SH_CAPPED as _SH_CAPPED
@@ -1181,6 +1182,98 @@ def ext_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         activity.filter(F.col("week_offset") <= 8)
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lloyd's k-means over the embedding column (operators/kmeans.py)
+# ---------------------------------------------------------------------------
+
+def _kmeans_oracle(k: int, iters: int, dim: int, salt: str) -> str:
+    """DuckDB twin of :func:`operators.kmeans.kmeans_assign`: the same
+    2^-20 quantization, salted-md5 seed pick, exact BIGINT distances,
+    truncating ``//`` centroid updates, and cluster-id tiebreak —
+    unrolled one CTE pair per Lloyd iteration (the oracle replays the
+    ALGEBRA as a relation chain; the Spark side compiles centroids to
+    broadcast literals instead, so the two formulations are
+    independent down to the join strategy)."""
+    seed_rank = (
+        f"ROW_NUMBER() OVER (ORDER BY md5('{salt}' || "
+        "CAST(vec_id AS VARCHAR)), vec_id)"
+    )
+
+    def assign(name: str, cents: str) -> str:
+        return f"""
+    {name} AS (
+      SELECT * FROM (
+        SELECT p.vec_id, p.q, c.cluster,
+          CAST(list_sum(list_transform(range(1, {dim + 1}),
+            j -> (p.q[j] - c.qc[j]) * (p.q[j] - c.qc[j]))) AS BIGINT) AS d
+        FROM pts p CROSS JOIN {cents} c
+      ) QUALIFY ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY d, cluster) = 1
+    )"""
+
+    def update(name: str, assigned: str) -> str:
+        return f"""
+    {name} AS (
+      SELECT cluster, list(qi ORDER BY pos) AS qc FROM (
+        SELECT a.cluster, t.j AS pos,
+          CAST(SUM(a.q[t.j]) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS qi
+        FROM {assigned} a CROSS JOIN range(1, {dim + 1}) AS t(j)
+        GROUP BY 1, 2
+      ) GROUP BY cluster
+    )"""
+
+    ctes = [
+        f"""pts AS (
+      SELECT vec_id,
+        list_transform(embedding,
+          v -> CAST(FLOOR(CAST(v AS DOUBLE) * {kmeans.SCALE}) AS BIGINT)) AS q
+      FROM embeddings
+    )""",
+        f"""c0 AS (
+      SELECT q AS qc, {seed_rank} - 1 AS cluster
+      FROM pts QUALIFY {seed_rank} <= {k}
+    )""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(assign(f"a{i}", f"c{i - 1}"))
+        ctes.append(update(f"c{i}", f"a{i}"))
+    ctes.append(assign("final", f"c{iters}"))
+    ctes.append(
+        """sizes AS (
+      SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_n
+      FROM final GROUP BY 1
+    )"""
+    )
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + """
+    SELECT f.vec_id, f.cluster, f.d AS dist_sq, s.cluster_n
+    FROM final f JOIN sizes s USING (cluster)
+    """
+    )
+
+
+@query("ext_kmeans_embedding", oracle=_kmeans_oracle(8, 2, 64, "kmeans:"))
+def ext_kmeans_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=8, 2 exact fixed-point iterations) over the
+    embedding corpus — the trained coarse quantizer behind IVF/SemDeDup
+    bucketing (operators/kmeans.py; assign_ivf_buckets is the
+    hash-sampled untrained variant).
+
+    Scale shape: per iteration, assignment is a ZERO-shuffle
+    whole-stage-codegen projection (the k×dim centroids ride in the
+    plan as literals — "broadcast the centroids" in its purest form)
+    and the update is one map-combined groupBy of (cluster, pos)
+    rows, ≤ k×dim after partial aggregation; driver traffic is k×dim
+    sums per iteration, the pagerank-probe legitimacy class. All
+    arithmetic is on the 2^-20 integer grid, so the differential is
+    bit-exact (module docstring has the full argument)."""
+    return kmeans.kmeans_assign(
+        _t(spark, sf_dir, "embeddings"), k=8, n_iters=2
     )
 
 

@@ -1,0 +1,150 @@
+"""Lloyd's k-means (operators/kmeans.py): algorithm parity against an
+independent pure-Python replica, deterministic re-runs, empty-cluster
+semantics, and the zero-shuffle assignment plan shape. Cross-engine
+value parity is covered by the registry differential
+(tests/test_registry_oracle.py::ext_kmeans_embedding)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ecommerce_lakehouse_platform_spark.operators import kmeans
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _vectors(n: int, dim: int = 6) -> list[tuple[int, list[float]]]:
+    """Deterministic pseudo-random vectors in [-1, 1), md5-derived —
+    no RNG state, reproducible across runs and processes."""
+    out = []
+    for i in range(n):
+        comps = []
+        for j in range(dim):
+            h = hashlib.md5(f"v{i}:{j}".encode()).hexdigest()
+            comps.append((int(h[:8], 16) / 2**31) - 1.0)
+        out.append((i, comps))
+    return out
+
+
+def _replica(rows, k: int, n_iters: int, salt: str = "kmeans:"):
+    """Independent re-implementation: plain Python ints, same quantize
+    / seed / distance / tiebreak / truncating-division contract."""
+    import struct
+
+    def f32(v: float) -> float:  # the FloatType storage round-trip
+        return struct.unpack("f", struct.pack("f", v))[0]
+
+    pts = {
+        i: [int(_pyfloor(f32(v) * kmeans.SCALE)) for v in vec]
+        for i, vec in rows
+    }
+    seeds = sorted(
+        pts, key=lambda i: (hashlib.md5(f"{salt}{i}".encode()).hexdigest(), i)
+    )[:k]
+    cents = {ci: list(pts[i]) for ci, i in enumerate(seeds)}
+
+    def assign():
+        out = {}
+        for i, q in pts.items():
+            best = min(
+                (sum((a - b) ** 2 for a, b in zip(q, c)), ci)
+                for ci, c in cents.items()
+            )
+            out[i] = best  # (dist, cluster)
+        return out
+
+    for _ in range(n_iters):
+        a = assign()
+        groups: dict[int, list[int]] = {}
+        for i, (_, ci) in a.items():
+            groups.setdefault(ci, []).append(i)
+        cents = {
+            ci: [
+                kmeans._tdiv(sum(pts[i][p] for i in members), len(members))
+                for p in range(len(next(iter(pts.values()))))
+            ]
+            for ci, members in groups.items()
+        }
+    a = assign()
+    sizes: dict[int, int] = {}
+    for _, ci in a.values():
+        sizes[ci] = sizes.get(ci, 0) + 1
+    return {
+        i: (ci, d, sizes[ci]) for i, (d, ci) in a.items()
+    }
+
+
+def _pyfloor(x: float) -> int:
+    import math
+
+    return math.floor(x)
+
+
+def _run(spark, rows, k, n_iters):
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in vec]) for i, vec in rows], _SCHEMA
+    )
+    return {
+        r["vec_id"]: (r["cluster"], r["dist_sq"], r["cluster_n"])
+        for r in kmeans.kmeans_assign(df, k=k, n_iters=n_iters).collect()
+    }
+
+
+def test_matches_pure_python_replica(spark):
+    rows = _vectors(40)
+    got = _run(spark, rows, k=5, n_iters=3)
+    want = _replica(rows, k=5, n_iters=3)
+    assert got == want
+
+
+def test_deterministic_across_runs(spark):
+    rows = _vectors(25)
+    assert _run(spark, rows, k=4, n_iters=2) == _run(
+        spark, rows, k=4, n_iters=2
+    )
+
+
+def test_empty_clusters_vanish(spark):
+    # two tight point groups, k=4: the two seeds that land inside an
+    # already-claimed group lose every member after one update (the
+    # cluster-id tiebreak routes co-located points to the smaller id),
+    # so the final assignment uses fewer than k clusters
+    rows = [(i, [0.0, 0.0]) for i in range(4)] + [
+        (i, [0.9, 0.9]) for i in range(4, 8)
+    ]
+    got = _run(spark, rows, k=4, n_iters=2)
+    clusters = {c for c, _, _ in got.values()}
+    assert len(clusters) == 2
+    assert got == _replica(rows, k=4, n_iters=2)
+    # every surviving point sits exactly on its centroid
+    assert all(d == 0 for _, d, _ in got.values())
+    sizes = {got[i][2] for i in got}
+    assert sizes == {4}
+
+
+def test_assignment_is_map_side(spark):
+    rows = _vectors(30)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in vec]) for i, vec in rows], _SCHEMA
+    )
+    plan = (
+        kmeans.kmeans_assign(df, k=3, n_iters=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # no pair blowup, no Python boundary; the ONLY exchanges are the
+    # cluster-size aggregate and its broadcast back — assignment itself
+    # is pure projection
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" not in plan
+    assert plan.count("Exchange") <= 3
