@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 _DEC = "decimal(30,6)"
 
-__all__ = ["partial_rollup", "merge_rollups"]
+__all__ = ["partial_rollup", "merge_rollups", "signed_partial_rollup"]
 
 
 def partial_rollup(
@@ -41,6 +41,34 @@ def partial_rollup(
     return df.groupBy(*keys).agg(
         F.count(F.lit(1)).alias(count_col),
         *[F.sum(c.cast(_DEC)).alias(name) for name, c in sum_cols.items()],
+    )
+
+
+def signed_partial_rollup(
+    changes: DataFrame,
+    keys: Sequence[str | Column],
+    sum_cols: Mapping[str, Column],
+    count_col: str = "n_rows",
+    change_col: str = "_change_type",
+) -> DataFrame:
+    """Partial state over a CHANGE FEED: inserts contribute +1/+value,
+    deletes contribute -1/-value — additive retraction, the piece that
+    lets a rollup follow a table that rewrites or merges rather than
+    only appends (``sources/deltalog.MiniDeltaTable.changes`` emits
+    exactly this insert/delete stream). The signed state merges with
+    ordinary partials through :func:`merge_rollups`; groups whose rows
+    all vanished net to a zero count, which the caller filters
+    (``n_rows != 0``) to match a from-scratch rollup.
+
+    The product is cast back to the canonical DECIMAL(30,6) state type
+    so signed and unsigned partials stay union-compatible."""
+    w = F.when(F.col(change_col) == "insert", F.lit(1)).otherwise(F.lit(-1))
+    return changes.groupBy(*keys).agg(
+        F.sum(w).alias(count_col),
+        *[
+            F.sum((c.cast(_DEC) * w).cast(_DEC)).alias(name)
+            for name, c in sum_cols.items()
+        ],
     )
 
 
