@@ -106,24 +106,21 @@ def _assign(pts: DataFrame, centroids: list[tuple[int, list[int]]]) -> DataFrame
     )
 
 
-def kmeans_assign(
+def kmeans_fit(
     df: DataFrame,
     k: int = 8,
     n_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     salt: str = "kmeans:",
-) -> DataFrame:
-    """Lloyd's k-means: deterministic seeds, ``n_iters`` exact
-    fixed-point iterations, final assignment with cluster sizes.
+) -> list[tuple[int, list[int]]]:
+    """Run the Lloyd iterations and return the final quantized
+    centroids as ``[(cluster_id, components)]`` — the "model" half.
 
     Seeds are the ``k`` corpus vectors with the smallest salted
     ``md5(id)`` (the same reproducible pseudo-sample as
     ``assign_ivf_buckets``, executed as TakeOrdered — no global sort);
-    seed rank order is the cluster id. Returns
-    ``(id, cluster, dist_sq, cluster_n)`` where ``dist_sq`` is the
-    exact quantized squared distance to the final centroid.
-    """
+    seed rank order is the cluster id."""
     pts = quantize_vectors(df, id_col, vec_col)
 
     seed_rows = (
@@ -160,7 +157,45 @@ def kmeans_assign(
             (cid, [d[p] for p in sorted(d)])
             for cid, d in sorted(by_cluster.items())
         ]
+    return centroids
 
+
+def kmeans_centroids(
+    df: DataFrame,
+    k: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "kmeans:",
+) -> DataFrame:
+    """The fitted centroids as a ``(centroid_id, _cvec)`` frame —
+    drop-in for ``similarity.assign_ivf_buckets(centroids=...)`` /
+    ``cosine_topk_ivf(centroids=...)``, replacing the hash-sampled
+    pick with trained ones. Dequantization divides by 2^20 (a power
+    of two: exact in double, so the handoff loses nothing beyond the
+    original quantization grid)."""
+    fitted = kmeans_fit(df, k, n_iters, id_col, vec_col, salt)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(int(cid), [c / SCALE for c in vec]) for cid, vec in fitted],
+        "centroid_id bigint, _cvec array<double>",
+    )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    k: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "kmeans:",
+) -> DataFrame:
+    """Lloyd's k-means end to end: :func:`kmeans_fit`, then the final
+    assignment with cluster sizes. Returns
+    ``(id, cluster, dist_sq, cluster_n)`` where ``dist_sq`` is the
+    exact quantized squared distance to the final centroid."""
+    pts = quantize_vectors(df, id_col, vec_col)
+    centroids = kmeans_fit(df, k, n_iters, id_col, vec_col, salt)
     final = _assign(pts, centroids)
     sizes = final.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("cluster_n")

@@ -213,6 +213,7 @@ def assign_ivf_buckets(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministic IVF bucketing: centroids are the ``n_centroids``
     corpus vectors with the smallest salted ``md5(id)`` — a uniform
@@ -226,19 +227,24 @@ def assign_ivf_buckets(
 
     Returns (centroids, corpus-with-bucket). The assignment is a
     broadcast join + argmax, one map-side pass over the corpus.
+
+    Pass ``centroids`` — a small ``(centroid_id, _cvec)`` frame, e.g.
+    ``operators.kmeans.kmeans_centroids`` — to use TRAINED centroids
+    instead of the hash pick; ``n_centroids`` is then ignored.
     """
-    centroids = (
-        corpus.select(
-            F.col(id_col).alias("centroid_id"),
-            F.col(vec_col).alias("_cvec"),
-            F.md5(
-                F.concat(F.lit("ivf:"), F.col(id_col).cast("string"))
-            ).alias("_h"),
+    if centroids is None:
+        centroids = (
+            corpus.select(
+                F.col(id_col).alias("centroid_id"),
+                F.col(vec_col).alias("_cvec"),
+                F.md5(
+                    F.concat(F.lit("ivf:"), F.col(id_col).cast("string"))
+                ).alias("_h"),
+            )
+            .orderBy("_h", "centroid_id")
+            .limit(n_centroids)
+            .drop("_h")
         )
-        .orderBy("_h", "centroid_id")
-        .limit(n_centroids)
-        .drop("_h")
-    )
     scored = corpus.crossJoin(F.broadcast(centroids)).select(
         id_col,
         vec_col,
@@ -263,10 +269,14 @@ def cosine_topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-pruned approximate top-k: search only the ``nprobe``
-    nearest centroid buckets per query."""
-    centroids, assigned = assign_ivf_buckets(corpus, n_centroids, id_col, vec_col)
+    nearest centroid buckets per query. ``centroids`` overrides the
+    hash-sampled pick with trained ones (see assign_ivf_buckets)."""
+    centroids, assigned = assign_ivf_buckets(
+        corpus, n_centroids, id_col, vec_col, centroids=centroids
+    )
     q = queries.select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
     )

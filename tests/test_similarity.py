@@ -29,6 +29,33 @@ def test_ivf_recall_at_5(spark):
             assert r.cosine_sim == exact_scores[(r.query_id, r.neighbor_id)]
 
 
+def test_ivf_with_trained_kmeans_centroids(spark):
+    """operators/kmeans.kmeans_centroids plugs into the IVF path as
+    the trained coarse quantizer: same plumbing, centroids frame
+    swapped in, recall in the hash-pick band and every returned score
+    exact."""
+    from ecommerce_lakehouse_platform_spark.operators.kmeans import (
+        kmeans_centroids,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    cents = kmeans_centroids(emb, k=16, n_iters=2)
+    assert cents.count() <= 16  # empty clusters may have vanished
+    exact = similarity.cosine_topk(emb, queries, k=5).collect()
+    approx = similarity.cosine_topk_ivf(
+        emb, queries, k=5, nprobe=4, centroids=cents
+    ).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.3, f"trained-IVF recall@5 unexpectedly low: {recall}"
+    exact_scores = {(r.query_id, r.neighbor_id): r.cosine_sim for r in exact}
+    for r in approx:
+        if (r.query_id, r.neighbor_id) in exact_scores:
+            assert r.cosine_sim == exact_scores[(r.query_id, r.neighbor_id)]
+
+
 def test_rhlsh_recall_and_pruning(spark):
     emb = load_table(spark, SF_SMOKE, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
