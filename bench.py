@@ -99,6 +99,8 @@ HEADLINE = [
     # iterative trained coarse quantizer (zero-shuffle assignment +
     # one k×dim update shuffle per Lloyd iteration)
     "ext_kmeans_embedding",
+    # distributed PCA-fit: dim^2-cell co-moment aggregation
+    "ext_embedding_covariance",
 ]
 
 

@@ -822,23 +822,24 @@ resolve_deferred_oracles()
 # cap helper, the JVM heavy-hitter candidate pass, the deferred-token
 # ext_ann_recall oracle, and the two langid queries whose oracle
 # fragments moved to functions/text.py — a changed query's previous
-# green row proves nothing; then the 2 queries ADDED this round
-# (ext_media_phash_dedup, ext_kmeans_embedding — a new query must get
-# its first external row in its first round to keep union coverage at
-# 100%); then 2
+# green row proves nothing; then the 3 queries ADDED this round
+# (ext_media_phash_dedup, ext_kmeans_embedding,
+# ext_embedding_covariance — a new query must get its first external
+# row in its first round to keep union coverage at 100%); then 2
 # high-churn r5 canaries (ext_dedup_clusters, ext_bm25_topk — r5
 # verdict item 3); then the 6 queries displaced since r2 (the stalest
 # external rows in the ledger); then 32 of the 42 queries whose
 # newest external row is r3, explicitly including op_dedupe_latest
 # and gold_customer_360 (the keep-latest idiom staleness canary, r5
-# verdict item 8). The 11 r3 entries that slip to r7 are simple
+# verdict item 8). The 12 r3 entries that slip to r7 are simple
 # relational ops re-proven every session by the local
 # sf0.001+sf0.01 differential (ext_scalar_subquery, ext_setops_users,
 # ext_histogram_totals, ext_profile_orders, ext_stats_correlation,
 # ext_cube_returns, ext_rollup_revenue, ext_unpivot_lineitem,
-# ext_join_semi_anti, ext_zorder_layout, and ext_window_funcs —
-# displaced when ext_kmeans_embedding landed mid-round and took the
-# new-query slot).
+# ext_join_semi_anti, ext_zorder_layout, plus ext_window_funcs and
+# ext_topk_per_group — displaced when ext_kmeans_embedding and
+# ext_embedding_covariance landed mid-round and took the new-query
+# slots).
 # Everything else keeps registration order behind the window, and the
 # repo-side sf0.01 oracle suite (tests/test_registry_oracle.py, same
 # gate as the harness) still covers every registered query each
@@ -857,6 +858,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # --- New this round: first external row happens now or never ---
     "ext_media_phash_dedup",
     "ext_kmeans_embedding",
+    "ext_embedding_covariance",
     # --- r5 high-churn canaries ---
     "ext_dedup_clusters",
     "ext_bm25_topk",
@@ -898,7 +900,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "ext_similarity_lsh",
     "ext_snapshot_diff",
     "ext_text_subword_stats",
-    "ext_topk_per_group",
 )
 
 

@@ -1257,6 +1257,113 @@ def _kmeans_oracle(k: int, iters: int, dim: int, salt: str) -> str:
     )
 
 
+@query(
+    "ext_embedding_covariance",
+    oracle=f"""
+    WITH pts AS (
+      SELECT list_transform(embedding,
+        v -> CAST(FLOOR(CAST(v AS DOUBLE) * {kmeans.SCALE}) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    marg AS (
+      SELECT t.i AS pos, CAST(SUM(q[t.i + 1]) AS BIGINT) AS s,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM pts CROSS JOIN range(0, 64) t(i) GROUP BY 1
+    ),
+    pairs AS (
+      SELECT ti.i AS i, tj.i AS j,
+        CAST(SUM(q[ti.i + 1] * q[tj.i + 1]) AS BIGINT) AS sum_prod
+      FROM pts
+      CROSS JOIN range(0, 64) ti(i) CROSS JOIN range(0, 64) tj(i)
+      WHERE tj.i >= ti.i GROUP BY 1, 2
+    )
+    SELECT p.i, p.j, mi.n AS n, mi.s AS sum_i, mj.s AS sum_j, p.sum_prod,
+      (mi.n * p.sum_prod - mi.s * mj.s) // (mi.n * mi.n) AS cov_q
+    FROM pairs p
+    JOIN marg mi ON p.i = mi.pos
+    JOIN marg mj ON p.j = mj.pos
+    """,
+)
+def ext_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact co-moment / covariance matrix of the embedding corpus —
+    the distributed "fit" half of PCA/whitening (the dim×dim second
+    moments are what a 100 TB PCA actually aggregates; the O(dim³)
+    eigensolve on the 64×64 result is a driver-side epilogue).
+
+    Scale shape: each row map-side expands to its dim(dim+1)/2
+    upper-triangle products (nested transform + flatten + one explode
+    — no self-join on the corpus), and partial aggregation collapses
+    the shuffle to the 2 080 (i, j) cells regardless of corpus size;
+    the 64-row marginal table joins back by broadcast. Exactness: all
+    sums are BIGINT on the 2^-20 grid; ``cov_q`` is the covariance on
+    the 2^-40 grid via the single truncating division
+    (n·S_ij − S_i·S_j) DIV n² — Spark DIV == DuckDB ``//``. At a
+    10^9-row corpus the product sums approach long range and would
+    route through DECIMAL(38,0), as ext_embedding_centroids documents
+    for the same grid."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = 64
+    q = kmeans.quantize_vectors(emb).select("q")
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    cells = q.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    idx,
+                    lambda i: F.transform(
+                        F.sequence(i, F.lit(dim - 1)),
+                        lambda j: F.struct(
+                            i.cast("long").alias("i"),
+                            j.cast("long").alias("j"),
+                            (
+                                F.element_at("q", (i + 1).cast("int"))
+                                * F.element_at("q", (j + 1).cast("int"))
+                            ).alias("p"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("c")
+    ).select("c.i", "c.j", "c.p")
+    pairs = cells.groupBy("i", "j").agg(F.sum("p").alias("sum_prod"))
+
+    marg = (
+        q.select(F.posexplode("q").alias("pos", "qv"))
+        .groupBy("pos")
+        .agg(F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(F.col("pos").cast("long").alias("pos"), "s", "n")
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                marg.select(
+                    F.col("pos").alias("i"),
+                    F.col("s").alias("sum_i"),
+                    "n",
+                )
+            ),
+            "i",
+        )
+        .join(
+            F.broadcast(
+                marg.select(F.col("pos").alias("j"), F.col("s").alias("sum_j"))
+            ),
+            "j",
+        )
+        .select(
+            "i",
+            "j",
+            "n",
+            "sum_i",
+            "sum_j",
+            "sum_prod",
+            F.expr("(n * sum_prod - sum_i * sum_j) DIV (n * n)").alias(
+                "cov_q"
+            ),
+        )
+    )
+
+
 @query("ext_kmeans_embedding", oracle=_kmeans_oracle(8, 2, 64, "kmeans:"))
 def ext_kmeans_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means (k=8, 2 exact fixed-point iterations) over the
