@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions import text as T
-from .operators import kmeans
+from .operators import kmeans, pca
 from .operators.frequency import heavy_hitters
 from .operators.neardup import _spread
 from .operators.neardup import ORACLE_SH_CAPPED as _SH_CAPPED
@@ -1300,68 +1300,15 @@ def ext_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n·S_ij − S_i·S_j) DIV n² — Spark DIV == DuckDB ``//``. At a
     10^9-row corpus the product sums approach long range and would
     route through DECIMAL(38,0), as ext_embedding_centroids documents
-    for the same grid."""
-    emb = _t(spark, sf_dir, "embeddings")
-    dim = 64
-    q = kmeans.quantize_vectors(emb).select("q")
-    idx = F.sequence(F.lit(0), F.lit(dim - 1))
-    cells = q.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    idx,
-                    lambda i: F.transform(
-                        F.sequence(i, F.lit(dim - 1)),
-                        lambda j: F.struct(
-                            i.cast("long").alias("i"),
-                            j.cast("long").alias("j"),
-                            (
-                                F.element_at("q", (i + 1).cast("int"))
-                                * F.element_at("q", (j + 1).cast("int"))
-                            ).alias("p"),
-                        ),
-                    ),
-                )
-            )
-        ).alias("c")
-    ).select("c.i", "c.j", "c.p")
-    pairs = cells.groupBy("i", "j").agg(F.sum("p").alias("sum_prod"))
+    for the same grid.
 
-    marg = (
-        q.select(F.posexplode("q").alias("pos", "qv"))
-        .groupBy("pos")
-        .agg(F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n"))
-        .select(F.col("pos").cast("long").alias("pos"), "s", "n")
-    )
-    return (
-        pairs.join(
-            F.broadcast(
-                marg.select(
-                    F.col("pos").alias("i"),
-                    F.col("s").alias("sum_i"),
-                    "n",
-                )
-            ),
-            "i",
-        )
-        .join(
-            F.broadcast(
-                marg.select(F.col("pos").alias("j"), F.col("s").alias("sum_j"))
-            ),
-            "j",
-        )
-        .select(
-            "i",
-            "j",
-            "n",
-            "sum_i",
-            "sum_j",
-            "sum_prod",
-            F.expr("(n * sum_prod - sum_i * sum_j) DIV (n * n)").alias(
-                "cov_q"
-            ),
-        )
-    )
+    The frame is also the fit half of PCA: operators/pca.pca_fit
+    collects these cells (corpus-size-independent driver state) for
+    the 64x64 eigensolve, and pca_project applies the components as a
+    zero-shuffle literal-matrix projection (property-tested in
+    tests/test_pca.py; the eigensolve itself is floating point, hence
+    not oracle-paired)."""
+    return pca.comoment_cells(_t(spark, sf_dir, "embeddings"), dim=64)
 
 
 @query("ext_kmeans_embedding", oracle=_kmeans_oracle(8, 2, 64, "kmeans:"))
