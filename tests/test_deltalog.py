@@ -290,6 +290,21 @@ def test_optimize_compacts_invisibly(spark, tmp_table):
     assert _canon(tmp_table.read()) == expect
 
 
+def test_optimize_unpartitioned_bin_packs_by_size(spark, tmp_table):
+    """The no-partition-columns branch: small files across appends
+    collapse into size-targeted bins (here one), same invisibility."""
+    orders = _orders(spark).limit(40).localCheckpoint(eager=True)
+    tmp_table.write(orders.repartition(4))
+    tmp_table.write(orders.repartition(4), mode="append")
+    assert len(tmp_table.snapshot().files) >= 8
+    expect = _canon(tmp_table.read())
+    v = tmp_table.optimize()
+    assert v is not None
+    assert len(tmp_table.snapshot().files) == 1
+    assert _canon(tmp_table.read()) == expect
+    assert tmp_table.changes(v, v).count() == 0
+
+
 def test_vacuum_drops_unreferenced_files_only(spark, tmp_table):
     orders = _orders(spark)
     tmp_table.write(orders)
