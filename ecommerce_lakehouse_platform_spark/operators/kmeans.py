@@ -40,7 +40,7 @@ for free.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 SCALE = 1 << 20  # 2^-20 quantization grid, shared with the registry oracles

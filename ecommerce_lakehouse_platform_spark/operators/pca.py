@@ -86,7 +86,17 @@ def comoment_cells(df: DataFrame, dim: int, vec_col: str = "embedding") -> DataF
             "sum_i",
             "sum_j",
             "sum_prod",
-            F.expr("(n * sum_prod - sum_i * sum_j) DIV (n * n)").alias("cov_q"),
+            # the n·S_ij and S_i·S_j intermediates grow as n² and
+            # overflow BIGINT near n ≈ 2×10^4, so they run in
+            # DECIMAL(38,0) (exact to ~10^38); the QUOTIENT is a
+            # covariance on the 2^-40 grid — always long-ranged — and
+            # Spark's decimal DIV (== DuckDB HUGEINT //, verified on
+            # negative operands) truncates it back to BIGINT
+            F.expr(
+                "CAST((CAST(n AS DECIMAL(38,0)) * sum_prod"
+                " - CAST(sum_i AS DECIMAL(38,0)) * sum_j)"
+                " DIV (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"
+            ).alias("cov_q"),
         )
     )
 

@@ -828,7 +828,7 @@ resolve_deferred_oracles()
 # row in its first round to keep union coverage at 100%); then 2
 # high-churn r5 canaries (ext_dedup_clusters, ext_bm25_topk — r5
 # verdict item 3); then the 6 queries displaced since r2 (the stalest
-# external rows in the ledger); then 32 of the 42 queries whose
+# external rows in the ledger); then 30 of the 42 queries whose
 # newest external row is r3, explicitly including op_dedupe_latest
 # and gold_customer_360 (the keep-latest idiom staleness canary, r5
 # verdict item 8). The 12 r3 entries that slip to r7 are simple

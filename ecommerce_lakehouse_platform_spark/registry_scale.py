@@ -1278,7 +1278,8 @@ def _kmeans_oracle(k: int, iters: int, dim: int, salt: str) -> str:
       WHERE tj.i >= ti.i GROUP BY 1, 2
     )
     SELECT p.i, p.j, mi.n AS n, mi.s AS sum_i, mj.s AS sum_j, p.sum_prod,
-      (mi.n * p.sum_prod - mi.s * mj.s) // (mi.n * mi.n) AS cov_q
+      CAST((CAST(mi.n AS HUGEINT) * p.sum_prod - CAST(mi.s AS HUGEINT) * mj.s)
+           // (CAST(mi.n AS HUGEINT) * mi.n) AS BIGINT) AS cov_q
     FROM pairs p
     JOIN marg mi ON p.i = mi.pos
     JOIN marg mj ON p.j = mj.pos
@@ -1297,10 +1298,13 @@ def ext_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 64-row marginal table joins back by broadcast. Exactness: all
     sums are BIGINT on the 2^-20 grid; ``cov_q`` is the covariance on
     the 2^-40 grid via the single truncating division
-    (n·S_ij − S_i·S_j) DIV n² — Spark DIV == DuckDB ``//``. At a
-    10^9-row corpus the product sums approach long range and would
-    route through DECIMAL(38,0), as ext_embedding_centroids documents
-    for the same grid.
+    (n·S_ij − S_i·S_j) DIV n², whose n²-growing intermediates run in
+    DECIMAL(38,0) ⟺ HUGEINT (they overflow BIGINT near n ≈ 2×10^4 —
+    measured, not hypothetical) while the quotient is always
+    long-ranged. Valid until the SUM columns themselves leave BIGINT
+    (n ≈ 5×10^8 for unit-norm vectors on this grid); beyond that the
+    sums route through DECIMAL(38,0), as ext_embedding_centroids
+    documents for the same grid.
 
     The frame is also the fit half of PCA: operators/pca.pca_fit
     collects these cells (corpus-size-independent driver state) for

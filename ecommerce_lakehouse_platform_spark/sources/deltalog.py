@@ -414,7 +414,10 @@ class MiniDeltaTable:
         return version
 
     def _stage_data_files(
-        self, df: DataFrame, partition_by: list[str]
+        self,
+        df: DataFrame,
+        partition_by: list[str],
+        max_records_per_file: int | None = None,
     ) -> list[dict[str, Any]]:
         """Write the data through the stock Spark parquet writer into a
         temp dir, then move the part files into the table root
@@ -424,6 +427,8 @@ class MiniDeltaTable:
         os.makedirs(self.path, exist_ok=True)
         tmp = os.path.join(self.path, f".staging-{uuid.uuid4().hex}")
         writer = df.write.mode("overwrite").format("parquet")
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.save(tmp)
@@ -476,7 +481,7 @@ class MiniDeltaTable:
         try:
             with open(hint, encoding="utf-8") as fh:
                 version = int(json.load(fh)["version"])
-        except (OSError, ValueError, KeyError):
+        except (OSError, ValueError, KeyError, TypeError):
             return None
         return version if os.path.exists(self._checkpoint_path(version)) else None
 
@@ -486,7 +491,15 @@ class MiniDeltaTable:
             and version > 0
             and version % self.checkpoint_interval == 0
         ):
-            self.checkpoint(version)
+            # best-effort, like the real writer: the commit is already
+            # published, so a failed checkpoint must not make a
+            # successful write look failed (a caller's retry would
+            # double-apply it) — readers just replay more JSON until
+            # the next interval lands one
+            try:
+                self.checkpoint(version)
+            except Exception:
+                pass
 
     def checkpoint(self, version: int | None = None) -> int:
         """Consolidate the log as of ``version`` (default: latest) into
@@ -653,11 +666,25 @@ class MiniDeltaTable:
                 F.timestamp_millis(F.lit(ts)).alias("_commit_timestamp"),
             )
 
+        # ONE forward replay of the log tracks the schema in force at
+        # each version (metadata-only, O(history) log reads total —
+        # not a snapshot() replay per version in the range)
         parts: list[DataFrame] = []
+        schema: T.StructType | None = None
         for v in versions:
-            if not starting_version <= v <= ending_version:
-                continue
+            if v > ending_version:
+                break
             actions = self._read_actions(v)
+            # removed rows were written under the schema in force
+            # BEFORE this commit; added rows under the schema AS OF it
+            schema_before = schema
+            meta = next(
+                (a["metaData"] for a in actions if "metaData" in a), None
+            )
+            if meta is not None:
+                schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+            if v < starting_version:
+                continue
             ts = next(
                 (
                     int(a["commitInfo"].get("timestamp", 0))
@@ -676,18 +703,12 @@ class MiniDeltaTable:
                 for a in actions
                 if "remove" in a and a["remove"].get("dataChange", True)
             ]
-            # removed rows were written under the schema in force BEFORE
-            # this commit; added rows under the schema AS OF this commit
-            if removes and v > 0:
+            if removes and schema_before is not None:
                 parts.append(
-                    reconstruct(
-                        removes, self.snapshot(v - 1).schema, "delete", v, ts
-                    )
+                    reconstruct(removes, schema_before, "delete", v, ts)
                 )
             if adds:
-                parts.append(
-                    reconstruct(adds, self.snapshot(v).schema, "insert", v, ts)
-                )
+                parts.append(reconstruct(adds, schema, "insert", v, ts))
 
         if not parts:
             empty = T.StructType(
@@ -729,18 +750,68 @@ class MiniDeltaTable:
         df = self.spark.read.option("basePath", self.path).parquet(
             *[os.path.join(self.path, rel) for rel in victim_rels]
         )
-        df = df.select(
-            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in snap.schema]
-        )
+        cast_cols = [
+            F.col(f.name).cast(f.dataType).alias(f.name) for f in snap.schema
+        ]
         if snap.partition_columns:
-            # hash-repartition on the partition key: every partition
-            # value lands in exactly one task, so the partitioned
-            # writer emits one file per (task, partition) = one file
-            # per partition directory
-            df = df.repartition(*snap.partition_columns)
+            # per-PARTITION size-targeted bins: each rewritten group
+            # gets ⌈bytes/max_file_bytes⌉ bins, carried to its rows by
+            # a broadcast join on the source file's table-relative path
+            # (the basename alone is NOT unique — one write reuses the
+            # same part-file name across partition directories), and a
+            # content-hash salt spreads the group across that many
+            # tasks — so a 10 GB partition is NOT funneled through one
+            # task into one 10 GB file
+            bins_rows = []
+            for adds in targets:
+                bins = max(
+                    1,
+                    -(-sum(a.get("size") or 0 for a in adds) // max_file_bytes),
+                )
+                for a in adds:
+                    bins_rows.append((a["path"], bins))
+            bins_df = self.spark.createDataFrame(
+                bins_rows, "_fname string, _bins long"
+            )
+            root = self.path.rstrip("/").replace("'", "\\'")
+            df = (
+                df.withColumn(
+                    "_fname",
+                    F.expr(
+                        "substring(input_file_name(),"
+                        f" instr(input_file_name(), '{root}')"
+                        f" + {len(self.path.rstrip('/')) + 1})"
+                    ),
+                )
+                .join(F.broadcast(bins_df), "_fname")
+                .withColumn(
+                    # hash the source file in too: duplicate rows (and
+                    # whole duplicate files) still spread across bins
+                    "_salt",
+                    F.pmod(
+                        F.xxhash64("_fname", *[f.name for f in snap.schema]),
+                        F.col("_bins"),
+                    ),
+                )
+            )
+            df = df.repartition(
+                *snap.partition_columns, F.col("_salt")
+            ).select(*cast_cols)
         else:
-            df = df.repartition(max(1, -(-total // max_file_bytes)))
-        adds = self._stage_data_files(df, snap.partition_columns)
+            df = df.select(*cast_cols).repartition(
+                max(1, -(-total // max_file_bytes))
+            )
+        # the salt gives cross-task parallelism at scale, but AQE may
+        # coalesce small shuffle partitions back into one task — the
+        # writer-level record cap enforces the size target regardless
+        # of task boundaries
+        nrows = df.count()
+        avg_row = max(1, total // max(1, nrows))
+        adds = self._stage_data_files(
+            df,
+            snap.partition_columns,
+            max_records_per_file=max(1, max_file_bytes // avg_row),
+        )
 
         now_ms = int(time.time() * 1000)
         actions: list[dict[str, Any]] = [

@@ -290,6 +290,38 @@ def test_optimize_compacts_invisibly(spark, tmp_table):
     assert _canon(tmp_table.read()) == expect
 
 
+def test_optimize_respects_size_target_per_partition(spark, tmp_table):
+    """With a small max_file_bytes, a multi-file partition compacts to
+    SEVERAL size-targeted bins, not one giant file per partition."""
+    orders = _orders(spark).withColumn(
+        "order_month", F.date_format("order_date", "yyyy-MM")
+    )
+    chunk = orders.limit(60).localCheckpoint(eager=True)
+    tmp_table.write(chunk, partition_by=["order_month"])
+    tmp_table.write(chunk, mode="append")
+    tmp_table.write(chunk, mode="append")
+    sizes = [
+        sum(
+            a["size"]
+            for a in tmp_table.snapshot().files.values()
+            if a["partitionValues"]["order_month"] == m
+        )
+        for m in {
+            a["partitionValues"]["order_month"]
+            for a in tmp_table.snapshot().files.values()
+        }
+    ]
+    target = max(sizes) // 2  # guarantees >=2 bins for the biggest group
+    expect = _canon(tmp_table.read())
+    assert tmp_table.optimize(max_file_bytes=target) is not None
+    per_part: dict[str, int] = {}
+    for a in tmp_table.snapshot().files.values():
+        m = a["partitionValues"]["order_month"]
+        per_part[m] = per_part.get(m, 0) + 1
+    assert max(per_part.values()) >= 2  # the size target split a group
+    assert _canon(tmp_table.read()) == expect
+
+
 def test_optimize_unpartitioned_bin_packs_by_size(spark, tmp_table):
     """The no-partition-columns branch: small files across appends
     collapse into size-targeted bins (here one), same invisibility."""

@@ -77,6 +77,46 @@ def test_reconstruction_error_improves_with_k(spark):
     assert sq_residual(m8) < sq_residual(m2)
 
 
+def test_comoment_exact_where_bigint_intermediates_overflow(spark):
+    """25k rows of near-unit components put n*sum_prod past 2^63 — the
+    regime where a pure-BIGINT (n*S_ij - S_i*S_j) DIV n^2 would
+    overflow (ANSI throw or wrap). The DECIMAL(38,0)-routed division
+    must stay exact; verified cell-by-cell against plain Python ints."""
+    n, d = 25_000, 4
+    muls = [2654435761, 40503, 2246822519, 3266489917]
+    vec = F.array(
+        *[
+            ((F.col("id") * F.lit(m)) % 1024 - 512) / F.lit(512.0)
+            for m in muls
+        ]
+    )
+    df = spark.range(n).select(F.col("id").alias("vid"), vec.alias("embedding"))
+    got = {
+        (r["i"], r["j"]): (r["n"], r["sum_i"], r["sum_j"], r["sum_prod"], r["cov_q"])
+        for r in pca.comoment_cells(df, dim=d).collect()
+    }
+
+    qs = [
+        [
+            math.floor((((i * m) % 1024 - 512) / 512.0) * pca.SCALE)
+            for m in muls
+        ]
+        for i in range(n)
+    ]
+    s = [sum(q[k] for q in qs) for k in range(d)]
+    assert len(got) == d * (d + 1) // 2
+    overflow_seen = False
+    for i in range(d):
+        for j in range(i, d):
+            sp = sum(q[i] * q[j] for q in qs)
+            num = n * sp - s[i] * s[j]
+            if abs(n * sp) > 2**63 or abs(s[i] * s[j]) > 2**63:
+                overflow_seen = True
+            cov = abs(num) // (n * n) * (1 if num >= 0 else -1)
+            assert got[(i, j)] == (n, s[i], s[j], sp, cov)
+    assert overflow_seen  # the test actually exercises the wide regime
+
+
 def test_projection_is_shuffle_free(spark):
     emb, model = _fit(spark, 4)
     plan = (
