@@ -337,6 +337,64 @@ def test_optimize_unpartitioned_bin_packs_by_size(spark, tmp_table):
     assert tmp_table.changes(v, v).count() == 0
 
 
+def test_mixed_operation_sequence_model_parity(spark, tmp_table):
+    """Scripted interleaving of every table operation against a plain
+    Python model: write → append → (auto-checkpoint) → merge →
+    optimize → append → vacuum, checking read() against the model
+    after every step, plus the documented CDF-after-vacuum failure
+    mode and the death of vacuumed time travel."""
+    tmp_table.checkpoint_interval = 2  # checkpoints land mid-sequence
+    orders = _orders(spark)
+    a = orders.orderBy("order_id").limit(12).localCheckpoint(eager=True)
+    b = (
+        orders.orderBy(F.desc("order_id")).limit(6).localCheckpoint(eager=True)
+    )
+    upd = a.limit(3).withColumn("status", F.lit("u")).localCheckpoint(eager=True)
+    model: dict[tuple, tuple] = {}
+
+    def key_of(t, cols):
+        return t[cols.index("order_id")]
+
+    cols = a.columns
+    tmp_table.write(a)  # v0
+    model = {key_of(tuple(r), cols): tuple(r) for r in a.collect()}
+    assert {key_of(tuple(r), cols): tuple(r) for r in tmp_table.read().collect()} == model
+
+    tmp_table.write(b, mode="append")  # v1
+    model.update({key_of(tuple(r), cols): tuple(r) for r in b.collect()})
+    assert {key_of(tuple(r), cols): tuple(r) for r in tmp_table.read().collect()} == model
+
+    tmp_table.merge(upd.select(*cols), keys=["order_id"])  # v2 (overwrite)
+    model.update({key_of(tuple(r), cols): tuple(r) for r in upd.select(*cols).collect()})
+    assert {key_of(tuple(r), cols): tuple(r) for r in tmp_table.read().collect()} == model
+
+    v_opt = tmp_table.optimize()  # v3, dataChange=false
+    assert v_opt == 3
+    assert {key_of(tuple(r), cols): tuple(r) for r in tmp_table.read().collect()} == model
+
+    tmp_table.write(b.limit(2), mode="append")  # v4 (append re-adds dup keys)
+    assert tmp_table.read().count() == len(model) + 2
+
+    # checkpoints fired at v2 and v4; both replay to the model state
+    assert tmp_table._latest_checkpoint_version() == 4
+    assert {key_of(tuple(r), cols): tuple(r) for r in tmp_table.read(version=3).collect()} == model
+
+    # pre-vacuum: full-history CDF works and time travel to v0 works
+    assert tmp_table.changes(0).count() > 0
+    assert tmp_table.read(version=0).count() == 12
+
+    removed = tmp_table.vacuum()
+    assert removed  # the merge rewrite + optimize left dead files
+    # post-vacuum: latest read unharmed…
+    assert tmp_table.read().count() == len(model) + 2
+    # …but CDF over vacuumed history and deep time travel now fail
+    # loudly (the documented contract), not silently wrong
+    with pytest.raises(Exception):
+        tmp_table.changes(0).count()
+    with pytest.raises(Exception):
+        tmp_table.read(version=0).count()
+
+
 def test_vacuum_drops_unreferenced_files_only(spark, tmp_table):
     orders = _orders(spark)
     tmp_table.write(orders)
