@@ -36,7 +36,9 @@ def comoment_cells(df: DataFrame, dim: int, vec_col: str = "embedding") -> DataF
     BIGINT and ``cov_q`` the covariance on the 2^-40 grid via one
     truncating division — see ``ext_embedding_covariance`` for the
     scale argument (map-side triangle expansion, no corpus self-join,
-    shuffle collapses to dim(dim+1)/2 cells)."""
+    shuffle collapses to dim(dim+1)/2 cells; the dim marginals are
+    aggregated in their own pass and attached as literals, so the
+    result plan is join-free)."""
     q = quantize_vectors(df, id_col=df.columns[0], vec_col=vec_col).select("q")
     idx = F.sequence(F.lit(0), F.lit(dim - 1))
     cells = q.select(
@@ -60,44 +62,48 @@ def comoment_cells(df: DataFrame, dim: int, vec_col: str = "embedding") -> DataF
         ).alias("c")
     ).select("c.i", "c.j", "c.p")
     pairs = cells.groupBy("i", "j").agg(F.sum("p").alias("sum_prod"))
-    marg = (
+
+    # the dim marginals are one map-combined aggregation collapsing to
+    # dim rows — collect them and attach as literals (the same
+    # O(dim)-driver-state move as broadcasting centroids), so the main
+    # plan has NO join and the corpus is scanned exactly twice (cells
+    # + marginals) instead of three times with a twice-built broadcast
+    marg_rows = (
         q.select(F.posexplode("q").alias("pos", "qv"))
         .groupBy("pos")
         .agg(F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n"))
-        .select(F.col("pos").cast("long").alias("pos"), "s", "n")
+        .collect()
     )
-    return (
-        pairs.join(
-            F.broadcast(
-                marg.select(F.col("pos").alias("i"), F.col("s").alias("sum_i"), "n")
-            ),
-            "i",
-        )
-        .join(
-            F.broadcast(
-                marg.select(F.col("pos").alias("j"), F.col("s").alias("sum_j"))
-            ),
-            "j",
-        )
-        .select(
-            "i",
-            "j",
-            "n",
-            "sum_i",
-            "sum_j",
-            "sum_prod",
-            # the n·S_ij and S_i·S_j intermediates grow as n² and
-            # overflow BIGINT near n ≈ 2×10^4, so they run in
-            # DECIMAL(38,0) (exact to ~10^38); the QUOTIENT is a
-            # covariance on the 2^-40 grid — always long-ranged — and
-            # Spark's decimal DIV (== DuckDB HUGEINT //, verified on
-            # negative operands) truncates it back to BIGINT
-            F.expr(
-                "CAST((CAST(n AS DECIMAL(38,0)) * sum_prod"
-                " - CAST(sum_i AS DECIMAL(38,0)) * sum_j)"
-                " DIV (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"
-            ).alias("cov_q"),
-        )
+    n_rows = marg_rows[0]["n"] if marg_rows else 0
+    sums = [0] * dim
+    for r in marg_rows:
+        sums[r["pos"]] = r["s"]
+    s_arr = F.lit(sums).cast("array<bigint>")
+    return pairs.select(
+        "i",
+        "j",
+        F.lit(int(n_rows)).cast("long").alias("n"),
+        F.element_at(s_arr, (F.col("i") + 1).cast("int")).alias("sum_i"),
+        F.element_at(s_arr, (F.col("j") + 1).cast("int")).alias("sum_j"),
+        "sum_prod",
+    ).select(
+        "i",
+        "j",
+        "n",
+        "sum_i",
+        "sum_j",
+        "sum_prod",
+        # the n·S_ij and S_i·S_j intermediates grow as n² and overflow
+        # BIGINT near n ≈ 2×10^4, so they run in DECIMAL(38,0) (exact
+        # to ~10^38); the QUOTIENT is a covariance on the 2^-40 grid —
+        # always long-ranged — and Spark's decimal DIV (== DuckDB
+        # HUGEINT //, verified on negative operands) truncates it back
+        # to BIGINT
+        F.expr(
+            "CAST((CAST(n AS DECIMAL(38,0)) * sum_prod"
+            " - CAST(sum_i AS DECIMAL(38,0)) * sum_j)"
+            " DIV (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"
+        ).alias("cov_q"),
     )
 
 

@@ -1295,7 +1295,8 @@ def ext_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     upper-triangle products (nested transform + flatten + one explode
     — no self-join on the corpus), and partial aggregation collapses
     the shuffle to the 2 080 (i, j) cells regardless of corpus size;
-    the 64-row marginal table joins back by broadcast. Exactness: all
+    the 64 marginals aggregate in their own map-combined pass and ride
+    back in as literals (join-free final plan). Exactness: all
     sums are BIGINT on the 2^-20 grid; ``cov_q`` is the covariance on
     the 2^-40 grid via the single truncating division
     (n·S_ij − S_i·S_j) DIV n², whose n²-growing intermediates run in

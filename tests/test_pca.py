@@ -117,6 +117,25 @@ def test_comoment_exact_where_bigint_intermediates_overflow(spark):
     assert overflow_seen  # the test actually exercises the wide regime
 
 
+def test_comoment_plan_shape(spark):
+    """The co-moment aggregation shuffles only the collapsed cell /
+    marginal aggregates (partial agg first), joins the marginals by
+    broadcast, and never forms a corpus self-join."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    plan = (
+        pca.comoment_cells(emb, dim=DIM)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" not in plan
+    # no join at all: marginals ride as literals; the only exchange is
+    # the collapsed (i,j) cell aggregation — never data-proportional
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 1
+
+
 def test_projection_is_shuffle_free(spark):
     emb, model = _fit(spark, 4)
     plan = (
