@@ -101,6 +101,8 @@ HEADLINE = [
     "ext_kmeans_embedding",
     # distributed PCA-fit: dim^2-cell co-moment aggregation
     "ext_embedding_covariance",
+    # per-block codebook training + map-side vector compression
+    "ext_pq_encode",
 ]
 
 

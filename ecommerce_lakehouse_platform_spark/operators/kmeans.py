@@ -182,6 +182,56 @@ def kmeans_centroids(
     )
 
 
+def pq_encode(
+    df: DataFrame,
+    dim: int,
+    n_blocks: int = 4,
+    k: int = 16,
+    n_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "pq",
+) -> DataFrame:
+    """Product quantization: split each vector into ``n_blocks``
+    subvectors, fit an independent k-code codebook per block
+    (:func:`kmeans_fit` on the slice), and encode every vector as its
+    nearest code per block — ``(id, block, code, dist_sq)``.
+
+    This is the standard embedding-compression step for corpus-scale
+    vector storage (Jégou et al., "Product Quantization for Nearest
+    Neighbor Search", TPAMI 2011): dim floats become n_blocks small
+    ints (here 64×4B → 4 codes, a 64× reduction), and ADC search
+    scans codes against per-query lookup tables. Spark shape: codebook
+    training is the kmeans driver loop per block (k·dim/n_blocks
+    driver state); ENCODING — the part proportional to the corpus —
+    is a zero-shuffle map-side assignment per block, unioned. All
+    arithmetic on the 2^-20 grid, so the encoding is bit-exact
+    cross-engine like the underlying k-means."""
+    sub = dim // n_blocks
+    parts = []
+    for b in range(n_blocks):
+        sliced = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), b * sub + 1, sub).alias("_sub"),
+        )
+        codebook = kmeans_fit(
+            sliced, k, n_iters, id_col, "_sub", salt=f"{salt}{b}:"
+        )
+        assigned = _assign(quantize_vectors(sliced, id_col, "_sub"), codebook)
+        parts.append(
+            assigned.select(
+                id_col,
+                F.lit(b).cast("long").alias("block"),
+                F.col("cluster").alias("code"),
+                "dist_sq",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def kmeans_assign(
     df: DataFrame,
     k: int = 8,

@@ -1316,6 +1316,86 @@ def ext_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca.comoment_cells(_t(spark, sf_dir, "embeddings"), dim=64)
 
 
+def _pq_oracle(n_blocks: int, k: int, iters: int, dim: int, salt: str) -> str:
+    """DuckDB twin of :func:`operators.kmeans.pq_encode`: one
+    independent kmeans chain per subvector block (sliced 1-based
+    inclusive, DuckDB ``l[a:b]`` == Spark ``slice(l, a, len)``), block
+    salt in the seed pick, assignments unioned with the block id."""
+    sub = dim // n_blocks
+
+    def rank(b: int) -> str:
+        return (
+            f"ROW_NUMBER() OVER (ORDER BY md5('{salt}{b}:' || "
+            "CAST(vec_id AS VARCHAR)), vec_id)"
+        )
+
+    def assign(name: str, pts: str, cents: str) -> str:
+        return f"""
+    {name} AS (
+      SELECT * FROM (
+        SELECT p.vec_id, p.q, c.cluster,
+          CAST(list_sum(list_transform(range(1, {sub + 1}),
+            j -> (p.q[j] - c.qc[j]) * (p.q[j] - c.qc[j]))) AS BIGINT) AS d
+        FROM {pts} p CROSS JOIN {cents} c
+      ) QUALIFY ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY d, cluster) = 1
+    )"""
+
+    def update(name: str, assigned: str) -> str:
+        return f"""
+    {name} AS (
+      SELECT cluster, list(qi ORDER BY pos) AS qc FROM (
+        SELECT a.cluster, t.j AS pos,
+          CAST(SUM(a.q[t.j]) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS qi
+        FROM {assigned} a CROSS JOIN range(1, {sub + 1}) AS t(j)
+        GROUP BY 1, 2
+      ) GROUP BY cluster
+    )"""
+
+    ctes, finals = [], []
+    for b in range(n_blocks):
+        lo, hi = b * sub + 1, (b + 1) * sub
+        ctes.append(
+            f"""pts{b} AS (
+      SELECT vec_id,
+        list_transform(embedding[{lo}:{hi}],
+          v -> CAST(FLOOR(CAST(v AS DOUBLE) * {kmeans.SCALE}) AS BIGINT)) AS q
+      FROM embeddings
+    )"""
+        )
+        ctes.append(
+            f"""c0_{b} AS (
+      SELECT q AS qc, {rank(b)} - 1 AS cluster
+      FROM pts{b} QUALIFY {rank(b)} <= {k}
+    )"""
+        )
+        for i in range(1, iters + 1):
+            ctes.append(assign(f"a{i}_{b}", f"pts{b}", f"c{i - 1}_{b}"))
+            ctes.append(update(f"c{i}_{b}", f"a{i}_{b}"))
+        ctes.append(assign(f"fin{b}", f"pts{b}", f"c{iters}_{b}"))
+        finals.append(
+            f"SELECT vec_id, CAST({b} AS BIGINT) AS block,"
+            f" cluster AS code, d AS dist_sq FROM fin{b}"
+        )
+    return "WITH " + ",".join(ctes) + "\n    " + "\n    UNION ALL ".join(finals)
+
+
+@query("ext_pq_encode", oracle=_pq_oracle(4, 16, 1, 64, "pq"))
+def ext_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding of the embedding corpus: 4
+    independent 16-code codebooks (one Lloyd iteration each) over the
+    16-dim subvector blocks, every vector encoded as its nearest code
+    per block — 64 floats become 4 codes, the compression step behind
+    corpus-scale vector stores and ADC search (Jégou et al. 2011,
+    public). Codebook training is driver-loop k-means per block
+    (operators/kmeans.py); the corpus-proportional ENCODING is a
+    zero-shuffle map-side assignment, and the differential replays
+    the full per-block fit+encode chain exactly."""
+    return kmeans.pq_encode(
+        _t(spark, sf_dir, "embeddings"), dim=64, n_blocks=4, k=16, n_iters=1
+    )
+
+
 @query("ext_kmeans_embedding", oracle=_kmeans_oracle(8, 2, 64, "kmeans:"))
 def ext_kmeans_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means (k=8, 2 exact fixed-point iterations) over the

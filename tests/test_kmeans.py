@@ -130,6 +130,26 @@ def test_empty_clusters_vanish(spark):
     assert sizes == {4}
 
 
+def test_pq_encode_coverage_and_distortion(spark):
+    """Every (id, block) encoded exactly once with an in-range code,
+    and an extra Lloyd iteration on the codebooks can only reduce the
+    total quantization distortion."""
+    rows = _vectors(48, dim=8)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in vec]) for i, vec in rows], _SCHEMA
+    )
+    enc = kmeans.pq_encode(df, dim=8, n_blocks=2, k=4, n_iters=1).collect()
+    assert len(enc) == 48 * 2
+    assert {(r["vec_id"], r["block"]) for r in enc} == {
+        (i, b) for i in range(48) for b in (0, 1)
+    }
+    assert all(0 <= r["code"] < 4 for r in enc)
+    d1 = sum(r["dist_sq"] for r in enc)
+    enc2 = kmeans.pq_encode(df, dim=8, n_blocks=2, k=4, n_iters=2).collect()
+    d2 = sum(r["dist_sq"] for r in enc2)
+    assert d2 <= d1
+
+
 def test_assignment_is_map_side(spark):
     rows = _vectors(30)
     df = spark.createDataFrame(
