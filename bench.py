@@ -101,8 +101,10 @@ HEADLINE = [
     "ext_kmeans_embedding",
     # distributed PCA-fit: dim^2-cell co-moment aggregation
     "ext_embedding_covariance",
-    # per-block codebook training + map-side vector compression
+    # per-block codebook training + map-side vector compression,
+    # then search in the compressed domain
     "ext_pq_encode",
+    "ext_pq_adc_search",
 ]
 
 

@@ -182,6 +182,41 @@ def kmeans_centroids(
     )
 
 
+def _block_slice(
+    df: DataFrame, b: int, sub: int, id_col: str, vec_col: str
+) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        F.slice(F.col(vec_col), b * sub + 1, sub).alias("_sub"),
+    )
+
+
+def pq_fit_blocks(
+    df: DataFrame,
+    dim: int,
+    n_blocks: int = 4,
+    k: int = 16,
+    n_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "pq",
+) -> list[list[tuple[int, list[int]]]]:
+    """One independent quantized codebook per subvector block
+    (:func:`kmeans_fit` on the slice, block-salted seeds)."""
+    sub = dim // n_blocks
+    return [
+        kmeans_fit(
+            _block_slice(df, b, sub, id_col, vec_col),
+            k,
+            n_iters,
+            id_col,
+            "_sub",
+            salt=f"{salt}{b}:",
+        )
+        for b in range(n_blocks)
+    ]
+
+
 def pq_encode(
     df: DataFrame,
     dim: int,
@@ -191,6 +226,7 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     salt: str = "pq",
+    codebooks: list[list[tuple[int, list[int]]]] | None = None,
 ) -> DataFrame:
     """Product quantization: split each vector into ``n_blocks``
     subvectors, fit an independent k-code codebook per block
@@ -208,16 +244,16 @@ def pq_encode(
     arithmetic on the 2^-20 grid, so the encoding is bit-exact
     cross-engine like the underlying k-means."""
     sub = dim // n_blocks
+    if codebooks is None:
+        codebooks = pq_fit_blocks(
+            df, dim, n_blocks, k, n_iters, id_col, vec_col, salt
+        )
     parts = []
     for b in range(n_blocks):
-        sliced = df.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), b * sub + 1, sub).alias("_sub"),
+        sliced = _block_slice(df, b, sub, id_col, vec_col)
+        assigned = _assign(
+            quantize_vectors(sliced, id_col, "_sub"), codebooks[b]
         )
-        codebook = kmeans_fit(
-            sliced, k, n_iters, id_col, "_sub", salt=f"{salt}{b}:"
-        )
-        assigned = _assign(quantize_vectors(sliced, id_col, "_sub"), codebook)
         parts.append(
             assigned.select(
                 id_col,
@@ -230,6 +266,62 @@ def pq_encode(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: list[list[tuple[int, list[int]]]],
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Asymmetric distance computation over PQ codes: approximate
+    nearest neighbors WITHOUT touching the original vectors — the
+    search half of Jégou et al. 2011.
+
+    Per query, the exact squared distance from each query subvector to
+    every codebook centroid forms a (blocks × k_codes) lookup table —
+    computed driver-side from the collected query set (queries are few
+    by contract, same as cosine_topk) in plain Python ints, then
+    shipped as a broadcast relation. The corpus-proportional work is
+    one broadcast-hash join of the CODES (n_blocks small ints per
+    vector, the compressed representation) against the tables plus one
+    partial-aggregated sum per (query, neighbor) — no full-vector scan
+    anywhere, which at 100 TB is the entire point of searching the
+    compressed domain."""
+    n_blocks = len(codebooks)
+    sub = dim // n_blocks
+    spark = codes.sparkSession
+    q_rows = quantize_vectors(queries, id_col, vec_col).collect()
+    table_rows = []
+    for r in q_rows:
+        qv = list(r["q"])
+        for b, codebook in enumerate(codebooks):
+            q_sub = qv[b * sub : (b + 1) * sub]
+            for cid, cvec in codebook:
+                pdist = sum((a - c) * (a - c) for a, c in zip(q_sub, cvec))
+                table_rows.append((r[id_col], b, cid, pdist))
+    tables = spark.createDataFrame(
+        table_rows,
+        f"{query_id_col} bigint, block bigint, code bigint, pdist bigint",
+    )
+    scored = (
+        codes.join(F.broadcast(tables), ["block", "code"])
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .groupBy(query_id_col, F.col(id_col).alias("neighbor_id"))
+        .agg(F.sum("pdist").alias("adc_dist"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy("adc_dist", "neighbor_id")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
 
 
 def kmeans_assign(

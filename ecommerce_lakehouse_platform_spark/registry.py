@@ -822,25 +822,26 @@ resolve_deferred_oracles()
 # cap helper, the JVM heavy-hitter candidate pass, the deferred-token
 # ext_ann_recall oracle, and the two langid queries whose oracle
 # fragments moved to functions/text.py — a changed query's previous
-# green row proves nothing; then the 4 queries ADDED this round
+# green row proves nothing; then the 5 queries ADDED this round
 # (ext_media_phash_dedup, ext_kmeans_embedding,
-# ext_embedding_covariance, ext_pq_encode — a new query must get its
-# first external row in its first round to keep union coverage at
-# 100%); then 2
+# ext_embedding_covariance, ext_pq_encode, ext_pq_adc_search — a new
+# query must get its first external row in its first round to keep
+# union coverage at 100%); then 2
 # high-churn r5 canaries (ext_dedup_clusters, ext_bm25_topk — r5
 # verdict item 3); then the 6 queries displaced since r2 (the stalest
-# external rows in the ledger); then 29 of the 42 queries whose
+# external rows in the ledger); then 28 of the 42 queries whose
 # newest external row is r3, explicitly including op_dedupe_latest
 # and gold_customer_360 (the keep-latest idiom staleness canary, r5
-# verdict item 8). The 13 r3 entries that slip to r7 are simple
+# verdict item 8). The 14 r3 entries that slip to r7 are simple
 # relational ops re-proven every session by the local
 # sf0.001+sf0.01 differential (ext_scalar_subquery, ext_setops_users,
 # ext_histogram_totals, ext_profile_orders, ext_stats_correlation,
 # ext_cube_returns, ext_rollup_revenue, ext_unpivot_lineitem,
 # ext_join_semi_anti, ext_zorder_layout, plus ext_window_funcs,
-# ext_topk_per_group, and ext_pivot_events — displaced when
-# ext_kmeans_embedding, ext_embedding_covariance, and ext_pq_encode
-# landed mid-round and took the new-query slots).
+# ext_topk_per_group, ext_pivot_events, and ext_moving_revenue —
+# displaced when the round's 4 late embedding-ML queries
+# (ext_kmeans_embedding, ext_embedding_covariance, ext_pq_encode,
+# ext_pq_adc_search) took the new-query slots).
 # Everything else keeps registration order behind the window, and the
 # repo-side sf0.01 oracle suite (tests/test_registry_oracle.py, same
 # gate as the harness) still covers every registered query each
@@ -861,6 +862,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "ext_kmeans_embedding",
     "ext_embedding_covariance",
     "ext_pq_encode",
+    "ext_pq_adc_search",
     # --- r5 high-churn canaries ---
     "ext_dedup_clusters",
     "ext_bm25_topk",
@@ -891,7 +893,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "ext_lang_temperature_sample",
     "ext_media_embed_topk",
     "ext_merge_upsert",
-    "ext_moving_revenue",
     "ext_ordered_funnel",
     "ext_outlier_iqr",
     "ext_pii_pseudonymize",

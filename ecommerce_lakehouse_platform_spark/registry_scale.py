@@ -1316,11 +1316,14 @@ def ext_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca.comoment_cells(_t(spark, sf_dir, "embeddings"), dim=64)
 
 
-def _pq_oracle(n_blocks: int, k: int, iters: int, dim: int, salt: str) -> str:
-    """DuckDB twin of :func:`operators.kmeans.pq_encode`: one
-    independent kmeans chain per subvector block (sliced 1-based
+def _pq_block_ctes(
+    n_blocks: int, k: int, iters: int, dim: int, salt: str
+) -> tuple[list[str], int]:
+    """The shared per-block PQ kmeans chains (sliced 1-based
     inclusive, DuckDB ``l[a:b]`` == Spark ``slice(l, a, len)``), block
-    salt in the seed pick, assignments unioned with the block id."""
+    salt in the seed pick. Returns (CTE list, subvector length); each
+    block b ends in ``fin{b}`` (assignments vs its final codebook
+    ``c{iters}_{b}``)."""
     sub = dim // n_blocks
 
     def rank(b: int) -> str:
@@ -1352,7 +1355,7 @@ def _pq_oracle(n_blocks: int, k: int, iters: int, dim: int, salt: str) -> str:
       ) GROUP BY cluster
     )"""
 
-    ctes, finals = [], []
+    ctes: list[str] = []
     for b in range(n_blocks):
         lo, hi = b * sub + 1, (b + 1) * sub
         ctes.append(
@@ -1373,11 +1376,68 @@ def _pq_oracle(n_blocks: int, k: int, iters: int, dim: int, salt: str) -> str:
             ctes.append(assign(f"a{i}_{b}", f"pts{b}", f"c{i - 1}_{b}"))
             ctes.append(update(f"c{i}_{b}", f"a{i}_{b}"))
         ctes.append(assign(f"fin{b}", f"pts{b}", f"c{iters}_{b}"))
-        finals.append(
-            f"SELECT vec_id, CAST({b} AS BIGINT) AS block,"
-            f" cluster AS code, d AS dist_sq FROM fin{b}"
-        )
+    return ctes, sub
+
+
+def _pq_oracle(n_blocks: int, k: int, iters: int, dim: int, salt: str) -> str:
+    """DuckDB twin of :func:`operators.kmeans.pq_encode`: the shared
+    block chains, assignments unioned with the block id."""
+    ctes, _sub = _pq_block_ctes(n_blocks, k, iters, dim, salt)
+    finals = [
+        f"SELECT vec_id, CAST({b} AS BIGINT) AS block,"
+        f" cluster AS code, d AS dist_sq FROM fin{b}"
+        for b in range(n_blocks)
+    ]
     return "WITH " + ",".join(ctes) + "\n    " + "\n    UNION ALL ".join(finals)
+
+
+def _pq_adc_oracle(
+    n_blocks: int,
+    k: int,
+    iters: int,
+    dim: int,
+    salt: str,
+    n_queries: int,
+    topk: int,
+) -> str:
+    """DuckDB twin of :func:`operators.kmeans.pq_adc_topk` run over
+    :func:`pq_encode` codes: the same block chains, per-query
+    distance tables against each block's FINAL codebook, block-wise
+    code joins, summed into the ADC distance, top-k with the
+    neighbor-id tiebreak."""
+    ctes, sub = _pq_block_ctes(n_blocks, k, iters, dim, salt)
+    for b in range(n_blocks):
+        ctes.append(
+            f"""t{b} AS (
+      SELECT q.vec_id AS query_id, c.cluster AS code,
+        CAST(list_sum(list_transform(range(1, {sub + 1}),
+          j -> (q.q[j] - c.qc[j]) * (q.q[j] - c.qc[j]))) AS BIGINT) AS pdist
+      FROM pts{b} q CROSS JOIN c{iters}_{b} c
+      WHERE q.vec_id < {n_queries}
+    )"""
+        )
+    scored = "\n      UNION ALL ".join(
+        f"SELECT t.query_id, f.vec_id AS neighbor_id, t.pdist"
+        f" FROM fin{b} f JOIN t{b} t ON f.cluster = t.code"
+        f" AND f.vec_id != t.query_id"
+        for b in range(n_blocks)
+    )
+    ctes.append(f"scored AS (\n      {scored}\n    )")
+    ctes.append(
+        """agg AS (
+      SELECT query_id, neighbor_id, CAST(SUM(pdist) AS BIGINT) AS adc_dist
+      FROM scored GROUP BY 1, 2
+    )"""
+    )
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"""
+    SELECT query_id, neighbor_id, adc_dist FROM agg
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY adc_dist, neighbor_id) <= {topk}
+    """
+    )
 
 
 @query("ext_pq_encode", oracle=_pq_oracle(4, 16, 1, 64, "pq"))
@@ -1394,6 +1454,26 @@ def ext_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans.pq_encode(
         _t(spark, sf_dir, "embeddings"), dim=64, n_blocks=4, k=16, n_iters=1
     )
+
+
+@query("ext_pq_adc_search", oracle=_pq_adc_oracle(4, 16, 1, 64, "pq", 10, 5))
+def ext_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors in the COMPRESSED domain: top-5
+    per query by asymmetric distance computation over the PQ codes —
+    queries' exact per-block centroid distance tables (driver-built
+    from the collected query set, B×K ints each) broadcast-joined to
+    the codes, summed, ranked. The corpus-proportional work touches
+    only the 4-code representation, never the 64-float vectors — the
+    search half of Jégou et al. 2011 that makes billion-vector stores
+    queryable. Bit-exact cross-engine: the oracle replays the per-
+    block fits, the tables, the joins, and the tiebroken top-5."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cbs = kmeans.pq_fit_blocks(emb, dim=64, n_blocks=4, k=16, n_iters=1)
+    codes = kmeans.pq_encode(
+        emb, dim=64, n_blocks=4, k=16, n_iters=1, codebooks=cbs
+    )
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return kmeans.pq_adc_topk(codes, cbs, queries_df, dim=64, k=5)
 
 
 @query("ext_kmeans_embedding", oracle=_kmeans_oracle(8, 2, 64, "kmeans:"))

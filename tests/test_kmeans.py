@@ -150,6 +150,39 @@ def test_pq_encode_coverage_and_distortion(spark):
     assert d2 <= d1
 
 
+def test_pq_adc_recall_vs_exact(spark):
+    """ADC over the compressed codes must rank true near neighbors
+    well above random: recall@5 vs exact squared-L2 top-5 on the raw
+    vectors, same floor as the IVF recall tests."""
+    rows = _vectors(60, dim=16)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in vec]) for i, vec in rows], _SCHEMA
+    )
+    cbs = kmeans.pq_fit_blocks(df, dim=16, n_blocks=4, k=8, n_iters=2)
+    codes = kmeans.pq_encode(df, dim=16, n_blocks=4, k=8, codebooks=cbs)
+    queries = df.filter(F.col("vec_id") < 8)
+    approx = kmeans.pq_adc_topk(codes, cbs, queries, dim=16, k=5).collect()
+
+    import struct
+
+    def f32(v):
+        return struct.unpack("f", struct.pack("f", v))[0]
+
+    pts = {i: [f32(v) for v in vec] for i, vec in rows}
+    exact_set = set()
+    for qid in range(8):
+        dists = sorted(
+            (sum((a - b) ** 2 for a, b in zip(pts[qid], pts[i])), i)
+            for i in pts
+            if i != qid
+        )[:5]
+        exact_set |= {(qid, i) for _, i in dists}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    assert len(approx_set) == 8 * 5
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.3, f"ADC recall@5 unexpectedly low: {recall}"
+
+
 def test_assignment_is_map_side(spark):
     rows = _vectors(30)
     df = spark.createDataFrame(
