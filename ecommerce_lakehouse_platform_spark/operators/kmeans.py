@@ -1,5 +1,8 @@
 """Distributed Lloyd's k-means over an embedding column, fixed-point
-exact.
+exact — plus the product-quantization family built on it
+(:func:`pq_fit_blocks` / :func:`pq_encode` / :func:`pq_adc_topk`:
+per-block codebooks, map-side vector compression, and top-k search in
+the compressed domain).
 
 The reference has no clustering operator; this belongs to the
 training-data extension surface (embedding-space curation: corpus
@@ -203,6 +206,11 @@ def pq_fit_blocks(
 ) -> list[list[tuple[int, list[int]]]]:
     """One independent quantized codebook per subvector block
     (:func:`kmeans_fit` on the slice, block-salted seeds)."""
+    if dim % n_blocks:
+        raise ValueError(
+            f"dim {dim} not divisible by n_blocks {n_blocks}: trailing "
+            "components would be silently dropped from every codebook"
+        )
     sub = dim // n_blocks
     return [
         kmeans_fit(
