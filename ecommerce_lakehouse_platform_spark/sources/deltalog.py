@@ -666,11 +666,27 @@ class MiniDeltaTable:
                 F.timestamp_millis(F.lit(ts)).alias("_commit_timestamp"),
             )
 
+        if starting_version < versions[0]:
+            raise ValueError(
+                f"versions below {versions[0]} were expired from the log "
+                f"(expire_log); cannot stream changes from {starting_version}"
+            )
+
         # ONE forward replay of the log tracks the schema in force at
         # each version (metadata-only, O(history) log reads total —
-        # not a snapshot() replay per version in the range)
+        # not a snapshot() replay per version in the range). When the
+        # older log was expired, the newest checkpoint seeds the schema
+        # for remaining commits that carry no metaData of their own.
         parts: list[DataFrame] = []
         schema: T.StructType | None = None
+        if versions[0] > 0:
+            ckpt = self._latest_checkpoint_version()
+            if ckpt is not None:
+                for action in self._read_checkpoint(ckpt):
+                    if "metaData" in action:
+                        schema = T.StructType.fromJson(
+                            json.loads(action["metaData"]["schemaString"])
+                        )
         for v in versions:
             if v > ending_version:
                 break
@@ -840,6 +856,76 @@ class MiniDeltaTable:
         version = snap.version + 1
         self._commit(version, actions)
         return version
+
+    def restore(self, version: int) -> int:
+        """RESTORE TABLE ... TO VERSION AS OF: commit the file set and
+        schema of an older snapshot as a NEW version (history moves
+        forward — the rolled-back states stay addressable). Requires
+        the target version's data files to still exist (not vacuumed),
+        which is the real command's constraint too. Metadata-only:
+        file-level removes/adds, no data rewrite."""
+        target = self.snapshot(version)
+        for rel in target.files:
+            if not os.path.exists(os.path.join(self.path, rel)):
+                raise FileNotFoundError(
+                    f"cannot restore to version {version}: data file {rel} "
+                    "was vacuumed"
+                )
+        current = self.snapshot()
+        now_ms = int(time.time() * 1000)
+        actions: list[dict[str, Any]] = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "RESTORE",
+                    "operationParameters": {"version": str(version)},
+                }
+            },
+            {
+                "metaData": {
+                    "id": str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": target.schema.json(),
+                    "partitionColumns": target.partition_columns,
+                    "configuration": {},
+                    "createdTime": now_ms,
+                }
+            },
+        ]
+        for rel in sorted(set(current.files) - set(target.files)):
+            actions.append(
+                {
+                    "remove": {
+                        "path": rel,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+        for rel in sorted(set(target.files) - set(current.files)):
+            actions.append({"add": {**target.files[rel], "dataChange": True}})
+        new_version = current.version + 1
+        self._commit(new_version, actions)
+        return new_version
+
+    def expire_log(self) -> list[int]:
+        """Delete JSON commit files strictly OLDER than the newest
+        checkpoint (the real writer's log-retention cleanup): snapshot
+        planning never needed them again, and keeping the log bounded
+        is what makes a long-lived 100 TB table's metadata O(files +
+        interval) rather than O(every commit ever). Time travel to the
+        expired versions is gone — exactly the real retention trade.
+        Returns the expired version numbers; no-op without a
+        checkpoint."""
+        ckpt = self._latest_checkpoint_version()
+        if ckpt is None:
+            return []
+        expired = []
+        for v in self.versions():
+            if v < ckpt:
+                os.unlink(self._version_file(v))
+                expired.append(v)
+        return expired
 
     def vacuum(self) -> list[str]:
         """Delete data files not referenced by the LATEST snapshot and

@@ -337,6 +337,51 @@ def test_optimize_unpartitioned_bin_packs_by_size(spark, tmp_table):
     assert tmp_table.changes(v, v).count() == 0
 
 
+def test_restore_commits_old_snapshot_forward(spark, tmp_table):
+    orders = _orders(spark)
+    a = orders.orderBy("order_id").limit(10).localCheckpoint(eager=True)
+    evolved = a.withColumn("channel", F.lit("web"))
+    tmp_table.write(a)  # v0
+    tmp_table.write(evolved, mode="overwrite", overwrite_schema=True)  # v1
+    tmp_table.write(evolved.limit(3), mode="append")  # v2
+
+    v = tmp_table.restore(0)
+    assert v == 3
+    # contents AND schema are the v0 state, as a new forward commit
+    assert _canon(tmp_table.read()) == _canon(a)
+    assert "channel" not in tmp_table.read().columns
+    assert tmp_table.history()[0]["operation"] == "RESTORE"
+    # the rolled-back state is still addressable
+    assert tmp_table.read(version=2).count() == 13
+    # restore is CDC-visible like any data change
+    assert tmp_table.changes(v, v).count() > 0
+    # restoring to a vacuumed version fails loudly
+    tmp_table.vacuum()
+    with pytest.raises(FileNotFoundError):
+        tmp_table.restore(1)
+
+
+def test_expire_log_bounds_metadata(spark, tmp_table):
+    tmp_table.checkpoint_interval = 3
+    orders = _orders(spark).limit(8).localCheckpoint(eager=True)
+    tmp_table.write(orders)  # v0
+    for _ in range(6):  # v1..v6; checkpoints at v3 and v6
+        tmp_table.write(orders.limit(2), mode="append")
+    expired = tmp_table.expire_log()
+    assert expired == [0, 1, 2, 3, 4, 5]
+    assert tmp_table.versions() == [6]
+    # latest snapshot replays entirely from the checkpoint
+    assert tmp_table.read().count() == 8 + 6 * 2
+    # appends continue normally and CDF over the RETAINED range works
+    tmp_table.write(orders.limit(1), mode="append")  # v7
+    assert tmp_table.changes(7, 7).count() == 1
+    # expired history is a loud error, not silent absence
+    with pytest.raises(ValueError):
+        tmp_table.read(version=2)
+    with pytest.raises(ValueError):
+        tmp_table.changes(0)
+
+
 def test_mixed_operation_sequence_model_parity(spark, tmp_table):
     """Scripted interleaving of every table operation against a plain
     Python model: write → append → (auto-checkpoint) → merge →
