@@ -172,6 +172,18 @@ def main() -> None:
         iters["ext_dedup_clusters"] = [
             round(t, 3) for t in cluster.LAST_ITER_TIMES
         ]
+    if "ext_kmeans_embedding" in names:
+        from ecommerce_lakehouse_platform_spark.operators import kmeans as _km
+
+        spark.catalog.clearCache()
+        registry.QUERIES["ext_kmeans_embedding"](spark, sf_dir).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        # [seed pick, Lloyd iteration 1, ...] — fit phases; the final
+        # assignment rides in the timed headline runs above
+        iters["ext_kmeans_embedding"] = [
+            round(t, 3) for t in _km.LAST_ITER_TIMES
+        ]
 
     total = round(sum(timings.values()), 3)
     detail = {

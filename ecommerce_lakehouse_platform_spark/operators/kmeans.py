@@ -43,10 +43,17 @@ for free.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 SCALE = 1 << 20  # 2^-20 quantization grid, shared with the registry oracles
+
+# wall time of the last kmeans_fit's driver-synchronized phases
+# ([seed pick, iteration 1, ..., iteration n]) — bench telemetry only,
+# never part of any result (same contract as pagerank.LAST_ITER_TIMES)
+LAST_ITER_TIMES: list[float] = []
 
 
 def _tdiv(s: int, n: int) -> int:
@@ -126,6 +133,8 @@ def kmeans_fit(
     seed rank order is the cluster id."""
     pts = quantize_vectors(df, id_col, vec_col)
 
+    LAST_ITER_TIMES.clear()
+    t0 = time.monotonic()
     seed_rows = (
         pts.select(
             id_col,
@@ -138,10 +147,12 @@ def kmeans_fit(
         .limit(k)
         .collect()
     )
+    LAST_ITER_TIMES.append(time.monotonic() - t0)
     seed_rows.sort(key=lambda r: (r["_h"], r[id_col]))
     centroids = [(cid, list(r["q"])) for cid, r in enumerate(seed_rows)]
 
     for _ in range(n_iters):
+        t0 = time.monotonic()
         assigned = _assign(pts, centroids)
         comp = assigned.select(
             "cluster", F.posexplode("q").alias("pos", "qv")
@@ -151,6 +162,7 @@ def kmeans_fit(
             .agg(F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
+        LAST_ITER_TIMES.append(time.monotonic() - t0)
         by_cluster: dict[int, dict[int, int]] = {}
         for r in sums:
             by_cluster.setdefault(r["cluster"], {})[r["pos"]] = _tdiv(
