@@ -72,23 +72,38 @@ def _threshold_candidates_and_total(
 ) -> tuple[DataFrame, DataFrame]:
     """(candidates, one-row total) from ONE aggregate subtree: the
     per-partition local counts yield the candidates (local-threshold
-    filter), the per-partition totals (broadcast side of that filter),
-    AND the global row count ``Σ N_p`` — so :func:`heavy_hitters` does
-    not pay a third full scan just to learn N (the exact verify pass
-    is necessarily a second scan; the total is not)."""
+    filter) AND the global row count ``Σ N_p`` — so
+    :func:`heavy_hitters` does not pay a third full scan just to learn
+    N (the exact verify pass is necessarily a second scan; the total
+    is not).
+
+    The per-partition total ``N_p`` is a window sum OVER the local
+    counts, not a second aggregate joined back: a self-join of two
+    branches rooted at ``spark_partition_id()`` relies on the exchange
+    being reused — if the subtrees ever evaluate twice (task retry,
+    row-order-unstable lineage), their partition-id assignments need
+    not agree and a true heavy hitter could slip the filter. The
+    window computes ``_lc`` and ``_np`` from the SAME evaluated rows,
+    so the superset guarantee holds by construction, not by plan
+    reuse. (The global total IS derived from a second use of the
+    aggregate, which is safe: Σ_lc = N under any partition-id
+    assignment.)"""
+    from pyspark.sql import Window
+
     items = df.select(F.col(item_col).cast("string").alias(item_col))
     with_pid = items.withColumn("_pid", F.spark_partition_id())
     local = with_pid.groupBy("_pid", item_col).agg(
         F.count(F.lit(1)).alias("_lc")
     )
-    ptot = local.groupBy("_pid").agg(F.sum("_lc").alias("_np"))
+    with_np = local.withColumn(
+        "_np", F.sum("_lc").over(Window.partitionBy("_pid"))
+    )
     candidates = (
-        local.join(F.broadcast(ptot), ["_pid"])
-        .filter(F.col("_lc") >= F.ceil(F.lit(float(phi)) * F.col("_np")))
+        with_np.filter(F.col("_lc") >= F.ceil(F.lit(float(phi)) * F.col("_np")))
         .select(item_col)
         .distinct()
     )
-    total = ptot.agg(F.sum("_np").cast("long").alias("_n"))
+    total = local.agg(F.sum("_lc").cast("long").alias("_n"))
     return candidates, total
 
 

@@ -258,13 +258,20 @@ class MiniDeltaTable:
         # Start from the newest checkpoint at-or-before the requested
         # version; replay only the JSON commits after it. Requests
         # older than every checkpoint (deep time travel) replay the
-        # retained JSON log from version 0.
+        # retained JSON log from version 0 — which only reconstructs
+        # the true state if version 0 is actually retained.
         start = 0
-        ckpt = self._latest_checkpoint_version()
-        if ckpt is not None and ckpt <= version:
+        ckpt = self._best_checkpoint_at_or_before(version)
+        if ckpt is not None:
             for action in self._read_checkpoint(ckpt):
                 apply(action)
             start = ckpt + 1
+        elif versions[0] > 0:
+            raise ValueError(
+                f"cannot reconstruct version {version}: commits before "
+                f"{versions[0]} were expired (expire_log) and no "
+                "checkpoint at-or-before it exists"
+            )
         for v in versions:
             if v < start or v > version:
                 continue
@@ -347,6 +354,21 @@ class MiniDeltaTable:
         tbl_exists = self.exists()
         prior = self.snapshot() if tbl_exists else None
         if prior is not None:
+            if (
+                partition_by is not None
+                and list(partition_by) != prior.partition_columns
+                and not (overwrite_schema and mode == "overwrite")
+            ):
+                # real Delta rejects partition-layout changes outside
+                # overwrite+overwriteSchema: mixing hive layouts under
+                # one root breaks partition discovery on read and makes
+                # files_for() pruning silently exclude the old files
+                raise SchemaMismatchError(
+                    f"partition columns {list(partition_by)} differ from "
+                    f"the table's {prior.partition_columns}; pass "
+                    "overwrite_schema=True with mode='overwrite' to "
+                    "change the partition layout"
+                )
             partition_by = partition_by or prior.partition_columns
             same = [(f.name, f.dataType) for f in df.schema] == [
                 (f.name, f.dataType) for f in prior.schema
@@ -485,6 +507,29 @@ class MiniDeltaTable:
             return None
         return version if os.path.exists(self._checkpoint_path(version)) else None
 
+    def _checkpoint_versions(self) -> list[int]:
+        """Every checkpoint present on disk (directory scan, not the
+        hint): time travel and CDF need the newest checkpoint AT OR
+        BEFORE a target version, which the advisory ``_last_checkpoint``
+        hint — always the newest overall — cannot answer once later
+        checkpoints exist."""
+        if not os.path.isdir(self.log_dir):
+            return []
+        suffix = ".checkpoint.parquet"
+        out = []
+        for name in os.listdir(self.log_dir):
+            stem = name[: -len(suffix)]
+            if name.endswith(suffix) and stem.isdigit():
+                out.append(int(stem))
+        return sorted(out)
+
+    def _best_checkpoint_at_or_before(self, version: int) -> int | None:
+        hint = self._latest_checkpoint_version()
+        if hint is not None and hint <= version:
+            return hint  # the hint is the newest overall, so it wins
+        eligible = [c for c in self._checkpoint_versions() if c <= version]
+        return max(eligible) if eligible else None
+
     def _maybe_checkpoint(self, version: int) -> None:
         if (
             self.checkpoint_interval
@@ -529,14 +574,21 @@ class MiniDeltaTable:
             elif "remove" in action:
                 files.pop(action["remove"]["path"], None)
 
-        # chain from the previous checkpoint: each checkpoint costs
-        # O(files + commits since the last one), never O(history)
+        # chain from the newest checkpoint at-or-before the target:
+        # each checkpoint costs O(files + commits since the last one),
+        # never O(history)
         start = 0
-        prev = self._latest_checkpoint_version()
-        if prev is not None and prev <= version:
+        prev = self._best_checkpoint_at_or_before(version)
+        if prev is not None:
             for action in self._read_checkpoint(prev):
                 absorb(action)
             start = prev + 1
+        elif versions[0] > 0:
+            raise ValueError(
+                f"cannot checkpoint version {version}: commits before "
+                f"{versions[0]} were expired and no checkpoint "
+                "at-or-before it exists"
+            )
         for v in versions:
             if start <= v <= version:
                 for action in self._read_actions(v):
@@ -675,12 +727,14 @@ class MiniDeltaTable:
         # ONE forward replay of the log tracks the schema in force at
         # each version (metadata-only, O(history) log reads total —
         # not a snapshot() replay per version in the range). When the
-        # older log was expired, the newest checkpoint seeds the schema
-        # for remaining commits that carry no metaData of their own.
+        # older log was expired, the checkpoint at-or-before the FIRST
+        # retained commit seeds the schema — never a newer one, whose
+        # schema could postdate a schema evolution inside the replay
+        # range and mis-cast the commits before it.
         parts: list[DataFrame] = []
         schema: T.StructType | None = None
         if versions[0] > 0:
-            ckpt = self._latest_checkpoint_version()
+            ckpt = self._best_checkpoint_at_or_before(versions[0])
             if ckpt is not None:
                 for action in self._read_checkpoint(ckpt):
                     if "metaData" in action:
@@ -789,18 +843,49 @@ class MiniDeltaTable:
             bins_df = self.spark.createDataFrame(
                 bins_rows, "_fname string, _bins long"
             )
-            root = self.path.rstrip("/").replace("'", "\\'")
+            root = self.path.rstrip("/").replace("\\", "\\\\").replace(
+                "'", "\\'"
+            )
+            # input_file_name() is a percent-encoded URI (space→%20,
+            # and hive-escaped on-disk chars like %3D re-encode to
+            # %253D); the logged add paths are RAW on-disk relative
+            # paths, so decode before matching — guarding literal '+'
+            # first, which url_decode (form decoding) would turn into
+            # a space. Decode the WHOLE uri, then locate the (raw)
+            # table root inside the decoded string.
+            decoded = (
+                "url_decode(regexp_replace(input_file_name(),"
+                " '\\\\+', '%2B'))"
+            )
             df = (
                 df.withColumn(
                     "_fname",
                     F.expr(
-                        "substring(input_file_name(),"
-                        f" instr(input_file_name(), '{root}')"
+                        f"substring({decoded},"
+                        f" instr({decoded}, '{root}')"
                         f" + {len(self.path.rstrip('/')) + 1})"
                     ),
                 )
-                .join(F.broadcast(bins_df), "_fname")
-                .withColumn(
+                .join(F.broadcast(bins_df), "_fname", "left")
+            )
+            # fail fast BEFORE committing removes: a row whose source
+            # path failed to match would silently vanish from the
+            # rewrite, and the OPTIMIZE commit would remove its file —
+            # committed data loss (the exact failure mode the decode
+            # above prevents; this check makes it structural)
+            stats = df.agg(
+                F.count(F.lit(1)).alias("_rows"),
+                F.count_if(F.col("_bins").isNull()).alias("_lost"),
+            ).collect()[0]
+            if stats["_lost"]:
+                raise RuntimeError(
+                    f"optimize aborted: {stats['_lost']} rows' recovered "
+                    "source paths matched no logged add path; committing "
+                    "would drop them from the table"
+                )
+            nrows = stats["_rows"]
+            df = (
+                df.withColumn(
                     # hash the source file in too: duplicate rows (and
                     # whole duplicate files) still spread across bins
                     "_salt",
@@ -809,19 +894,18 @@ class MiniDeltaTable:
                         F.col("_bins"),
                     ),
                 )
+                .repartition(*snap.partition_columns, F.col("_salt"))
+                .select(*cast_cols)
             )
-            df = df.repartition(
-                *snap.partition_columns, F.col("_salt")
-            ).select(*cast_cols)
         else:
             df = df.select(*cast_cols).repartition(
                 max(1, -(-total // max_file_bytes))
             )
+            nrows = df.count()
         # the salt gives cross-task parallelism at scale, but AQE may
         # coalesce small shuffle partitions back into one task — the
         # writer-level record cap enforces the size target regardless
         # of task boundaries
-        nrows = df.count()
         avg_row = max(1, total // max(1, nrows))
         adds = self._stage_data_files(
             df,

@@ -457,3 +457,104 @@ def test_vacuum_drops_unreferenced_files_only(spark, tmp_table):
     assert tmp_table.read().count() == 10
     for rel in removed:
         assert not os.path.exists(os.path.join(tmp_table.path, rel))
+
+
+def test_optimize_survives_uri_hostile_partition_values(spark, tmp_table):
+    """input_file_name() returns a percent-encoded URI (space→%20, and
+    hive-escaped on-disk chars like '=' → '%3D' re-encode to '%253D');
+    before decoding, optimize()'s path recovery silently dropped every
+    row in such partitions from the rewrite while still committing the
+    removes — data loss. Values here cover space, '%', '=', and '+'
+    (the form-decoding trap: url_decode('+') is a space)."""
+    hostile = ["a b", "x%y", "k=v", "p+q"]
+    df = spark.createDataFrame(
+        [(i, hostile[i % 4], float(i)) for i in range(16)],
+        "id int, country string, v double",
+    ).localCheckpoint(eager=True)
+    tmp_table.write(df, partition_by=["country"])
+    tmp_table.write(df, mode="append")  # 2+ files per partition dir
+    before = _canon(tmp_table.read())
+    assert tmp_table.optimize() is not None
+    assert _canon(tmp_table.read()) == before
+    # and the compaction actually consolidated per partition
+    per_part: dict[tuple, int] = {}
+    for add in tmp_table.snapshot().files.values():
+        key = tuple(sorted(add["partitionValues"].items()))
+        per_part[key] = per_part.get(key, 0) + 1
+    assert set(per_part.values()) == {1}
+
+
+def test_changes_expired_log_seeds_schema_from_first_retained_checkpoint(
+    spark, tmp_table
+):
+    """CDF replay over an expired log must seed the schema from the
+    checkpoint AT the first retained commit, not the newest checkpoint
+    overall — a later checkpoint postdating a schema evolution inside
+    the replay range would cast pre-evolution commits with the wrong
+    schema (here: select a column their files don't have)."""
+    tmp_table.checkpoint_interval = 5
+    base = spark.range(3).select(F.col("id").cast("int").alias("id"))
+    tmp_table.write(base)  # v0
+    for _ in range(5):  # v1..v5; checkpoint at v5
+        tmp_table.write(base, mode="append")
+    assert tmp_table.expire_log() == [0, 1, 2, 3, 4]
+    evolved = base.withColumn("extra", F.lit("x"))
+    tmp_table.write(evolved, overwrite_schema=True)  # v6: evolution
+    for _ in range(4):  # v7..v10; a NEWER checkpoint lands at v10
+        tmp_table.write(evolved, mode="append")
+    assert tmp_table._checkpoint_versions() == [5, 10]
+
+    cdf = tmp_table.changes(5)
+    by = {
+        (r["_commit_version"], r["_change_type"]): 0 for r in cdf.collect()
+    }
+    rows = cdf.collect()
+    for r in rows:
+        by[(r["_commit_version"], r["_change_type"])] += 1
+    # v5: one pre-evolution append (old schema, extra backfills null)
+    assert by[(5, "insert")] == 3
+    assert all(
+        r["extra"] is None for r in rows if r["_commit_version"] == 5
+    )
+    # v6 overwrite: deletes ALL 18 pre-evolution rows + inserts 3
+    assert by[(6, "delete")] == 18
+    assert by[(6, "insert")] == 3
+    assert sum(by.values()) == 3 + 18 + 3 + 4 * 3
+
+
+def test_time_travel_between_checkpoints_after_expiry(spark, tmp_table):
+    """Snapshot of a version BETWEEN two checkpoints on an expired log
+    must replay from the checkpoint at-or-before it; replaying 'from
+    version 0' reconstructs nothing once 0..4 are expired (this read
+    was silently short before the at-or-before checkpoint lookup)."""
+    tmp_table.checkpoint_interval = 5
+    base = spark.range(3).select(F.col("id").cast("int").alias("id"))
+    tmp_table.write(base)  # v0
+    for _ in range(5):  # v1..v5; checkpoint at v5
+        tmp_table.write(base, mode="append")
+    tmp_table.expire_log()
+    for _ in range(5):  # v6..v10; newer checkpoint at v10
+        tmp_table.write(base, mode="append")
+    # v7 < newest checkpoint (10), > retained start (5)
+    assert tmp_table.read(version=7).count() == 18 + 2 * 3
+    assert tmp_table.read().count() == 18 + 5 * 3
+
+
+def test_append_partition_layout_change_rejected(spark, tmp_table):
+    """Real Delta rejects partition-column changes outside overwrite +
+    overwriteSchema: silently committing a metaData with new
+    partitionColumns mixes two hive layouts under one root, breaking
+    partition discovery and files_for() pruning."""
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y")], "id int, c1 string, c2 string"
+    )
+    tmp_table.write(df, partition_by=["c1"])
+    with pytest.raises(SchemaMismatchError):
+        tmp_table.write(df, mode="append", partition_by=["c2"])
+    with pytest.raises(SchemaMismatchError):
+        tmp_table.write(df, mode="overwrite", partition_by=["c2"])
+    tmp_table.write(
+        df, mode="overwrite", partition_by=["c2"], overwrite_schema=True
+    )
+    assert tmp_table.snapshot().partition_columns == ["c2"]
+    assert tmp_table.read().count() == 2
