@@ -105,7 +105,43 @@ HEADLINE = [
     # then search in the compressed domain
     "ext_pq_encode",
     "ext_pq_adc_search",
+    # round 7 additions: the Delta-protocol table under the gate
+    # (versioned sink + time travel; CDF fold == snapshot) and the
+    # rowsBetween frame surface over the gold daily model
+    "ext_delta_time_travel",
+    "ext_delta_cdf_fold",
+    "ext_running_gold_totals",
 ]
+
+
+def _sentinel_seconds(spark, sf_dir: str) -> tuple[float, float]:
+    """Fixed calibration probe: a frozen parquet scan-aggregate whose
+    code never changes round-to-round, timed exactly like a headline
+    query (median of 3 noop-sink runs). Its drift measures SANDBOX
+    drift: r5→r6 every comparable query moved +21% uniformly and the
+    artifact couldn't distinguish ambient load from regression —
+    normalizing per-query medians by this probe can. Do not edit this
+    function; a changed sentinel can't calibrate anything."""
+    from pyspark.sql import functions as F
+
+    runs: list[float] = []
+    for _ in range(3):
+        spark.catalog.clearCache()
+        start = time.perf_counter()
+        (
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .groupBy("l_returnflag")
+            .agg(
+                F.sum(F.col("l_quantity").cast("decimal(30,6)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+        runs.append(time.perf_counter() - start)
+        print(f"[bench] _sentinel run={len(runs)} {runs[-1]:.3f}s", file=sys.stderr)
+    return round(statistics.median(runs), 4), round(statistics.stdev(runs), 4)
 
 
 def main() -> None:
@@ -185,6 +221,8 @@ def main() -> None:
             round(t, 3) for t in _km.LAST_ITER_TIMES
         ]
 
+    sentinel_med, sentinel_sd = _sentinel_seconds(spark, sf_dir)
+
     total = round(sum(timings.values()), 3)
     detail = {
         "metric": "headline_total",
@@ -193,6 +231,11 @@ def main() -> None:
         "queries": timings,
         "stddev": spreads,
         "iters": iters,
+        # frozen scan-agg probe for cross-round normalization: divide
+        # any two rounds' per-query medians by their sentinels before
+        # calling a delta a regression (see _sentinel_seconds)
+        "sentinel_sec": sentinel_med,
+        "sentinel_stddev": sentinel_sd,
         "sf": sf,
     }
     detail_path = os.path.join(
@@ -213,6 +256,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(timings),
+                "sentinel_sec": sentinel_med,
                 "detail": "BENCH_DETAIL.json",
             }
         )

@@ -33,13 +33,26 @@ def run_pipeline(
     sf_dir: str,
     warehouse: str,
     raise_on_dq_failure: bool = True,
+    table_format: str | None = None,
 ) -> PipelineResult:
     """Materialize every layer under ``warehouse`` and gate on DQ.
 
     Bronze is the fixture parquet itself (already columnar); silver
     and gold are written out, facts partitioned by date.
+
+    ``table_format="minidelta"`` materializes every layer as a
+    Delta-protocol-logged table (sources/deltalog.py) instead of raw
+    parquet — versioned overwrites, time travel, and CDF on the
+    pipeline outputs, which is the reference's managed-Delta
+    deployment shape (02_silver_transform.py:29-37).
     """
     result = PipelineResult()
+
+    def write(df, path, partition_by=None):
+        write_table(df, path, partition_by=partition_by, fmt=table_format)
+
+    def read(path):
+        return read_table(spark, path, fmt=table_format)
 
     # --- silver ---------------------------------------------------
     customers = silver.silver_customers(load_table(spark, sf_dir, "customer"))
@@ -48,14 +61,14 @@ def run_pipeline(
     events = silver.silver_events(load_table(spark, sf_dir, "events"))
     products = silver.silver_products(load_table(spark, sf_dir, "part"))
 
-    write_table(customers, f"{warehouse}/silver/customers")
-    write_table(orders, f"{warehouse}/silver/orders", partition_by="order_date")
-    write_table(items, f"{warehouse}/silver/order_items", partition_by="order_date")
-    write_table(events, f"{warehouse}/silver/events", partition_by="event_date")
-    write_table(products, f"{warehouse}/silver/products")
+    write(customers, f"{warehouse}/silver/customers")
+    write(orders, f"{warehouse}/silver/orders", partition_by="order_date")
+    write(items, f"{warehouse}/silver/order_items", partition_by="order_date")
+    write(events, f"{warehouse}/silver/events", partition_by="event_date")
+    write(products, f"{warehouse}/silver/products")
 
     silver_tables = {
-        name: read_table(spark, f"{warehouse}/silver/{name}")
+        name: read(f"{warehouse}/silver/{name}")
         for name in ["customers", "orders", "order_items", "events", "products"]
     }
     result.silver_counts = table_counts(silver_tables)
@@ -73,14 +86,14 @@ def run_pipeline(
         silver_tables["customers"], silver_tables["orders"]
     )
 
-    write_table(g_daily, f"{warehouse}/gold/daily_metrics", partition_by="event_date")
-    write_table(g_products, f"{warehouse}/gold/product_metrics")
-    write_table(g_funnel, f"{warehouse}/gold/product_funnel", partition_by="event_date")
-    write_table(g_sessions, f"{warehouse}/gold/session_metrics")
-    write_table(g_c360, f"{warehouse}/gold/customer_360")
+    write(g_daily, f"{warehouse}/gold/daily_metrics", partition_by="event_date")
+    write(g_products, f"{warehouse}/gold/product_metrics")
+    write(g_funnel, f"{warehouse}/gold/product_funnel", partition_by="event_date")
+    write(g_sessions, f"{warehouse}/gold/session_metrics")
+    write(g_c360, f"{warehouse}/gold/customer_360")
 
     gold_tables = {
-        name: read_table(spark, f"{warehouse}/gold/{name}")
+        name: read(f"{warehouse}/gold/{name}")
         for name in [
             "daily_metrics",
             "product_metrics",

@@ -796,6 +796,7 @@ from . import registry_relational  # noqa: E402,F401  (import-for-side-effect)
 from . import registry_curation  # noqa: E402,F401  (import-for-side-effect)
 from . import registry_scale  # noqa: E402,F401  (import-for-side-effect)
 from . import registry_round4  # noqa: E402,F401  (import-for-side-effect)
+from . import registry_delta  # noqa: E402,F401  (import-for-side-effect)
 
 
 resolve_deferred_oracles()
@@ -847,61 +848,73 @@ resolve_deferred_oracles()
 # gate as the harness) still covers every registered query each
 # session.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # --- Changed this round: re-check is mandatory, not rotation ---
-    "ext_dedup_embedding",
-    "ext_dedup_semantic_clusters",
-    "ext_dedup_prefix_filter",
-    "ext_dedup_ngram_jaccard",
-    "ext_dedup_containment",
-    "ext_heavy_hitters",
-    "ext_ann_recall",
-    "ext_text_langid",
-    "ext_langid_confusion",
     # --- New this round: first external row happens now or never ---
-    "ext_media_phash_dedup",
-    "ext_kmeans_embedding",
-    "ext_embedding_covariance",
-    "ext_pq_encode",
-    "ext_pq_adc_search",
-    # --- r5 high-churn canaries ---
-    "ext_dedup_clusters",
-    "ext_bm25_topk",
-    # --- Newest external row is r2 (stalest; displaced twice) ---
-    "ext_skew_salted_join",
-    "ext_text_unk_replace",
-    "ext_shard_packing",
-    "ext_sample_stratified",
-    "ext_decontamination",
-    "ext_text_repetition",
-    # --- Newest external row is r3: the staleness rotation ---
-    "op_dedupe_latest",
-    "gold_customer_360",
-    "dash_product_performance",
-    "op_agg_sales",
-    "op_sql_named_params",
-    "stream_interval_join",
-    "stream_session_stateful",
-    "stream_session_window",
-    "stream_time_window_rollup",
-    "ext_doc_chunking",
-    "ext_dup_span_coverage",
-    "ext_embedding_centroids",
-    "ext_event_paths",
-    "ext_fuzzy_blocked_join",
-    "ext_incremental_rollup",
-    "ext_knn_label_predict",
-    "ext_lang_temperature_sample",
-    "ext_media_embed_topk",
-    "ext_merge_upsert",
-    "ext_ordered_funnel",
-    "ext_outlier_iqr",
-    "ext_pii_pseudonymize",
-    "ext_quality_band_filter",
-    "ext_scd2_user_state",
+    "ext_delta_time_travel",
+    "ext_delta_cdf_fold",
+    "ext_running_gold_totals",
+    # --- Changed this round: re-check is mandatory, not rotation ---
+    # window-sum candidate pass (double-evaluation hazard removed)
+    "ext_heavy_hitters",
+    # trained-k-means centroids replace the hash pick as the default
     "ext_similarity_ivf",
-    "ext_similarity_lsh",
-    "ext_snapshot_diff",
-    "ext_text_subword_stats",
+    # nests the IVF oracle chain via deferred token -> changed with it
+    "ext_ann_recall",
+    # distributed ADC distance-table build (driver collect removed)
+    "ext_pq_adc_search",
+    # kmeans_fit empty-cluster reseeding (shared by the whole family)
+    "ext_pq_encode",
+    "ext_kmeans_embedding",
+    # --- Newest external row is r3: ALL 14 cleared this round
+    # (r6 verdict item 3 -- after this window no registered query's
+    # newest external green row is older than r4) ---
+    "ext_scalar_subquery",
+    "ext_setops_users",
+    "ext_histogram_totals",
+    "ext_profile_orders",
+    "ext_stats_correlation",
+    "ext_cube_returns",
+    "ext_rollup_revenue",
+    "ext_unpivot_lineitem",
+    "ext_join_semi_anti",
+    "ext_zorder_layout",
+    "ext_window_funcs",
+    "ext_topk_per_group",
+    "ext_pivot_events",
+    "ext_moving_revenue",
+    # --- Newest external row is r4: 27 of 34 (the 7 that slip --
+    # ext_cohort_retention, ext_gapfill_daily, ext_groupwise_stats,
+    # ext_market_basket, ext_peak_concurrency, ext_time_to_convert,
+    # ext_winsorized_stats -- are single-relation aggregations
+    # re-proven every session by the local sf0.001+sf0.01
+    # differential; the kept 27 prioritize multi-stage plans:
+    # dedup/graph/streaming/BPE families) ---
+    "ext_bpe_apply_merge",
+    "ext_bpe_pair_counts",
+    "ext_compaction_bins",
+    "ext_corpus_mixture",
+    "ext_dedup_incremental",
+    "ext_dedup_minhash_lsh",
+    "ext_dedup_simhash",
+    "ext_dedup_sorted_neighborhood",
+    "ext_dup_span_islands",
+    "ext_event_transitions",
+    "ext_graph_khop",
+    "ext_hard_negative_mining",
+    "ext_label_propagation",
+    "ext_length_bucket_batching",
+    "ext_multitouch_attribution",
+    "ext_negative_edges",
+    "ext_pagerank_copurchase",
+    "ext_similarity_topk",
+    "ext_sketch_profile",
+    "ext_skew_diagnosis",
+    "ext_text_postings",
+    "ext_time_decayed_ltv",
+    "ext_triangle_count",
+    "ext_url_canonicalize",
+    "stream_dedup_exactly_once",
+    "stream_dedup_index_maintenance",
+    "stream_interval_join_outer",
 )
 
 

@@ -1,0 +1,143 @@
+"""Table-format queries: the mini Delta-protocol log under the oracle gate.
+
+The reference's core sink is a managed Delta table written as a full
+overwrite with schema evolution enabled
+(/root/reference/01_bronze/01_bronze_ingest.py:34,
+/root/reference/02_silver/02_silver_transform.py:29-37 —
+``format("delta").mode("overwrite").option("overwriteSchema","true")``),
+which buys it atomic versioned commits, time travel, and change-data
+capture. :mod:`.sources.deltalog` implements those behaviors against
+the PUBLIC Delta transaction-log protocol (delta-spark is absent in
+this runtime); the queries here run the reference's own sink sequence
+through that log and check the READ-BACK relations against DuckDB
+oracles computed directly from the fixtures — so the table format's
+core contracts (time travel reads the pre-overwrite relation under its
+pre-evolution schema; the change feed folds back to the snapshot and
+is blind to OPTIMIZE) are externally value-checked, not just
+pytest-asserted.
+
+Each invocation materializes its table under a fresh temp directory
+(the queries are re-run by the bench loop; a fixed path would make the
+second run read the first run's log). The writes are ordinary
+distributed parquet writes — the log adds O(files) metadata — so the
+queries cost one sink pass at any scale, which is exactly what they
+model.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .plans import silver
+from .registry import _t, query, resolve_deferred_oracles
+from .sources.deltalog import MiniDeltaTable
+
+# the silver-orders relation both queries sink (the raw timestamp is
+# excluded per the registry determinism rules; same projection as
+# op_project_silver_orders)
+_SILVER_ORDERS_SQL = """
+      SELECT
+        CAST(o_orderkey AS VARCHAR) AS order_id,
+        CAST(o_custkey AS VARCHAR) AS customer_id,
+        o_orderstatus AS status,
+        o_orderpriority AS priority,
+        o_totalprice AS total_usd,
+        CAST(o_orderdate AS DATE) AS order_date
+      FROM orders
+      WHERE o_orderkey IS NOT NULL
+"""
+
+
+def _silver_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return silver.silver_orders(_t(spark, sf_dir, "orders")).drop("order_ts")
+
+
+@query(
+    "ext_delta_time_travel",
+    # v0 is the plain silver relation; the overwrite that follows both
+    # filters the rows AND evolves the schema, so a read that wrongly
+    # resolved to latest fails on rows, values, AND schema at once.
+    oracle=f"""
+    SELECT * FROM ({_SILVER_ORDERS_SQL})
+    """,
+)
+def ext_delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel across a schema-evolving overwrite: write silver
+    orders as table version 0, overwrite with a filtered relation
+    under an EVOLVED schema (the reference's ``overwriteSchema``
+    contract, 02_silver_transform.py:33-35), then read ``version=0`` —
+    the pre-overwrite rows under their pre-evolution schema. The
+    oracle rebuilds v0 straight from the fixtures: the log replay, the
+    as-of-version schema resolution, and the parquet round-trip all
+    sit on the checked path."""
+    base = _silver_orders(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="minidelta_tt_") + "/orders"
+    tbl = MiniDeltaTable(spark, path)
+    tbl.write(base)  # v0: the reference's full-overwrite silver sink
+    restated = base.filter(F.col("status") == "F").withColumn(
+        "priority_flag", F.lit(True)
+    )
+    tbl.write(restated, overwrite_schema=True)  # v1: filtered + evolved
+    return tbl.read(version=0)
+
+
+@query(
+    "ext_delta_cdf_fold",
+    # Expected fold: order_id%3==0 rows survive unchanged with 3 CDF
+    # events (insert v0, delete+insert v3); %3==1 rows net out and
+    # reappear RESTATED with 1 event; %3==2 rows (appended v1,
+    # deleted v3) net to zero. The OPTIMIZE between v1 and v3 must
+    # contribute NO events (dataChange=false) or every surviving
+    # row's n_row_events is off by 2.
+    oracle=f"""
+    WITH s AS ({_SILVER_ORDERS_SQL})
+    SELECT order_id, customer_id, status, priority, total_usd,
+           order_date, CAST(3 AS BIGINT) AS n_row_events
+    FROM s WHERE CAST(order_id AS BIGINT) % 3 = 0
+    UNION ALL
+    SELECT order_id, customer_id, status, 'RESTATED' AS priority,
+           total_usd, order_date, CAST(1 AS BIGINT) AS n_row_events
+    FROM s WHERE CAST(order_id AS BIGINT) % 3 = 1
+    """,
+)
+def ext_delta_cdf_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed fold == snapshot, with OPTIMIZE invisible:
+    write two-thirds of silver orders (v0), append the rest (v1),
+    compact (OPTIMIZE, ``dataChange=false``), then overwrite with a
+    partial restatement (v3). Folding ``changes(0)`` —
+    Σ(insert=+1, delete=−1) per row, keep net>0 — must reproduce the
+    final snapshot exactly, and the per-row CDF event count must show
+    the compaction contributed nothing (the property that makes
+    incremental consumers safe over a maintained table; Delta CDF's
+    ``table_changes`` contract). The oracle states the expected net
+    relation and event counts directly from the fixtures."""
+    base = _silver_orders(spark, sf_dir)
+    key_mod = F.col("order_id").cast("long") % 3
+    path = tempfile.mkdtemp(prefix="minidelta_cdf_") + "/orders"
+    tbl = MiniDeltaTable(spark, path)
+    tbl.write(base.filter(key_mod.isin(0, 1)))  # v0
+    tbl.write(base.filter(key_mod == 2), mode="append")  # v1
+    assert tbl.optimize() is not None  # v2: ≥2 active files by construction
+    restated = base.filter(key_mod == 0).unionByName(
+        base.filter(key_mod == 1).withColumn("priority", F.lit("RESTATED"))
+    )
+    tbl.write(restated)  # v3: overwrite = delete-all + insert-all
+    cdf = tbl.changes(0)
+    cols = [c for c in cdf.columns if not c.startswith("_")]
+    return (
+        cdf.groupBy(*cols)
+        .agg(
+            F.sum(
+                F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+            ).alias("_net"),
+            F.count(F.lit(1)).alias("n_row_events"),
+        )
+        .filter(F.col("_net") > 0)
+        .drop("_net")
+    )
+
+
+resolve_deferred_oracles()

@@ -22,7 +22,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions.math import dec_sum
-from .plans.silver import silver_events
+from .plans import gold
+from .plans.silver import silver_events, silver_orders
 from .registry import _t, query
 
 _DEC = "decimal(30,6)"
@@ -919,6 +920,79 @@ def ext_moving_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rev").over(w7).cast("double").alias("trailing_7d_revenue"),
         F.count(F.lit(1)).over(w7).cast("long").alias("trailing_7d_days"),
         F.sum("rev").over(wcum).cast("double").alias("cumulative_revenue"),
+    )
+
+
+@query(
+    "ext_running_gold_totals",
+    # the daily-metrics CTE is the registered gold model's own oracle,
+    # spliced by the deferred-token resolver
+    oracle="""
+    WITH dm AS (__ORACLE_GOLD_DAILY_METRICS__)
+    SELECT event_date, gross_revenue,
+      CAST(SUM(CAST(gross_revenue AS DECIMAL(30,6))) OVER w_run AS DOUBLE)
+        AS run_revenue,
+      CAST(SUM(view_count) OVER w_run AS BIGINT) AS run_views,
+      FIRST_VALUE(gross_revenue) OVER w_all AS month_open_revenue,
+      LAST_VALUE(gross_revenue) OVER w_all AS month_close_revenue,
+      MAX(gross_revenue) OVER w_prior AS prior_peak_revenue
+    FROM dm
+    WINDOW
+      w_run AS (PARTITION BY date_trunc('month', event_date)
+                ORDER BY event_date
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      w_all AS (PARTITION BY date_trunc('month', event_date)
+                ORDER BY event_date
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+      w_prior AS (PARTITION BY date_trunc('month', event_date)
+                  ORDER BY event_date
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    """,
+)
+def ext_running_gold_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running totals and open/close/prior-peak frames over the gold
+    daily model — the ``rowsBetween`` surface a BI user reaches for on
+    the reference's gold tables (month-to-date revenue, month open vs
+    close, "previous record day"): unbounded-preceding running sums,
+    ``first_value``/``last_value`` over the full-partition frame, and
+    a MAX over ``(unbounded, -1)`` that excludes the current row (the
+    1-PRECEDING upper bound plays SQL's EXCLUDE CURRENT ROW, which
+    Spark frames don't spell natively). The running money sum stays in
+    DECIMAL through the frame so accumulation order (running scan vs
+    segment tree) cannot change the double. Windows partition by month
+    over the DATE-GRAIN aggregate — cardinality is days, not corpus
+    rows, so no partition is ever large at any data scale, and the
+    month key bounds each task's frame besides."""
+    ev = silver_events(_t(spark, sf_dir, "events"))
+    orders = silver_orders(_t(spark, sf_dir, "orders"))
+    dm = gold.gold_daily_metrics(ev, orders)
+    month = F.trunc("event_date", "month")
+    w_run = (
+        Window.partitionBy(month)
+        .orderBy("event_date")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = (
+        Window.partitionBy(month)
+        .orderBy("event_date")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_prior = (
+        Window.partitionBy(month)
+        .orderBy("event_date")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return dm.select(
+        "event_date",
+        "gross_revenue",
+        F.sum(F.col("gross_revenue").cast(_DEC))
+        .over(w_run)
+        .cast("double")
+        .alias("run_revenue"),
+        F.sum("view_count").over(w_run).cast("long").alias("run_views"),
+        F.first("gross_revenue").over(w_all).alias("month_open_revenue"),
+        F.last("gross_revenue").over(w_all).alias("month_close_revenue"),
+        F.max("gross_revenue").over(w_prior).alias("prior_peak_revenue"),
     )
 
 

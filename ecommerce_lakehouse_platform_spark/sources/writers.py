@@ -43,13 +43,34 @@ def write_table(
     Idempotent overwrite is the pipeline's fault-tolerance story
     (rerun any layer in order) — same as the reference's
     ``mode("overwrite")`` + ``overwriteSchema`` everywhere.
+
+    ``fmt="minidelta"`` routes through the in-repo Delta-protocol
+    transaction log (:mod:`.deltalog`): versioned atomic commits,
+    overwrite-schema evolution, time travel and CDF on the pipeline
+    outputs — the managed-Delta sink contract
+    (01_bronze_ingest.py:34, 02_silver_transform.py:29-37) when the
+    delta-spark runtime is absent. Readers must then go through
+    :func:`read_table` with the same fmt (the log, not a directory
+    listing, defines the active file set).
     """
+    cols = [partition_by] if isinstance(partition_by, str) else list(partition_by or [])
+    if fmt == "minidelta":
+        from .deltalog import MiniDeltaTable
+
+        MiniDeltaTable(df.sparkSession, path).write(
+            df,
+            mode=mode,
+            partition_by=cols or None,
+            # the reference writes overwriteSchema=true on every
+            # overwrite; mirror that blanket opt-in
+            overwrite_schema=(mode == "overwrite"),
+        )
+        return
     fmt = fmt or ("delta" if _delta_available(df.sparkSession) else "parquet")
     writer = df.write.format(fmt).mode(mode)
     if fmt == "delta":
         writer = writer.option("overwriteSchema", "true")
-    if partition_by:
-        cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    if cols:
         writer = writer.partitionBy(*cols)
     writer.save(path)
 
@@ -85,6 +106,10 @@ def write_bucketed(
 
 
 def read_table(spark: SparkSession, path: str, fmt: str | None = None) -> DataFrame:
+    if fmt == "minidelta":
+        from .deltalog import MiniDeltaTable
+
+        return MiniDeltaTable(spark, path).read()
     fmt = fmt or ("delta" if _delta_available(spark) else "parquet")
     return spark.read.format(fmt).load(path)
 

@@ -188,27 +188,26 @@ def test_changed_queries_sit_inside_driver_window():
     round's diff."""
     from ecommerce_lakehouse_platform_spark import registry
 
-    changed_r6 = {
-        # adaptive-C IVF bucketing is now the registered default,
-        # oracle mirrors C = max(8, ceil(sqrt(n)))
-        "ext_dedup_embedding",
-        "ext_dedup_semantic_clusters",
-        # fused single-df-pass prefix filter + shared cap helper
-        "ext_dedup_prefix_filter",
-        "ext_dedup_ngram_jaccard",
-        "ext_dedup_containment",
-        # JVM local-threshold candidate pass (MapInPandas removed)
+    changed_r7 = {
+        # window-sum candidate pass (self-join double-evaluation
+        # hazard removed)
         "ext_heavy_hitters",
-        # deferred-token nested oracle resolution
+        # trained-k-means centroids are now the registered IVF default
+        "ext_similarity_ivf",
+        # nests the IVF oracle chain via deferred token
         "ext_ann_recall",
-        # langid oracle fragments moved to functions/text.py
-        "ext_text_langid",
-        "ext_langid_confusion",
+        # distributed ADC distance-table build (driver collect gone)
+        "ext_pq_adc_search",
+        # kmeans_fit empty-cluster reseeding (shared by the family)
+        "ext_pq_encode",
+        "ext_kmeans_embedding",
         # new this round — first external row must happen now
-        "ext_media_phash_dedup",
+        "ext_delta_time_travel",
+        "ext_delta_cdf_fold",
+        "ext_running_gold_totals",
     }
     window = set(registry._DRIVER_WINDOW)
-    assert changed_r6 <= window, sorted(changed_r6 - window)
+    assert changed_r7 <= window, sorted(changed_r7 - window)
 
 
 def test_bench_headline_names_are_registered():
