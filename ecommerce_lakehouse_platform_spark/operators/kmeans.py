@@ -36,9 +36,11 @@ exact, floor exact), distances and component sums are BIGINT
 truncate toward zero, verified on negative operands), and assignment
 ties break on the smaller cluster id — so every iteration, and
 therefore the final assignment, is bit-identical in both engines.
-Clusters that lose all members simply vanish (the update GROUP BY
-only re-emits clusters with members), which a SQL mirror reproduces
-for free.
+Clusters that lose all members are RESEEDED from the farthest
+assigned point (dist_sq DESC, id ASC rank-matched to the missing
+cluster ids ascending) — a deterministic relation the SQL mirror
+replays as an EXCEPT + two ROW_NUMBER rank lists unioned under the
+update CTE.
 """
 
 from __future__ import annotations
@@ -151,6 +153,7 @@ def kmeans_fit(
     seed_rows.sort(key=lambda r: (r["_h"], r[id_col]))
     centroids = [(cid, list(r["q"])) for cid, r in enumerate(seed_rows)]
 
+    seed_ids = [cid for cid, _ in centroids]
     for _ in range(n_iters):
         t0 = time.monotonic()
         assigned = _assign(pts, centroids)
@@ -162,12 +165,34 @@ def kmeans_fit(
             .agg(F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
-        LAST_ITER_TIMES.append(time.monotonic() - t0)
         by_cluster: dict[int, dict[int, int]] = {}
         for r in sums:
             by_cluster.setdefault(r["cluster"], {})[r["pos"]] = _tdiv(
                 r["s"], r["n"]
             )
+        # Empty-cluster reseeding: a cluster that lost every member is
+        # re-centered on the point FARTHEST from its assigned centroid
+        # (the largest individual SSE contributor — the standard
+        # Lloyd's repair), deterministic end to end: farthest points
+        # ranked by (dist_sq DESC, id ASC) are matched 1:1 to the
+        # missing cluster ids in ascending order. Without this,
+        # adversarial seeds collapse k and degrade the trained-IVF
+        # recall this model feeds. The rank-list is a TakeOrdered of
+        # at most k rows — same driver-traffic class as the seed pick
+        # — and runs only on iterations that actually lost a cluster.
+        missing = sorted(c for c in seed_ids if c not in by_cluster)
+        if missing:
+            far = (
+                assigned.orderBy(
+                    F.col("dist_sq").desc(), F.col(id_col).asc()
+                )
+                .select("q")
+                .limit(len(missing))
+                .collect()
+            )
+            for slot, row in zip(missing, far):
+                by_cluster[slot] = dict(enumerate(row["q"]))
+        LAST_ITER_TIMES.append(time.monotonic() - t0)
         centroids = [
             (cid, [d[p] for p in sorted(d)])
             for cid, d in sorted(by_cluster.items())

@@ -1215,14 +1215,33 @@ def _kmeans_oracle(k: int, iters: int, dim: int, salt: str) -> str:
     )"""
 
     def update(name: str, assigned: str) -> str:
+        # mean update for surviving clusters UNION the reseeds: empty
+        # cluster ids (seed set EXCEPT survivors, ranked ascending) are
+        # rank-matched to the farthest assigned points (dist_sq DESC,
+        # id ASC) — the exact mirror of kmeans_fit's reseed rule
         return f"""
-    {name} AS (
+    upd_{name} AS (
       SELECT cluster, list(qi ORDER BY pos) AS qc FROM (
         SELECT a.cluster, t.j AS pos,
           CAST(SUM(a.q[t.j]) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS qi
         FROM {assigned} a CROSS JOIN range(1, {dim + 1}) AS t(j)
         GROUP BY 1, 2
       ) GROUP BY cluster
+    ),
+    {name} AS (
+      SELECT cluster, qc FROM upd_{name}
+      UNION ALL
+      SELECT m.cluster, f.q AS qc
+      FROM (
+        SELECT q, ROW_NUMBER() OVER (ORDER BY d DESC, vec_id ASC) AS rk
+        FROM {assigned}
+      ) f
+      JOIN (
+        SELECT cluster, ROW_NUMBER() OVER (ORDER BY cluster) AS rk FROM (
+          SELECT cluster FROM c0
+          EXCEPT SELECT cluster FROM upd_{name}
+        )
+      ) m ON f.rk = m.rk
     )"""
 
     ctes = [
@@ -1344,15 +1363,31 @@ def _pq_block_ctes(
           PARTITION BY vec_id ORDER BY d, cluster) = 1
     )"""
 
-    def update(name: str, assigned: str) -> str:
+    def update(name: str, assigned: str, seeds: str) -> str:
+        # same reseed mirror as _kmeans_oracle's update, per block
         return f"""
-    {name} AS (
+    upd_{name} AS (
       SELECT cluster, list(qi ORDER BY pos) AS qc FROM (
         SELECT a.cluster, t.j AS pos,
           CAST(SUM(a.q[t.j]) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS qi
         FROM {assigned} a CROSS JOIN range(1, {sub + 1}) AS t(j)
         GROUP BY 1, 2
       ) GROUP BY cluster
+    ),
+    {name} AS (
+      SELECT cluster, qc FROM upd_{name}
+      UNION ALL
+      SELECT m.cluster, f.q AS qc
+      FROM (
+        SELECT q, ROW_NUMBER() OVER (ORDER BY d DESC, vec_id ASC) AS rk
+        FROM {assigned}
+      ) f
+      JOIN (
+        SELECT cluster, ROW_NUMBER() OVER (ORDER BY cluster) AS rk FROM (
+          SELECT cluster FROM {seeds}
+          EXCEPT SELECT cluster FROM upd_{name}
+        )
+      ) m ON f.rk = m.rk
     )"""
 
     ctes: list[str] = []
@@ -1374,7 +1409,7 @@ def _pq_block_ctes(
         )
         for i in range(1, iters + 1):
             ctes.append(assign(f"a{i}_{b}", f"pts{b}", f"c{i - 1}_{b}"))
-            ctes.append(update(f"c{i}_{b}", f"a{i}_{b}"))
+            ctes.append(update(f"c{i}_{b}", f"a{i}_{b}", f"c0_{b}"))
         ctes.append(assign(f"fin{b}", f"pts{b}", f"c{iters}_{b}"))
     return ctes, sub
 

@@ -61,6 +61,7 @@ def _replica(rows, k: int, n_iters: int, salt: str = "kmeans:"):
             out[i] = best  # (dist, cluster)
         return out
 
+    seed_ids = list(cents)
     for _ in range(n_iters):
         a = assign()
         groups: dict[int, list[int]] = {}
@@ -73,6 +74,13 @@ def _replica(rows, k: int, n_iters: int, salt: str = "kmeans:"):
             ]
             for ci, members in groups.items()
         }
+        # empty-cluster reseed: farthest points (d DESC, id ASC)
+        # rank-matched to missing cluster ids ascending
+        missing = sorted(c for c in seed_ids if c not in cents)
+        if missing:
+            far = sorted(a.items(), key=lambda kv: (-kv[1][0], kv[0]))
+            for slot, (i, _) in zip(missing, far):
+                cents[slot] = list(pts[i])
     a = assign()
     sizes: dict[int, int] = {}
     for _, ci in a.values():
@@ -112,22 +120,47 @@ def test_deterministic_across_runs(spark):
     )
 
 
-def test_empty_clusters_vanish(spark):
-    # two tight point groups, k=4: the two seeds that land inside an
-    # already-claimed group lose every member after one update (the
-    # cluster-id tiebreak routes co-located points to the smaller id),
-    # so the final assignment uses fewer than k clusters
+def test_duplicate_seeds_parity_under_reseeding(spark):
+    # two tight point groups, k=4: duplicate co-located seeds lose
+    # every member after one update (the cluster-id tiebreak routes
+    # co-located points to the smaller id). Reseeding re-centers the
+    # emptied ids on the farthest points — here ALL distances are 0,
+    # so the reseeds are duplicate centroids that empty again; the
+    # replica must mirror that churn exactly and the final assignment
+    # still uses the 2 effective clusters
     rows = [(i, [0.0, 0.0]) for i in range(4)] + [
         (i, [0.9, 0.9]) for i in range(4, 8)
     ]
     got = _run(spark, rows, k=4, n_iters=2)
+    assert got == _replica(rows, k=4, n_iters=2)
     clusters = {c for c, _, _ in got.values()}
     assert len(clusters) == 2
-    assert got == _replica(rows, k=4, n_iters=2)
     # every surviving point sits exactly on its centroid
     assert all(d == 0 for _, d, _ in got.values())
     sizes = {got[i][2] for i in got}
     assert sizes == {4}
+
+
+def test_empty_cluster_reseeds_to_farthest(spark):
+    """Adversarial seed placement where a cluster empties and the
+    reseed RESCUES it: ids 0..7 seed in md5 order [1, 6, 3] (k=3);
+    ids 1 and 6 are duplicate points, so cluster 1 loses the tiebreak
+    and empties after the first update — and must be re-centered on
+    the farthest point (the outlier id 7), which then survives as its
+    own cluster. Without reseeding, k collapses to 2 and the outlier
+    is absorbed into the nearest dense cluster."""
+    rows = [(i, [0.0, 0.0]) for i in (0, 1, 2, 4, 5, 6)] + [
+        (3, [0.5, 0.5]),
+        (7, [0.9, 0.9]),
+    ]
+    got = _run(spark, rows, k=3, n_iters=2)
+    assert got == _replica(rows, k=3, n_iters=2)
+    clusters = {c for c, _, _ in got.values()}
+    assert len(clusters) == 3  # all k survive — the rescue happened
+    c7, d7, n7 = got[7]
+    assert (d7, n7) == (0, 1)  # the outlier sits on its own centroid
+    assert got[3][2] == 1  # the mid point keeps its own cluster too
+    assert {got[i][2] for i in (0, 1, 2, 4, 5, 6)} == {6}
 
 
 def test_pq_encode_coverage_and_distortion(spark):
