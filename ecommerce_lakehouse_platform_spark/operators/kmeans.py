@@ -369,6 +369,105 @@ def pq_adc_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# DuckDB oracle fragments (differential-testing twins of the operators
+# above — kept next to the operator like neardup's ORACLE_* fragments
+# so every registry module mirrors the SAME algebra, including the
+# empty-cluster reseed rule)
+# ---------------------------------------------------------------------------
+
+def oracle_assign_cte(name: str, pts: str, cents: str, dim: int) -> str:
+    """Nearest-centroid assignment CTE: exact BIGINT distances on the
+    quantized grid, cluster-id tiebreak — the SQL twin of
+    :func:`_assign`."""
+    return f"""
+    {name} AS (
+      SELECT * FROM (
+        SELECT p.vec_id, p.q, c.cluster,
+          CAST(list_sum(list_transform(range(1, {dim + 1}),
+            j -> (p.q[j] - c.qc[j]) * (p.q[j] - c.qc[j]))) AS BIGINT) AS d
+        FROM {pts} p CROSS JOIN {cents} c
+      ) QUALIFY ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY d, cluster) = 1
+    )"""
+
+
+def oracle_update_cte(name: str, assigned: str, seeds: str, dim: int) -> str:
+    """Centroid update CTE: truncating ``//`` means for surviving
+    clusters UNION the reseeds — empty cluster ids (seed set EXCEPT
+    survivors, ranked ascending) rank-matched to the farthest assigned
+    points (d DESC, id ASC), the exact mirror of
+    :func:`kmeans_fit`'s reseed rule."""
+    return f"""
+    upd_{name} AS (
+      SELECT cluster, list(qi ORDER BY pos) AS qc FROM (
+        SELECT a.cluster, t.j AS pos,
+          CAST(SUM(a.q[t.j]) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS qi
+        FROM {assigned} a CROSS JOIN range(1, {dim + 1}) AS t(j)
+        GROUP BY 1, 2
+      ) GROUP BY cluster
+    ),
+    {name} AS (
+      SELECT cluster, qc FROM upd_{name}
+      UNION ALL
+      SELECT m.cluster, f.q AS qc
+      FROM (
+        SELECT q, ROW_NUMBER() OVER (ORDER BY d DESC, vec_id ASC) AS rk
+        FROM {assigned}
+      ) f
+      JOIN (
+        SELECT cluster, ROW_NUMBER() OVER (ORDER BY cluster) AS rk FROM (
+          SELECT cluster FROM {seeds}
+          EXCEPT SELECT cluster FROM upd_{name}
+        )
+      ) m ON f.rk = m.rk
+    )"""
+
+
+def oracle_centroid_chain(
+    k: int,
+    iters: int,
+    dim: int,
+    salt: str,
+    slice_sql: str = "embedding",
+    suffix: str = "",
+) -> tuple[list[str], str, str]:
+    """The full fit chain as CTEs — quantize (``pts{suffix}``), salted
+    seed pick (``c0{suffix}``), and one assign/update pair per Lloyd
+    iteration with reseeding — returning
+    ``(ctes, final_centroids_cte, pts_cte)``. ``slice_sql`` lets PQ
+    chains fit a subvector block; ``suffix`` namespaces parallel
+    chains in one WITH clause."""
+    rank = (
+        f"ROW_NUMBER() OVER (ORDER BY md5('{salt}' || "
+        "CAST(vec_id AS VARCHAR)), vec_id)"
+    )
+    ctes = [
+        f"""pts{suffix} AS (
+      SELECT vec_id,
+        list_transform({slice_sql},
+          v -> CAST(FLOOR(CAST(v AS DOUBLE) * {SCALE}) AS BIGINT)) AS q
+      FROM embeddings
+    )""",
+        f"""c0{suffix} AS (
+      SELECT q AS qc, {rank} - 1 AS cluster
+      FROM pts{suffix} QUALIFY {rank} <= {k}
+    )""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            oracle_assign_cte(
+                f"a{i}{suffix}", f"pts{suffix}", f"c{i - 1}{suffix}", dim
+            )
+        )
+        ctes.append(
+            oracle_update_cte(
+                f"c{i}{suffix}", f"a{i}{suffix}", f"c0{suffix}", dim
+            )
+        )
+    return ctes, f"c{iters}{suffix}", f"pts{suffix}"
+
+
 def kmeans_assign(
     df: DataFrame,
     k: int = 8,

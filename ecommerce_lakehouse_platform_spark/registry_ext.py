@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from .functions import text as T
 from .functions.math import dec_sum
 from .multimodal.binary import attach_binary_payload, binary_metadata
-from .operators import neardup, similarity
+from .operators import kmeans, neardup, similarity
 from .operators.dedupe import keep_latest
 from .plans.silver import silver_events, silver_orders
 from .registry import _t, query
@@ -1334,19 +1334,26 @@ def ext_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, queries_df, k=5)
 
 
+_IVF_KM_CTES, _IVF_KM_FINAL, _ = kmeans.oracle_centroid_chain(
+    16, 2, 64, "ivfkm:", suffix="_km"
+)
+
+
 @query(
     "ext_similarity_ivf",
     # Approximate by design (recall<1 vs brute force) yet fully
-    # deterministic: the salted-md5 centroid pick, argmax bucket
-    # assignment, nprobe probe ranking, and final top-k all mirror
-    # bit-for-bit, so the oracle replays the whole IVF pipeline.
+    # deterministic: the coarse quantizer is now TRAINED — the
+    # fixed-point Lloyd chain (operators/kmeans.py fragments, reseeds
+    # included) replays bit-for-bit, its centroids dequantize exactly
+    # (÷2^20 is a power of two), and the argmax bucket assignment,
+    # nprobe probe ranking, and final top-k mirror as before.
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    {",".join(_IVF_KM_CTES)},
     cent AS (
-      SELECT vec_id AS centroid_id, embedding AS cvec
-      FROM e
-      ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id
-      LIMIT 16
+      SELECT cluster AS centroid_id,
+        list_transform(qc, v -> CAST(v AS DOUBLE) / {kmeans.SCALE}) AS cvec
+      FROM {_IVF_KM_FINAL}
     ),
     asn AS (
       SELECT vec_id, embedding, centroid_id AS bucket_id FROM (
@@ -1383,12 +1390,21 @@ def ext_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ext_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed approximate top-5 for the same query set; recall
-    vs the exact path is asserted in tests/test_similarity.py, and the
-    deterministic pipeline is replayed whole by the DuckDB oracle."""
+    """IVF-bucketed approximate top-5 for the same query set, with a
+    TRAINED coarse quantizer: 16 centroids from two fixed-point Lloyd
+    iterations (operators/kmeans.kmeans_centroids) replace the
+    salted-hash pseudo-sample — trained centroids track the corpus
+    distribution, so buckets are better balanced and recall@nprobe is
+    at least the hash pick's (asserted vs exact in
+    tests/test_similarity.py). The whole pipeline — fit chain,
+    dequantization, bucket argmax, probe ranking, top-5 — is replayed
+    by the DuckDB oracle."""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
-    return similarity.cosine_topk_ivf(emb, queries_df, k=5, n_centroids=16, nprobe=4)
+    cents = kmeans.kmeans_centroids(emb, k=16, n_iters=2, salt="ivfkm:")
+    return similarity.cosine_topk_ivf(
+        emb, queries_df, k=5, nprobe=4, centroids=cents
+    )
 
 
 def _rh_hyperplanes_sql(n_bits: int = 32, dim: int = 64) -> str:

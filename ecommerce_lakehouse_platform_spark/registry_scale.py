@@ -676,8 +676,12 @@ def ext_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = similarity.cosine_topk(emb, queries_df, k=5).select(
         "query_id", "neighbor_id"
     )
+    # the approx path under evaluation is the REGISTERED one — the
+    # trained-k-means IVF (ext_similarity_ivf), whose oracle chain the
+    # token above nests verbatim
+    cents = kmeans.kmeans_centroids(emb, k=16, n_iters=2, salt="ivfkm:")
     approx = similarity.cosine_topk_ivf(
-        emb, queries_df, k=5, n_centroids=16, nprobe=4
+        emb, queries_df, k=5, nprobe=4, centroids=cents
     ).select("query_id", F.col("neighbor_id").alias("_approx_id"))
     joined = exact.join(
         approx,
@@ -1192,74 +1196,15 @@ def ext_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _kmeans_oracle(k: int, iters: int, dim: int, salt: str) -> str:
     """DuckDB twin of :func:`operators.kmeans.kmeans_assign`: the same
     2^-20 quantization, salted-md5 seed pick, exact BIGINT distances,
-    truncating ``//`` centroid updates, and cluster-id tiebreak —
-    unrolled one CTE pair per Lloyd iteration (the oracle replays the
-    ALGEBRA as a relation chain; the Spark side compiles centroids to
-    broadcast literals instead, so the two formulations are
-    independent down to the join strategy)."""
-    seed_rank = (
-        f"ROW_NUMBER() OVER (ORDER BY md5('{salt}' || "
-        "CAST(vec_id AS VARCHAR)), vec_id)"
-    )
-
-    def assign(name: str, cents: str) -> str:
-        return f"""
-    {name} AS (
-      SELECT * FROM (
-        SELECT p.vec_id, p.q, c.cluster,
-          CAST(list_sum(list_transform(range(1, {dim + 1}),
-            j -> (p.q[j] - c.qc[j]) * (p.q[j] - c.qc[j]))) AS BIGINT) AS d
-        FROM pts p CROSS JOIN {cents} c
-      ) QUALIFY ROW_NUMBER() OVER (
-          PARTITION BY vec_id ORDER BY d, cluster) = 1
-    )"""
-
-    def update(name: str, assigned: str) -> str:
-        # mean update for surviving clusters UNION the reseeds: empty
-        # cluster ids (seed set EXCEPT survivors, ranked ascending) are
-        # rank-matched to the farthest assigned points (dist_sq DESC,
-        # id ASC) — the exact mirror of kmeans_fit's reseed rule
-        return f"""
-    upd_{name} AS (
-      SELECT cluster, list(qi ORDER BY pos) AS qc FROM (
-        SELECT a.cluster, t.j AS pos,
-          CAST(SUM(a.q[t.j]) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS qi
-        FROM {assigned} a CROSS JOIN range(1, {dim + 1}) AS t(j)
-        GROUP BY 1, 2
-      ) GROUP BY cluster
-    ),
-    {name} AS (
-      SELECT cluster, qc FROM upd_{name}
-      UNION ALL
-      SELECT m.cluster, f.q AS qc
-      FROM (
-        SELECT q, ROW_NUMBER() OVER (ORDER BY d DESC, vec_id ASC) AS rk
-        FROM {assigned}
-      ) f
-      JOIN (
-        SELECT cluster, ROW_NUMBER() OVER (ORDER BY cluster) AS rk FROM (
-          SELECT cluster FROM c0
-          EXCEPT SELECT cluster FROM upd_{name}
-        )
-      ) m ON f.rk = m.rk
-    )"""
-
-    ctes = [
-        f"""pts AS (
-      SELECT vec_id,
-        list_transform(embedding,
-          v -> CAST(FLOOR(CAST(v AS DOUBLE) * {kmeans.SCALE}) AS BIGINT)) AS q
-      FROM embeddings
-    )""",
-        f"""c0 AS (
-      SELECT q AS qc, {seed_rank} - 1 AS cluster
-      FROM pts QUALIFY {seed_rank} <= {k}
-    )""",
-    ]
-    for i in range(1, iters + 1):
-        ctes.append(assign(f"a{i}", f"c{i - 1}"))
-        ctes.append(update(f"c{i}", f"a{i}"))
-    ctes.append(assign("final", f"c{iters}"))
+    truncating ``//`` centroid updates with empty-cluster reseeding,
+    and cluster-id tiebreak — unrolled one CTE pair per Lloyd
+    iteration via the shared fragment builders next to the operator
+    (operators/kmeans.py). The oracle replays the ALGEBRA as a
+    relation chain; the Spark side compiles centroids to broadcast
+    literals instead, so the two formulations are independent down to
+    the join strategy."""
+    ctes, cfin, pts = kmeans.oracle_centroid_chain(k, iters, dim, salt)
+    ctes.append(kmeans.oracle_assign_cte("final", pts, cfin, dim))
     ctes.append(
         """sizes AS (
       SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_n
@@ -1340,77 +1285,25 @@ def _pq_block_ctes(
 ) -> tuple[list[str], int]:
     """The shared per-block PQ kmeans chains (sliced 1-based
     inclusive, DuckDB ``l[a:b]`` == Spark ``slice(l, a, len)``), block
-    salt in the seed pick. Returns (CTE list, subvector length); each
-    block b ends in ``fin{b}`` (assignments vs its final codebook
-    ``c{iters}_{b}``)."""
+    salt in the seed pick, built from the shared fragment builders
+    (operators/kmeans.py — reseeding included). Returns (CTE list,
+    subvector length); each block b ends in ``fin{b}`` (assignments vs
+    its final codebook ``c{iters}_{b}``), with points in
+    ``pts_{b}``."""
     sub = dim // n_blocks
-
-    def rank(b: int) -> str:
-        return (
-            f"ROW_NUMBER() OVER (ORDER BY md5('{salt}{b}:' || "
-            "CAST(vec_id AS VARCHAR)), vec_id)"
-        )
-
-    def assign(name: str, pts: str, cents: str) -> str:
-        return f"""
-    {name} AS (
-      SELECT * FROM (
-        SELECT p.vec_id, p.q, c.cluster,
-          CAST(list_sum(list_transform(range(1, {sub + 1}),
-            j -> (p.q[j] - c.qc[j]) * (p.q[j] - c.qc[j]))) AS BIGINT) AS d
-        FROM {pts} p CROSS JOIN {cents} c
-      ) QUALIFY ROW_NUMBER() OVER (
-          PARTITION BY vec_id ORDER BY d, cluster) = 1
-    )"""
-
-    def update(name: str, assigned: str, seeds: str) -> str:
-        # same reseed mirror as _kmeans_oracle's update, per block
-        return f"""
-    upd_{name} AS (
-      SELECT cluster, list(qi ORDER BY pos) AS qc FROM (
-        SELECT a.cluster, t.j AS pos,
-          CAST(SUM(a.q[t.j]) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS qi
-        FROM {assigned} a CROSS JOIN range(1, {sub + 1}) AS t(j)
-        GROUP BY 1, 2
-      ) GROUP BY cluster
-    ),
-    {name} AS (
-      SELECT cluster, qc FROM upd_{name}
-      UNION ALL
-      SELECT m.cluster, f.q AS qc
-      FROM (
-        SELECT q, ROW_NUMBER() OVER (ORDER BY d DESC, vec_id ASC) AS rk
-        FROM {assigned}
-      ) f
-      JOIN (
-        SELECT cluster, ROW_NUMBER() OVER (ORDER BY cluster) AS rk FROM (
-          SELECT cluster FROM {seeds}
-          EXCEPT SELECT cluster FROM upd_{name}
-        )
-      ) m ON f.rk = m.rk
-    )"""
-
     ctes: list[str] = []
     for b in range(n_blocks):
         lo, hi = b * sub + 1, (b + 1) * sub
-        ctes.append(
-            f"""pts{b} AS (
-      SELECT vec_id,
-        list_transform(embedding[{lo}:{hi}],
-          v -> CAST(FLOOR(CAST(v AS DOUBLE) * {kmeans.SCALE}) AS BIGINT)) AS q
-      FROM embeddings
-    )"""
+        chain, cfin, pts = kmeans.oracle_centroid_chain(
+            k,
+            iters,
+            sub,
+            f"{salt}{b}:",
+            slice_sql=f"embedding[{lo}:{hi}]",
+            suffix=f"_{b}",
         )
-        ctes.append(
-            f"""c0_{b} AS (
-      SELECT q AS qc, {rank(b)} - 1 AS cluster
-      FROM pts{b} QUALIFY {rank(b)} <= {k}
-    )"""
-        )
-        for i in range(1, iters + 1):
-            ctes.append(assign(f"a{i}_{b}", f"pts{b}", f"c{i - 1}_{b}"))
-            ctes.append(update(f"c{i}_{b}", f"a{i}_{b}", f"c0_{b}"))
-        ctes.append(assign(f"fin{b}", f"pts{b}", f"c{iters}_{b}"))
+        ctes.extend(chain)
+        ctes.append(kmeans.oracle_assign_cte(f"fin{b}", pts, cfin, sub))
     return ctes, sub
 
 
@@ -1447,7 +1340,7 @@ def _pq_adc_oracle(
       SELECT q.vec_id AS query_id, c.cluster AS code,
         CAST(list_sum(list_transform(range(1, {sub + 1}),
           j -> (q.q[j] - c.qc[j]) * (q.q[j] - c.qc[j]))) AS BIGINT) AS pdist
-      FROM pts{b} q CROSS JOIN c{iters}_{b} c
+      FROM pts_{b} q CROSS JOIN c{iters}_{b} c
       WHERE q.vec_id < {n_queries}
     )"""
         )

@@ -40,8 +40,8 @@ def test_ivf_with_trained_kmeans_centroids(spark):
 
     emb = load_table(spark, SF_SMOKE, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    cents = kmeans_centroids(emb, k=16, n_iters=2)
-    assert cents.count() <= 16  # empty clusters may have vanished
+    cents = kmeans_centroids(emb, k=16, n_iters=2, salt="ivfkm:")
+    assert cents.count() == 16  # reseeding keeps all k alive
     exact = similarity.cosine_topk(emb, queries, k=5).collect()
     approx = similarity.cosine_topk_ivf(
         emb, queries, k=5, nprobe=4, centroids=cents
@@ -54,6 +54,18 @@ def test_ivf_with_trained_kmeans_centroids(spark):
     for r in approx:
         if (r.query_id, r.neighbor_id) in exact_scores:
             assert r.cosine_sim == exact_scores[(r.query_id, r.neighbor_id)]
+    # the trained quantizer is the REGISTERED default
+    # (ext_similarity_ivf): its recall must be no worse than the
+    # untrained salted-hash pick it replaced
+    hash_approx = similarity.cosine_topk_ivf(
+        emb, queries, k=5, n_centroids=16, nprobe=4
+    ).collect()
+    hash_set = {(r.query_id, r.neighbor_id) for r in hash_approx}
+    hash_recall = len(exact_set & hash_set) / len(exact_set)
+    assert recall >= hash_recall, (
+        f"trained-IVF recall {recall} fell below the hash pick's "
+        f"{hash_recall}"
+    )
 
 
 def test_rhlsh_recall_and_pruning(spark):
