@@ -329,30 +329,64 @@ def pq_adc_topk(
 
     Per query, the exact squared distance from each query subvector to
     every codebook centroid forms a (blocks × k_codes) lookup table —
-    computed driver-side from the collected query set (queries are few
-    by contract, same as cosine_topk) in plain Python ints, then
-    shipped as a broadcast relation. The corpus-proportional work is
-    one broadcast-hash join of the CODES (n_blocks small ints per
+    computed DISTRIBUTED on the queries DataFrame (the codebooks ride
+    into the plan as constant array literals, the per-code distances
+    are a transform/zip_with/aggregate fold, and explode emits one
+    (query, block, code, pdist) row each), never collected: feeding a
+    corpus-sized query set no longer funnels through a driver loop.
+    The tables then ship as the broadcast side — sized queries ×
+    blocks × k_codes, which is what makes ADC's one-joint-pass shape
+    work; a query set too large to broadcast would switch this join
+    to a shuffle, not change the build. The corpus-proportional work
+    is one broadcast-hash join of the CODES (n_blocks small ints per
     vector, the compressed representation) against the tables plus one
     partial-aggregated sum per (query, neighbor) — no full-vector scan
     anywhere, which at 100 TB is the entire point of searching the
-    compressed domain."""
+    compressed domain. All arithmetic stays on the quantized BIGINT
+    grid, so the results are bit-identical to the former driver-side
+    build."""
     n_blocks = len(codebooks)
     sub = dim // n_blocks
-    spark = codes.sparkSession
-    q_rows = quantize_vectors(queries, id_col, vec_col).collect()
-    table_rows = []
-    for r in q_rows:
-        qv = list(r["q"])
-        for b, codebook in enumerate(codebooks):
-            q_sub = qv[b * sub : (b + 1) * sub]
-            for cid, cvec in codebook:
-                pdist = sum((a - c) * (a - c) for a, c in zip(q_sub, cvec))
-                table_rows.append((r[id_col], b, cid, pdist))
-    tables = spark.createDataFrame(
-        table_rows,
-        f"{query_id_col} bigint, block bigint, code bigint, pdist bigint",
-    )
+    q = quantize_vectors(queries, id_col, vec_col)
+    parts = []
+    for b, codebook in enumerate(codebooks):
+        cid_arr = F.lit([int(cid) for cid, _ in codebook]).cast(
+            "array<bigint>"
+        )
+        vec_arr = F.lit([[int(x) for x in vec] for _, vec in codebook]).cast(
+            "array<array<bigint>>"
+        )
+        q_sub = F.slice(F.col("q"), b * sub + 1, sub)
+        per_code = F.transform(
+            F.sequence(F.lit(1), F.lit(len(codebook))),
+            lambda i: F.struct(
+                F.element_at(cid_arr, i).alias("code"),
+                F.aggregate(
+                    F.zip_with(
+                        q_sub,
+                        F.element_at(vec_arr, i),
+                        lambda a, c: (a - c) * (a - c),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("pdist"),
+            ),
+        )
+        parts.append(
+            q.select(
+                F.col(id_col).alias(query_id_col),
+                F.lit(b).cast("long").alias("block"),
+                F.explode(per_code).alias("_pc"),
+            ).select(
+                query_id_col,
+                "block",
+                F.col("_pc.code").alias("code"),
+                F.col("_pc.pdist").alias("pdist"),
+            )
+        )
+    tables = parts[0]
+    for p in parts[1:]:
+        tables = tables.unionByName(p)
     scored = (
         codes.join(F.broadcast(tables), ["block", "code"])
         .filter(F.col(query_id_col) != F.col(id_col))

@@ -234,3 +234,32 @@ def test_assignment_is_map_side(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "MapInPandas" not in plan
     assert plan.count("Exchange") <= 3
+
+
+def test_adc_table_build_is_distributed(spark):
+    """The per-query ADC distance tables are computed IN THE PLAN
+    (codebook literals + zip_with/aggregate fold over the queries
+    DataFrame, exploded per code), not by collecting the query set
+    into a driver loop: the search plan carries no locally-built
+    relation (LocalTableScan) and no Python-eval node, and the tables
+    still ship as the broadcast side of the code join."""
+    from ecommerce_lakehouse_platform_spark.sources.catalog import load_table
+
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cbs = kmeans.pq_fit_blocks(emb, dim=64, n_blocks=4, k=4, n_iters=1)
+    codes = kmeans.pq_encode(
+        emb, dim=64, n_blocks=4, k=4, n_iters=1, codebooks=cbs
+    )
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = kmeans.pq_adc_topk(codes, cbs, queries, dim=64, k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "LocalTableScan" not in plan, "driver-built relation in plan"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # and the search itself still answers correctly: top-3 per query
+    got = out.collect()
+    assert {r["query_id"] for r in got} == {0, 1, 2}
+    assert all(0 <= len([r for r in got if r["query_id"] == qid]) <= 3
+               for qid in (0, 1, 2))
