@@ -43,6 +43,76 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def register_managed_namespace(
+    spark: SparkSession, sf_dir: str, prefix: str = "ecom"
+) -> dict[str, list[str]]:
+    """The reference's governed three-level namespace
+    (``ecom_catalog.{bronze,silver,gold}.*``,
+    /root/reference/01_bronze/01_bronze_ingest.py:32-34) as REAL
+    databases in the session metastore: ``{prefix}_bronze`` /
+    ``{prefix}_silver`` / ``{prefix}_gold``, every layer a managed
+    ``saveAsTable`` write, readable as two-part names
+    (``spark.table("ecom_silver.orders")``) and enumerable with
+    ``SHOW TABLES IN`` — the metastore round-trip the temp-view
+    workspace (:func:`register_sql_workspace`) does not exercise.
+    Spark's session catalog has no catalog level without an external
+    plugin, so the reference's catalog dot drops into the database
+    prefix (a naming translation, not a capability gap).
+
+    Bronze materializes the five pipeline source tables (the
+    reference's bronze ingest copies raw files into bronze tables,
+    01_bronze_ingest.py:22-34); silver and gold are built FROM the
+    managed bronze/silver tables via ``spark.table``, exactly like the
+    reference's layer-to-layer reads (02_silver_transform.py:26-27).
+    Overwrite mode keeps reruns idempotent. Returns
+    ``{database: SHOW TABLES IN result}``."""
+    from ..plans import gold, silver  # local import to avoid a cycle
+
+    b, s, g = (f"{prefix}_bronze", f"{prefix}_silver", f"{prefix}_gold")
+    for db in (b, s, g):
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+
+    for name in ("customer", "orders", "lineitem", "events", "part"):
+        load_table(spark, sf_dir, name).write.mode("overwrite").format(
+            "parquet"
+        ).saveAsTable(f"{b}.{name}")
+
+    sv = {
+        "customers": silver.silver_customers(spark.table(f"{b}.customer")),
+        "orders": silver.silver_orders(spark.table(f"{b}.orders")),
+        "events": silver.silver_events(spark.table(f"{b}.events")),
+        "products": silver.silver_products(spark.table(f"{b}.part")),
+    }
+    sv["order_items"] = silver.silver_order_items(
+        spark.table(f"{b}.lineitem"), sv["orders"]
+    )
+    for name, df in sv.items():
+        df.write.mode("overwrite").format("parquet").saveAsTable(
+            f"{s}.{name}"
+        )
+
+    st = {name: spark.table(f"{s}.{name}") for name in sv}
+    gd = {
+        "daily_metrics": gold.gold_daily_metrics(st["events"], st["orders"]),
+        "product_metrics": gold.gold_product_metrics(
+            st["order_items"], st["products"]
+        ),
+        "product_funnel": gold.gold_product_funnel(st["events"]),
+        "session_metrics": gold.gold_session_metrics(
+            st["events"], customers_clean=st["customers"]
+        ),
+        "customer_360": gold.gold_customer_360(st["customers"], st["orders"]),
+    }
+    for name, df in gd.items():
+        df.write.mode("overwrite").format("parquet").saveAsTable(
+            f"{g}.{name}"
+        )
+
+    from .writers import list_tables
+
+    return {db: list_tables(spark, db) for db in (b, s, g)}
+
+
 def register_sql_workspace(spark: SparkSession, sf_dir: str) -> list[str]:
     """Register the full three-layer SQL surface as temp views —
     bronze fixtures (raw names), silver models (``silver_*``), and

@@ -115,8 +115,16 @@ def read_table(spark: SparkSession, path: str, fmt: str | None = None) -> DataFr
 
 
 def list_tables(spark: SparkSession, schema: str | None = None) -> list[str]:
-    """OP-catalog-list (SHOW TABLES, 01_bronze_ingest.py:43)."""
-    return [t.name for t in spark.catalog.listTables(schema)]
+    """OP-catalog-list (SHOW TABLES, 01_bronze_ingest.py:43): a real
+    ``SHOW TABLES IN <schema>`` metastore round-trip when a schema is
+    named (the reference's namespace enumeration), the session
+    catalog's listing otherwise."""
+    if schema:
+        return sorted(
+            r["tableName"]
+            for r in spark.sql(f"SHOW TABLES IN {schema}").collect()
+        )
+    return [t.name for t in spark.catalog.listTables()]
 
 
 def peek(df: DataFrame, n: int = 5) -> list:

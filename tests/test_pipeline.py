@@ -168,3 +168,50 @@ def test_pipeline_minidelta_mode(spark):
         assert pruned and len(pruned) < len(orders_tbl.snapshot().files)
     finally:
         shutil.rmtree(warehouse, ignore_errors=True)
+
+
+def test_managed_namespace_round_trip(spark):
+    """The reference's ecom_catalog.{bronze,silver,gold} layering as
+    REAL session-catalog databases: managed saveAsTable writes for all
+    three layers, SHOW TABLES IN enumeration, two-part-name reads, and
+    idempotent overwrite rerun — the metastore round-trip the temp-view
+    workspace doesn't exercise (01_bronze_ingest.py:32-34,43)."""
+    from ecommerce_lakehouse_platform_spark.sources.catalog import (
+        register_managed_namespace,
+    )
+    from ecommerce_lakehouse_platform_spark.sources.writers import list_tables
+
+    prefix = "ecomtest"
+    try:
+        listing = register_managed_namespace(spark, SF_SMOKE, prefix=prefix)
+        assert listing[f"{prefix}_bronze"] == sorted(
+            ["customer", "orders", "lineitem", "events", "part"]
+        )
+        assert "order_items" in listing[f"{prefix}_silver"]
+        assert "customer_360" in listing[f"{prefix}_gold"]
+        # two-part-name reads answer plain SQL over managed tables
+        n = spark.sql(
+            f"SELECT COUNT(*) AS n FROM {prefix}_silver.orders"
+        ).first().n
+        assert n == 1500
+        tiers = spark.sql(
+            "SELECT COUNT(DISTINCT customer_tier) AS n "
+            f"FROM {prefix}_gold.customer_360"
+        ).first().n
+        assert tiers >= 2
+        # layers compose across databases in one query
+        joined = spark.sql(
+            f"""SELECT COUNT(*) AS n
+            FROM {prefix}_silver.orders o
+            JOIN {prefix}_gold.customer_360 c USING (customer_id)"""
+        ).first().n
+        assert joined > 0
+        # rerun is an idempotent managed overwrite, not a failure
+        again = register_managed_namespace(spark, SF_SMOKE, prefix=prefix)
+        assert again == listing
+        assert spark.sql(
+            f"SELECT COUNT(*) AS n FROM {prefix}_silver.orders"
+        ).first().n == 1500
+    finally:
+        for db in (f"{prefix}_bronze", f"{prefix}_silver", f"{prefix}_gold"):
+            spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
