@@ -84,7 +84,7 @@ from dataclasses import dataclass, field
 from typing import Any
 from urllib.parse import unquote
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -797,21 +797,41 @@ class MiniDeltaTable:
             out = out.unionByName(df, allowMissingColumns=True)
         return out
 
-    def optimize(self, max_file_bytes: int = 128 << 20) -> int | None:
+    def optimize(
+        self,
+        max_file_bytes: int = 128 << 20,
+        zorder_by: list[str] | None = None,
+    ) -> int | None:
         """OPTIMIZE-style compaction: partitions holding more than one
         active file are rewritten into ~``max_file_bytes`` bins and the
         swap is committed as paired remove/add actions with
         ``dataChange=false`` — history, time travel, and the change
         feed all see a no-op, and ``vacuum`` later reclaims the small
         files. Returns the committed version, or None when every
-        partition is already a single file."""
+        partition is already a single file.
+
+        ``zorder_by`` = the ``OPTIMIZE ... ZORDER BY (cols)`` variant:
+        EVERY active file is rewritten (clustering is a property of the
+        whole layout, so like the real command this mode doesn't skip
+        single-file partitions) with rows ordered along the Morton
+        curve of the named columns (``operators/zorder.z_value``) —
+        each rewritten file then carries tight min/max ranges on ALL
+        the named dimensions at once, so downstream parquet min/max
+        skipping fires for predicates on any of them. Columns are
+        range-normalized into the curve's bucket domain from one
+        min/max aggregate over the victims (numeric/date/timestamp
+        only; nulls cluster at bucket 0). Still ``dataChange=false`` —
+        a re-clustered table is the same table."""
         snap = self.snapshot()
         groups: dict[tuple, list[dict[str, Any]]] = {}
         for rel in sorted(snap.files):
             add = snap.files[rel]
             key = tuple(sorted((add.get("partitionValues") or {}).items()))
             groups.setdefault(key, []).append(add)
-        targets = [adds for adds in groups.values() if len(adds) > 1]
+        if zorder_by:
+            targets = [adds for adds in groups.values() if adds]
+        else:
+            targets = [adds for adds in groups.values() if len(adds) > 1]
         if not targets:
             return None
         victim_rels = [a["path"] for adds in targets for a in adds]
@@ -823,7 +843,13 @@ class MiniDeltaTable:
         cast_cols = [
             F.col(f.name).cast(f.dataType).alias(f.name) for f in snap.schema
         ]
-        if snap.partition_columns:
+        if zorder_by:
+            df = df.select(*cast_cols)
+            nrows = df.count()
+            df = self._zorder_layout(
+                df, snap.partition_columns, zorder_by, total, max_file_bytes
+            )
+        elif snap.partition_columns:
             # per-PARTITION size-targeted bins: each rewritten group
             # gets ⌈bytes/max_file_bytes⌉ bins, carried to its rows by
             # a broadcast join on the source file's table-relative path
@@ -921,6 +947,7 @@ class MiniDeltaTable:
                     "operation": "OPTIMIZE",
                     "operationParameters": {
                         "targetSize": str(max_file_bytes),
+                        "zOrderBy": json.dumps(list(zorder_by or [])),
                     },
                 }
             }
@@ -940,6 +967,78 @@ class MiniDeltaTable:
         version = snap.version + 1
         self._commit(version, actions)
         return version
+
+    def _zorder_layout(
+        self,
+        df: DataFrame,
+        partition_columns: list[str],
+        zorder_by: list[str],
+        total_bytes: int,
+        max_file_bytes: int,
+    ) -> DataFrame:
+        """Order the rewrite along the Morton curve of ``zorder_by``:
+        each column is range-normalized into the curve's 16-bit bucket
+        domain from ONE min/max aggregate over the victims (driver
+        traffic = 2 scalars per column), interleaved with
+        ``operators/zorder.z_value``, then range-partitioned into
+        ~``max_file_bytes`` curve segments and sorted within tasks —
+        so every output file covers one contiguous curve segment and
+        carries tight min/max on every named dimension."""
+        from ..operators.zorder import z_value
+
+        bits = 16
+        cap = (1 << bits) - 1
+        dtypes = dict(df.dtypes)
+        numeric = ("tinyint", "smallint", "int", "bigint", "float", "double")
+        norm: list[tuple[str, Column]] = []
+        for name in zorder_by:
+            t = dtypes.get(name)
+            if t is None:
+                raise ValueError(f"zorder_by column not in table: {name}")
+            if t == "date":
+                num = F.unix_date(F.col(name)).cast("double")
+            elif t.startswith("timestamp") or t in numeric or t.startswith(
+                "decimal"
+            ):
+                num = F.col(name).cast("double")
+            else:
+                raise ValueError(
+                    "zorder_by supports numeric/date/timestamp columns; "
+                    f"{name} is {t}"
+                )
+            norm.append((name, num))
+        bounds = df.agg(
+            *[
+                agg
+                for name, num in norm
+                for agg in (
+                    F.min(num).alias(f"_mn_{name}"),
+                    F.max(num).alias(f"_mx_{name}"),
+                )
+            ]
+        ).collect()[0]
+        buckets: list[Column] = []
+        for name, num in norm:
+            mn, mx = bounds[f"_mn_{name}"], bounds[f"_mx_{name}"]
+            if mn is None or mx is None or mx <= mn:
+                buckets.append(F.lit(0).cast("long"))
+                continue
+            scaled = F.floor(
+                (F.coalesce(num, F.lit(mn)) - F.lit(mn))
+                / F.lit(mx - mn)
+                * cap
+            )
+            buckets.append(
+                F.greatest(F.lit(0), F.least(F.lit(cap), scaled)).cast("long")
+            )
+        n_parts = max(1, -(-total_bytes // max_file_bytes))
+        keys = [F.col(c) for c in partition_columns] + [F.col("_z")]
+        return (
+            df.withColumn("_z", z_value(buckets, bits))
+            .repartitionByRange(n_parts, *keys)
+            .sortWithinPartitions(*keys)
+            .drop("_z")
+        )
 
     def restore(self, version: int) -> int:
         """RESTORE TABLE ... TO VERSION AS OF: commit the file set and

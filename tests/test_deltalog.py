@@ -558,3 +558,54 @@ def test_append_partition_layout_change_rejected(spark, tmp_table):
     )
     assert tmp_table.snapshot().partition_columns == ["c2"]
     assert tmp_table.read().count() == 2
+
+
+def test_optimize_zorder_clusters_both_dimensions(spark, tmp_table):
+    """OPTIMIZE ... ZORDER BY (x, y): every active file is rewritten
+    along the Morton curve, so each output file carries tight min/max
+    ranges on BOTH named dimensions (an x-sorted layout gives tight x
+    but full-span y), contents are preserved, and the rewrite is
+    dataChange=false — invisible to the change feed."""
+    n = 32
+    grid = spark.createDataFrame(
+        [(i, i % n, i // n, float(i)) for i in range(n * n)],
+        "id int, x int, y int, v double",
+    ).localCheckpoint(eager=True)
+    tmp_table.write(grid)  # v0
+    before = _canon(tmp_table.read())
+    v = tmp_table.optimize(max_file_bytes=4096, zorder_by=["x", "y"])
+    assert v == 1
+    assert _canon(tmp_table.read()) == before
+    # invisible to CDF: only v0's inserts appear
+    assert tmp_table.changes(0).count() == n * n
+
+    files = tmp_table.snapshot().file_paths(tmp_table.path)
+    assert len(files) >= 4, "size target should have split the rewrite"
+    areas = []
+    for f in files:
+        agg = (
+            spark.read.parquet(f)
+            .agg(
+                F.min("x"), F.max("x"), F.min("y"), F.max("y"),
+            )
+            .first()
+        )
+        xr = (agg[1] - agg[0] + 1) / n
+        yr = (agg[3] - agg[2] + 1) / n
+        areas.append(xr * yr)
+    # contiguous Morton segments: each file covers a bounded sub-square
+    # of the (x, y) domain, never the full plane; on average well under
+    # half the area. An x-sorted layout would put yr == 1.0 everywhere.
+    assert max(areas) <= 0.75, areas
+    assert sum(areas) / len(areas) <= 0.45, areas
+
+
+def test_optimize_zorder_rejects_unsupported_column(spark, tmp_table):
+    df = spark.createDataFrame([(1, "a")], "id int, s string")
+    tmp_table.write(df)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        tmp_table.optimize(zorder_by=["s"])
+    with _pytest.raises(ValueError):
+        tmp_table.optimize(zorder_by=["nope"])
