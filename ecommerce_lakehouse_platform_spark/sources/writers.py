@@ -120,9 +120,14 @@ def list_tables(spark: SparkSession, schema: str | None = None) -> list[str]:
     named (the reference's namespace enumeration), the session
     catalog's listing otherwise."""
     if schema:
+        # SHOW TABLES IN <db> also lists the session's TEMP VIEWS
+        # (isTemporary=true, empty namespace) — those are not part of
+        # the named schema, so a workspace with registered views would
+        # otherwise leak into every database listing
         return sorted(
             r["tableName"]
             for r in spark.sql(f"SHOW TABLES IN {schema}").collect()
+            if not r["isTemporary"]
         )
     return [t.name for t in spark.catalog.listTables()]
 
