@@ -298,6 +298,18 @@ class MiniDeltaTable:
 
     # -- read -----------------------------------------------------------
 
+    def _reader(self, rels):
+        """Parquet reader for logged paths: ``basePath`` (hive
+        partition-column recovery) only when every path sits under the
+        table root — a shallow clone's ABSOLUTE references to its
+        source's files would fail Spark's basePath prefix check, and
+        clones are unpartitioned by construction so they don't need
+        the recovery."""
+        reader = self.spark.read
+        if all(not os.path.isabs(r) for r in rels):
+            reader = reader.option("basePath", self.path)
+        return reader
+
     def read(self, version: int | None = None) -> DataFrame:
         """Snapshot read (time travel with ``version=``).
 
@@ -310,7 +322,7 @@ class MiniDeltaTable:
         paths = snap.file_paths(self.path)
         if not paths:
             return self.spark.createDataFrame([], snap.schema)
-        df = self.spark.read.option("basePath", self.path).parquet(*paths)
+        df = self._reader(snap.files).parquet(*paths)
         return df.select(
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in snap.schema]
         )
@@ -707,7 +719,7 @@ class MiniDeltaTable:
             rels: list[str], schema: T.StructType, change: str, v: int, ts: int
         ) -> DataFrame:
             paths = [os.path.join(self.path, rel) for rel in rels]
-            df = self.spark.read.option("basePath", self.path).parquet(*paths)
+            df = self._reader(rels).parquet(*paths)
             return df.select(
                 *[
                     F.col(f.name).cast(f.dataType).alias(f.name)
@@ -837,7 +849,7 @@ class MiniDeltaTable:
         victim_rels = [a["path"] for adds in targets for a in adds]
         total = sum(a.get("size") or 0 for adds in targets for a in adds)
 
-        df = self.spark.read.option("basePath", self.path).parquet(
+        df = self._reader(victim_rels).parquet(
             *[os.path.join(self.path, rel) for rel in victim_rels]
         )
         cast_cols = [
@@ -1090,6 +1102,60 @@ class MiniDeltaTable:
         new_version = current.version + 1
         self._commit(new_version, actions)
         return new_version
+
+    def clone(self, target_path: str) -> "MiniDeltaTable":
+        """SHALLOW CLONE: a new table whose version 0 references the
+        source snapshot's data files by ABSOLUTE path — metadata-only,
+        zero data copied, the standard zero-copy dev/test snapshot at
+        warehouse scale (the protocol allows absolute paths in ``add``
+        actions, which is exactly how the real command records them).
+        The clone evolves independently: its own writes land under its
+        own root as relative adds, overwrites just drop the references
+        to the source files, and vacuuming the SOURCE invalidates
+        clones that still reference those files — the real command's
+        caveat too. Subset: partitioned sources are rejected (their
+        partition columns live in hive directory names, which a
+        mixed-root file listing cannot re-derive)."""
+        snap = self.snapshot()
+        if snap.partition_columns:
+            raise NotImplementedError(
+                "shallow clone of a partitioned table is not supported "
+                "by this mini implementation (partition values are "
+                "directory-derived and cannot be recovered across "
+                "mixed roots)"
+            )
+        target = MiniDeltaTable(
+            self.spark, target_path, self.checkpoint_interval
+        )
+        if target.exists():
+            raise FileExistsError(f"clone target is already a table: {target_path}")
+        now_ms = int(time.time() * 1000)
+        actions: list[dict[str, Any]] = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "CLONE",
+                    "operationParameters": {"source": self.path},
+                }
+            },
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {
+                "metaData": {
+                    "id": str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": snap.schema.json(),
+                    "partitionColumns": [],
+                    "configuration": {},
+                    "createdTime": now_ms,
+                }
+            },
+        ]
+        for rel in sorted(snap.files):
+            add = dict(snap.files[rel])
+            add["path"] = os.path.abspath(os.path.join(self.path, rel))
+            actions.append({"add": add})
+        target._commit(0, actions)
+        return target
 
     def expire_log(self) -> list[int]:
         """Delete JSON commit files strictly OLDER than the newest

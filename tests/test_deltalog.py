@@ -609,3 +609,53 @@ def test_optimize_zorder_rejects_unsupported_column(spark, tmp_table):
         tmp_table.optimize(zorder_by=["s"])
     with _pytest.raises(ValueError):
         tmp_table.optimize(zorder_by=["nope"])
+
+
+def test_shallow_clone_zero_copy(spark, tmp_table):
+    """SHALLOW CLONE: the clone's v0 references the source snapshot's
+    files by absolute path — no data copied — then evolves
+    independently; time travel on the clone pins the cloned snapshot
+    even after both tables move on. Partitioned sources are rejected
+    (documented subset)."""
+    orders = _orders(spark).limit(20).localCheckpoint(eager=True)
+    tmp_table.write(orders)
+    clone = tmp_table.clone(tmp_table.path + "_clone")
+    assert _canon(clone.read()) == _canon(tmp_table.read())
+    # zero-copy: not a single parquet data file under the clone root
+    data_files = [
+        name
+        for root, dirs, names in os.walk(clone.path)
+        if "_delta_log" not in root
+        for name in names
+        if name.endswith(".parquet")
+    ]
+    assert data_files == []
+    # clone evolves independently of the source...
+    clone.write(orders.limit(5))
+    assert clone.read().count() == 5
+    assert tmp_table.read().count() == 20
+    # ...and vice versa; the clone's v0 stays addressable because the
+    # source's overwrite keeps old files on disk until vacuum
+    tmp_table.write(orders.limit(3))
+    assert clone.read(version=0).count() == 20
+    assert tmp_table.read().count() == 3
+    # re-cloning onto an existing table is refused
+    with pytest.raises(FileExistsError):
+        tmp_table.clone(clone.path)
+    # OPTIMIZE on the (unpartitioned) clone compacts the referenced
+    # source files into the clone's OWN copy (two source files first,
+    # so compaction has something to bin)
+    tmp_table.write(orders.limit(2), mode="append")
+    clone2 = tmp_table.clone(tmp_table.path + "_clone2")
+    assert clone2.optimize() is not None
+    assert clone2.read().count() == 5
+    assert all(
+        not os.path.isabs(rel) for rel in clone2.snapshot().files
+    ), "optimize should have replaced the absolute references"
+
+
+def test_shallow_clone_rejects_partitioned_source(spark, tmp_table):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, p string")
+    tmp_table.write(df, partition_by=["p"])
+    with pytest.raises(NotImplementedError):
+        tmp_table.clone(tmp_table.path + "_clone")
