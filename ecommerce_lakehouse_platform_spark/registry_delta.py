@@ -26,6 +26,7 @@ model.
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -34,6 +35,20 @@ from pyspark.sql import functions as F
 from .plans import silver
 from .registry import _t, query, resolve_deferred_oracles
 from .sources.deltalog import MiniDeltaTable
+
+# temp tables from PRIOR invocations in this process, reaped lazily on
+# the next call (the prior result DataFrame has been consumed by then —
+# bench/driver fully materialize each run before re-invoking; deleting
+# at return would break the laziness contract of the returned plan)
+_PREVIOUS_DIRS: list[str] = []
+
+
+def _fresh_dir(prefix: str) -> str:
+    while _PREVIOUS_DIRS:
+        shutil.rmtree(_PREVIOUS_DIRS.pop(), ignore_errors=True)
+    base = tempfile.mkdtemp(prefix=prefix)
+    _PREVIOUS_DIRS.append(base)
+    return base
 
 # the silver-orders relation both queries sink (the raw timestamp is
 # excluded per the registry determinism rules; same projection as
@@ -74,7 +89,7 @@ def ext_delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     as-of-version schema resolution, and the parquet round-trip all
     sit on the checked path."""
     base = _silver_orders(spark, sf_dir)
-    path = tempfile.mkdtemp(prefix="minidelta_tt_") + "/orders"
+    path = _fresh_dir("minidelta_tt_") + "/orders"
     tbl = MiniDeltaTable(spark, path)
     tbl.write(base)  # v0: the reference's full-overwrite silver sink
     restated = base.filter(F.col("status") == "F").withColumn(
@@ -116,7 +131,7 @@ def ext_delta_cdf_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation and event counts directly from the fixtures."""
     base = _silver_orders(spark, sf_dir)
     key_mod = F.col("order_id").cast("long") % 3
-    path = tempfile.mkdtemp(prefix="minidelta_cdf_") + "/orders"
+    path = _fresh_dir("minidelta_cdf_") + "/orders"
     tbl = MiniDeltaTable(spark, path)
     tbl.write(base.filter(key_mod.isin(0, 1)))  # v0
     tbl.write(base.filter(key_mod == 2), mode="append")  # v1
