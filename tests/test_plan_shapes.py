@@ -141,12 +141,34 @@ def test_scalar_subquery_is_decorrelated(spark):
 
 
 def test_ivf_centroid_pick_is_parallel_topn(spark):
-    """IVF centroid selection must sample the corpus as a parallel
-    per-partition top-n (TakeOrderedAndProject on the seeded hash) —
-    never an unpartitioned window, which plans as a single-partition
-    exchange and funnels the whole corpus through one task at scale."""
-    plan = _plan(spark, "ext_similarity_ivf", mode="simple")
+    """The UNTRAINED hash-pick centroid selection must sample the
+    corpus as a parallel per-partition top-n (TakeOrderedAndProject on
+    the seeded hash) — never an unpartitioned window, which plans as a
+    single-partition exchange and funnels the whole corpus through one
+    task at scale. (The registered ext_similarity_ivf now uses TRAINED
+    k-means centroids — a 16-row driver relation — checked below.)"""
+    from pyspark.sql import functions as F
+
+    from ecommerce_lakehouse_platform_spark.operators import similarity
+    from ecommerce_lakehouse_platform_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    df = similarity.cosine_topk_ivf(emb, queries, k=5, n_centroids=16, nprobe=4)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
     assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_trained_ivf_assignment_broadcasts_model(spark):
+    """The registered (trained-k-means) IVF query: the k-row centroid
+    model rides in as a broadcast — the corpus-side bucket assignment
+    and probe join must never shuffle the corpus against the model,
+    and there is still no single-partition exchange anywhere."""
+    plan = _plan(spark, "ext_similarity_ivf", mode="simple")
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
     assert "Exchange SinglePartition" not in plan
 
 
