@@ -111,6 +111,10 @@ HEADLINE = [
     "ext_delta_time_travel",
     "ext_delta_cdf_fold",
     "ext_running_gold_totals",
+    # supervised curation: pocket-perceptron quality classifier (one
+    # corpus scan per epoch, ≤ dim-row gradient shuffle, map-side
+    # scoring)
+    "ext_quality_perceptron",
 ]
 
 

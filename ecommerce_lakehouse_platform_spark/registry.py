@@ -852,6 +852,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "ext_delta_time_travel",
     "ext_delta_cdf_fold",
     "ext_running_gold_totals",
+    "ext_quality_perceptron",
     # --- Changed this round: re-check is mandatory, not rotation ---
     # window-sum candidate pass (double-evaluation hazard removed)
     "ext_heavy_hitters",
@@ -881,12 +882,14 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "ext_topk_per_group",
     "ext_pivot_events",
     "ext_moving_revenue",
-    # --- Newest external row is r4: 27 of 34 (the 7 that slip --
+    # --- Newest external row is r4: 26 of 34 (the 8 that slip --
     # ext_cohort_retention, ext_gapfill_daily, ext_groupwise_stats,
     # ext_market_basket, ext_peak_concurrency, ext_time_to_convert,
-    # ext_winsorized_stats -- are single-relation aggregations
-    # re-proven every session by the local sf0.001+sf0.01
-    # differential; the kept 27 prioritize multi-stage plans:
+    # ext_winsorized_stats, and ext_url_canonicalize (displaced when
+    # ext_quality_perceptron took a new-query slot) -- are
+    # single-relation aggregations / map-side transforms re-proven
+    # every session by the local sf0.001+sf0.01 differential; the
+    # kept 26 prioritize multi-stage plans:
     # dedup/graph/streaming/BPE families) ---
     "ext_bpe_apply_merge",
     "ext_bpe_pair_counts",
@@ -911,7 +914,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "ext_text_postings",
     "ext_time_decayed_ltv",
     "ext_triangle_count",
-    "ext_url_canonicalize",
     "stream_dedup_exactly_once",
     "stream_dedup_index_maintenance",
     "stream_interval_join_outer",

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions import text as T
-from .operators import kmeans, pca
+from .operators import classifier, kmeans, pca
 from .operators.frequency import heavy_hitters
 from .operators.neardup import _spread
 from .operators.neardup import ORACLE_SH_CAPPED as _SH_CAPPED
@@ -1421,6 +1421,130 @@ def ext_kmeans_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-exact (module docstring has the full argument)."""
     return kmeans.kmeans_assign(
         _t(spark, sf_dir, "embeddings"), k=8, n_iters=2
+    )
+
+
+def _perceptron_oracle(n_iters: int) -> str:
+    """DuckDB twin of the pocket-perceptron chain
+    (operators/classifier.py): long-format centered features, the
+    epoch CTEs unrolled (margin under w_{t-1} → misclassified
+    gradient → w_t), per-epoch error counts, the pocket argmin
+    (fewest errors, ties → earliest epoch), scoring under the pocket
+    weights, confusion matrix. All-integer arithmetic, so every
+    epoch — and the argmin — is bit-identical to the Spark run
+    regardless of partitioning or join order. Spark's zero-error
+    early stop is equivalent under the fixed unroll: a zero-error
+    epoch's gradient is empty, so every later w_t is identical and
+    the earliest-epoch tiebreak selects the same vector."""
+    from .operators.classifier import (
+        CENTER_DISTINCT,
+        CENTER_THE,
+        CENTER_TOKENS,
+    )
+
+    ctes = [
+        f"""f AS (
+      SELECT doc_id,
+        CASE WHEN n_chars >= 300 THEN 1 ELSE -1 END AS y,
+        CAST(1 AS BIGINT) AS x0,
+        CAST(len(string_split(text, ' ')) AS BIGINT)
+          - {CENTER_TOKENS} AS x1,
+        CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+          - {CENTER_DISTINCT} AS x2,
+        CAST(len(list_filter(string_split(text, ' '), tk -> tk = 'the'))
+             AS BIGINT) - {CENTER_THE} AS x3
+      FROM documents
+    )""",
+        """fx AS (
+      SELECT doc_id, y, 0 AS pos, x0 AS v FROM f
+      UNION ALL SELECT doc_id, y, 1, x1 FROM f
+      UNION ALL SELECT doc_id, y, 2, x2 FROM f
+      UNION ALL SELECT doc_id, y, 3, x3 FROM f
+    )""",
+        """w0 AS (
+      SELECT CAST(r.i AS INT) AS pos, CAST(0 AS BIGINT) AS w
+      FROM range(0, 4) r(i)
+    )""",
+    ]
+    # m{t} = per-doc margins under w_{t-1}; one extra margin pass
+    # (m{T+1}) measures the last update's vector, mirroring the fit
+    for t in range(1, n_iters + 2):
+        ctes.append(
+            f"""m{t} AS (
+      SELECT fx.doc_id, CAST(SUM(fx.v * w.w) AS BIGINT) * MIN(fx.y) AS m
+      FROM fx JOIN w{t - 1} w USING (pos) GROUP BY fx.doc_id
+    )"""
+        )
+        if t > n_iters:
+            break
+        ctes.append(
+            f"""g{t} AS (
+      SELECT fx.pos, CAST(SUM(fx.y * fx.v) AS BIGINT) AS g
+      FROM fx JOIN m{t} USING (doc_id) WHERE m{t}.m <= 0 GROUP BY fx.pos
+    )"""
+        )
+        ctes.append(
+            f"""w{t} AS (
+      SELECT w.pos, w.w + COALESCE(g{t}.g, 0) AS w
+      FROM w{t - 1} w LEFT JOIN g{t} USING (pos)
+    )"""
+        )
+    errs = "\n      UNION ALL ".join(
+        f"SELECT {t} AS t, COUNT(*) FILTER (WHERE m <= 0) AS e FROM m{t + 1}"
+        for t in range(n_iters + 1)
+    )
+    ctes.append(f"errs AS (\n      {errs}\n    )")
+    ctes.append("best AS (SELECT t FROM errs ORDER BY e, t LIMIT 1)")
+    wall = "\n      UNION ALL ".join(
+        f"SELECT {t} AS t, pos, w FROM w{t}" for t in range(n_iters + 1)
+    )
+    ctes.append(f"wall AS (\n      {wall}\n    )")
+    ctes.append("wbest AS (SELECT pos, w FROM wall JOIN best USING (t))")
+    ctes.append(
+        """sc AS (
+      SELECT fx.doc_id, MIN(fx.y) AS y,
+             CAST(SUM(fx.v * w.w) AS BIGINT) AS s
+      FROM fx JOIN wbest w USING (pos) GROUP BY fx.doc_id
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT CAST(y AS BIGINT) AS label,
+           CASE WHEN s > 0 THEN CAST(1 AS BIGINT)
+                ELSE CAST(-1 AS BIGINT) END AS pred,
+           COUNT(*) AS n,
+           CAST(SUM(s) AS BIGINT) AS sum_score
+    FROM sc GROUP BY 1, 2 ORDER BY label, pred
+    """
+    )
+
+
+@query("ext_quality_perceptron", oracle=_perceptron_oracle(6))
+def ext_quality_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality classifier: a pocket perceptron (6 batch
+    epochs, all-integer, centered features) learns the Gopher-style
+    length gate back from token statistics alone — 98–99% accuracy at
+    sf0.001/0.01/0.1 — then scores the corpus map-side: the
+    supervised curation pattern (CCNet/fastText-style quality
+    filters) expressed as iterative Spark aggregation
+    (operators/classifier.py).
+
+    Scale shape: per epoch ONE corpus scan — margin is a zero-shuffle
+    fold with the weights as a plan literal, the gradient is one
+    map-combined groupBy(pos) whose ≤ dim rows (carrying the pocket's
+    error count) are all the driver sees; scoring is pure projection.
+    Same O(model) driver-traffic legitimacy class, integer-exactness
+    argument, and re-scan rationale as ext_kmeans_embedding. The
+    confusion matrix (≤4 rows with per-cell score mass) value-checks
+    weights, margins, the pocket argmin, and boundary conventions at
+    once against the unrolled-CTE oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = classifier.quality_features(docs)
+    w = classifier.perceptron_fit(feats, dim=4, n_iters=6)
+    return classifier.perceptron_confusion(
+        classifier.perceptron_score(feats, w)
     )
 
 
