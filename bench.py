@@ -105,16 +105,20 @@ HEADLINE = [
     # then search in the compressed domain
     "ext_pq_encode",
     "ext_pq_adc_search",
-    # round 7 additions: the Delta-protocol table under the gate
-    # (versioned sink + time travel; CDF fold == snapshot) and the
-    # rowsBetween frame surface over the gold daily model
+    # round 7 additions: the rowsBetween frame surface over the gold
+    # daily model and the supervised pocket-perceptron quality
+    # classifier (one corpus scan per epoch, ≤ dim-row gradient
+    # shuffle, map-side scoring)
+    "ext_running_gold_totals",
+    "ext_quality_perceptron",
+    # the Delta-protocol gate queries run LAST: they physically write
+    # the silver relation (×3 timed runs) and the page-cache
+    # writeback stalls whichever query follows — measured at sf1 as a
+    # spurious 15× on an innocent neighbor while the frozen sentinel
+    # swung 0.4s→17s (BENCH_SF1.md round-7 contamination note).
+    # Last place means the sink cost lands on the sinks.
     "ext_delta_time_travel",
     "ext_delta_cdf_fold",
-    "ext_running_gold_totals",
-    # supervised curation: pocket-perceptron quality classifier (one
-    # corpus scan per epoch, ≤ dim-row gradient shuffle, map-side
-    # scoring)
-    "ext_quality_perceptron",
 ]
 
 
@@ -148,6 +152,39 @@ def _sentinel_seconds(spark, sf_dir: str) -> tuple[float, float]:
     return round(statistics.median(runs), 4), round(statistics.stdev(runs), 4)
 
 
+def _sentinel_once(spark, sf_dir: str) -> float:
+    """ONE run of the sentinel plan, for the intra-run series.
+
+    The plan below must stay byte-identical to _sentinel_seconds's —
+    same frozen scan-aggregate, same noop sink — it is duplicated
+    rather than factored so the pinned 3-run function above never
+    changes shape. Why a series at all: ambient load swings WITHIN a
+    bench invocation, not just between rounds — measured at sf1, an
+    innocent query read 15× slow because the Delta sinks' page-cache
+    writeback landed on it while the (single, end-of-run) sentinel
+    read 0.4s; a later run's sentinel read 17s. Sampling the sentinel
+    every few queries timestamps the ambient level next to each
+    query, so per-query normalization survives intra-run weather
+    (tools/bench_compare.py uses the nearest sample when both
+    artifacts carry a series)."""
+    from pyspark.sql import functions as F
+
+    spark.catalog.clearCache()
+    start = time.perf_counter()
+    (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(30,6)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
+    return time.perf_counter() - start
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -170,7 +207,19 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
-    for name in names:
+    # intra-run ambient series: one sentinel sample before query 0,
+    # after every 8th query, and after the last — `pos` indexes into
+    # the queries map's key order (run order)
+    sentinel_series: list[dict[str, float]] = []
+
+    def _sample_sentinel(pos: int) -> None:
+        sec = round(_sentinel_once(spark, sf_dir), 4)
+        sentinel_series.append({"pos": pos, "sec": sec})
+        print(f"[bench] sentinel@{pos} {sec:.3f}s", file=sys.stderr)
+
+    for qi, name in enumerate(names):
+        if qi % 8 == 0:
+            _sample_sentinel(qi)
         runs: list[float] = []
         for _ in range(3):
             # cold per run: some operators cache() shared subplans
@@ -189,6 +238,7 @@ def main() -> None:
             print(f"[bench] {name} run={len(runs)} {runs[-1]:.3f}s", file=sys.stderr)
         timings[name] = round(statistics.median(runs), 3)
         spreads[name] = round(statistics.stdev(runs), 3)
+    _sample_sentinel(len(names))
 
     # per-iteration attribution for the iterative-graph queries: a
     # slow aggregate time should name WHICH iteration absorbed the
@@ -240,6 +290,10 @@ def main() -> None:
         # calling a delta a regression (see _sentinel_seconds)
         "sentinel_sec": sentinel_med,
         "sentinel_stddev": sentinel_sd,
+        # intra-run ambient samples (single sentinel runs at query
+        # positions): catches load swings WITHIN a run that the
+        # end-of-run median cannot (see _sentinel_once)
+        "sentinel_series": sentinel_series,
         "sf": sf,
     }
     detail_path = os.path.join(

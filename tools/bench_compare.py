@@ -65,6 +65,24 @@ def load(path: str) -> dict:
     }
 
 
+def per_query_sentinels(doc: dict) -> dict[str, float] | None:
+    """query -> nearest intra-run sentinel sample, when the artifact
+    carries a ``sentinel_series`` (bench.py samples the frozen probe
+    at query positions through the run — ambient load swings WITHIN a
+    run, e.g. page-cache writeback from sink queries, which the
+    single end-of-run sentinel cannot timestamp). Positions index the
+    queries map's key order, which json preserves."""
+    series = doc.get("sentinel_series")
+    if not series:
+        return None
+    names = list(doc["queries"])
+    out = {}
+    for i, q in enumerate(names):
+        nearest = min(series, key=lambda s: (abs(s["pos"] - i), s["pos"]))
+        out[q] = nearest["sec"]
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("old")
@@ -89,11 +107,25 @@ def main() -> None:
     if not common:
         raise SystemExit("no common queries between the two artifacts")
     drift = (sb / sa) if normalized else 1.0
+    # per-query ambient samples beat the global scalar when present
+    # on both sides: each query divides by the sentinel measured
+    # nearest to ITS position in its own run
+    pq_a, pq_b = per_query_sentinels(a), per_query_sentinels(b)
+    per_query = bool(pq_a and pq_b)
+    if per_query:
+        print(
+            "NOTE: both artifacts carry sentinel_series — normalizing "
+            "each query by its nearest intra-run sample",
+            file=sys.stderr,
+        )
     rows = []
     for q in common:
         va, vb = a["queries"][q], b["queries"][q]
         raw = vb / va if va else float("inf")
-        norm = raw / drift
+        if per_query and q in pq_a and q in pq_b and pq_a[q] and pq_b[q]:
+            norm = raw / ((pq_b[q] / pq_a[q]))
+        else:
+            norm = raw / drift
         rows.append((q, va, vb, raw, norm))
     rows.sort(key=lambda r: -r[4])
     print(
