@@ -122,49 +122,20 @@ HEADLINE = [
 ]
 
 
-def _sentinel_seconds(spark, sf_dir: str) -> tuple[float, float]:
-    """Fixed calibration probe: a frozen parquet scan-aggregate whose
-    code never changes round-to-round, timed exactly like a headline
-    query (median of 3 noop-sink runs). Its drift measures SANDBOX
-    drift: r5→r6 every comparable query moved +21% uniformly and the
-    artifact couldn't distinguish ambient load from regression —
-    normalizing per-query medians by this probe can. Do not edit this
-    function; a changed sentinel can't calibrate anything."""
-    from pyspark.sql import functions as F
-
-    runs: list[float] = []
-    for _ in range(3):
-        spark.catalog.clearCache()
-        start = time.perf_counter()
-        (
-            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-            .groupBy("l_returnflag")
-            .agg(
-                F.sum(F.col("l_quantity").cast("decimal(30,6)")).alias("s"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .write.mode("overwrite")
-            .format("noop")
-            .save()
-        )
-        runs.append(time.perf_counter() - start)
-        print(f"[bench] _sentinel run={len(runs)} {runs[-1]:.3f}s", file=sys.stderr)
-    return round(statistics.median(runs), 4), round(statistics.stdev(runs), 4)
-
-
 def _sentinel_once(spark, sf_dir: str) -> float:
-    """ONE run of the sentinel plan, for the intra-run series.
+    """ONE timed run of the FROZEN sentinel plan. The plan below is
+    the calibration contract: a fixed parquet scan-aggregate to a noop
+    sink, timed exactly like a headline query. Do not edit the plan —
+    a changed sentinel can't calibrate anything across rounds.
 
-    The plan below must stay byte-identical to _sentinel_seconds's —
-    same frozen scan-aggregate, same noop sink — it is duplicated
-    rather than factored so the pinned 3-run function above never
-    changes shape. Why a series at all: ambient load swings WITHIN a
-    bench invocation, not just between rounds — measured at sf1, an
-    innocent query read 15× slow because the Delta sinks' page-cache
-    writeback landed on it while the (single, end-of-run) sentinel
-    read 0.4s; a later run's sentinel read 17s. Sampling the sentinel
-    every few queries timestamps the ambient level next to each
-    query, so per-query normalization survives intra-run weather
+    Used two ways: the 3-run median (`_sentinel_seconds`) is the
+    per-run scalar, and the intra-run series samples this same probe
+    every few queries — ambient load swings WITHIN a bench invocation,
+    not just between rounds (measured at sf1, an innocent query read
+    15× slow because the Delta sinks' page-cache writeback landed on
+    it while one run's sentinel read 0.4s and another's read 17s).
+    The series timestamps the ambient level next to each query, so
+    per-query normalization survives intra-run weather
     (tools/bench_compare.py uses the nearest sample when both
     artifacts carry a series)."""
     from pyspark.sql import functions as F
@@ -183,6 +154,23 @@ def _sentinel_once(spark, sf_dir: str) -> float:
         .save()
     )
     return time.perf_counter() - start
+
+
+def _sentinel_seconds(spark, sf_dir: str) -> tuple[float, float]:
+    """(median, stddev) of 3 frozen-probe runs (`_sentinel_once` —
+    one shared plan, so the scalar and the series can never diverge).
+    Its drift measures SANDBOX drift: r5→r6 every comparable query
+    moved +21% uniformly and the artifact couldn't distinguish
+    ambient load from regression — normalizing per-query medians by
+    this probe can. Call it BEFORE the query loop: the Delta sink
+    queries run last and their page-cache writeback would contaminate
+    an end-of-run calibration (the exact failure the probe exists to
+    detect would corrupt the probe)."""
+    runs: list[float] = []
+    for _ in range(3):
+        runs.append(_sentinel_once(spark, sf_dir))
+        print(f"[bench] _sentinel run={len(runs)} {runs[-1]:.3f}s", file=sys.stderr)
+    return round(statistics.median(runs), 4), round(statistics.stdev(runs), 4)
 
 
 def main() -> None:
@@ -204,6 +192,10 @@ def main() -> None:
     registry.QUERIES[names[0]](spark, sf_dir).write.mode("overwrite").format(
         "noop"
     ).save()
+
+    # calibration scalar FIRST: taken at the end it would sit in the
+    # Delta sink queries' writeback shadow (they run last by design)
+    sentinel_med, sentinel_sd = _sentinel_seconds(spark, sf_dir)
 
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
@@ -274,8 +266,6 @@ def main() -> None:
         iters["ext_kmeans_embedding"] = [
             round(t, 3) for t in _km.LAST_ITER_TIMES
         ]
-
-    sentinel_med, sentinel_sd = _sentinel_seconds(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     detail = {

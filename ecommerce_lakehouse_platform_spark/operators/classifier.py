@@ -155,10 +155,12 @@ def perceptron_fit(
         for pos, _c, g in grad:
             w[pos] += g
     # the last update's vector still needs its errors measured
+    # (n_iters=0 lands here directly: w₀ is measured and returned,
+    # honoring the degrade-to-zero-model contract)
     grad = _epoch_gradient(feats, w)
     errors = grad[0][1] if grad else 0
     LAST_EPOCH_ERRORS.append(errors)
-    if errors < best_err:
+    if best_err is None or errors < best_err:
         best_err, best_w = errors, list(w)
     return best_w
 

@@ -26,8 +26,12 @@ model.
 
 from __future__ import annotations
 
+import atexit
+import os
+import re
 import shutil
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -43,12 +47,60 @@ from .sources.deltalog import MiniDeltaTable
 _PREVIOUS_DIRS: list[str] = []
 
 
+def _reap_at_exit() -> None:
+    """The lazy reaper always leaves each process's LAST table on disk
+    (~GB at sf1 — the full silver relation, several versions); without
+    this hook every bench/differential process leaks one."""
+    while _PREVIOUS_DIRS:
+        shutil.rmtree(_PREVIOUS_DIRS.pop(), ignore_errors=True)
+
+
+def _reap_orphans() -> None:
+    """Delete minidelta temp tables left by DEAD processes (a killed
+    bench run never reaches atexit). Dir names carry the owning pid
+    (see _fresh_dir); liveness-probe with signal 0. Pre-pid-format
+    dirs fall back to an age gate (>1h stale)."""
+    tmp = tempfile.gettempdir()
+    try:
+        names = os.listdir(tmp)
+    except OSError:
+        return
+    now = time.time()
+    for name in names:
+        if not name.startswith("minidelta_"):
+            continue
+        path = os.path.join(tmp, name)
+        m = re.match(r"minidelta_\w+?_p(\d+)_", name)
+        if m:
+            pid = int(m.group(1))
+            if pid == os.getpid():
+                continue
+            try:
+                os.kill(pid, 0)
+                continue  # owner alive — not ours to touch
+            except ProcessLookupError:
+                pass
+            except PermissionError:
+                continue  # alive under another uid
+        else:
+            try:
+                if now - os.path.getmtime(path) < 3600:
+                    continue
+            except OSError:
+                continue
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def _fresh_dir(prefix: str) -> str:
     while _PREVIOUS_DIRS:
         shutil.rmtree(_PREVIOUS_DIRS.pop(), ignore_errors=True)
-    base = tempfile.mkdtemp(prefix=prefix)
+    base = tempfile.mkdtemp(prefix=f"{prefix}p{os.getpid()}_")
     _PREVIOUS_DIRS.append(base)
     return base
+
+
+atexit.register(_reap_at_exit)
+_reap_orphans()
 
 # the silver-orders relation both queries sink (the raw timestamp is
 # excluded per the registry determinism rules; same projection as
@@ -135,7 +187,12 @@ def ext_delta_cdf_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl = MiniDeltaTable(spark, path)
     tbl.write(base.filter(key_mod.isin(0, 1)))  # v0
     tbl.write(base.filter(key_mod == 2), mode="append")  # v1
-    assert tbl.optimize() is not None  # v2: ≥2 active files by construction
+    # v2: compaction — a plain statement, NOT an assert: under
+    # python -O an assert's side effect vanishes and the query would
+    # silently stop exercising the OPTIMIZE-is-CDF-invisible contract
+    optimized_version = tbl.optimize()  # ≥2 active files by construction
+    if optimized_version is None:
+        raise RuntimeError("OPTIMIZE found nothing to compact")
     restated = base.filter(key_mod == 0).unionByName(
         base.filter(key_mod == 1).withColumn("priority", F.lit("RESTATED"))
     )

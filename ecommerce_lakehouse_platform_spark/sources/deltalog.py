@@ -856,10 +856,12 @@ class MiniDeltaTable:
             F.col(f.name).cast(f.dataType).alias(f.name) for f in snap.schema
         ]
         if zorder_by:
-            df = df.select(*cast_cols)
-            nrows = df.count()
-            df = self._zorder_layout(
-                df, snap.partition_columns, zorder_by, total, max_file_bytes
+            df, nrows = self._zorder_layout(
+                df.select(*cast_cols),
+                snap.partition_columns,
+                zorder_by,
+                total,
+                max_file_bytes,
             )
         elif snap.partition_columns:
             # per-PARTITION size-targeted bins: each rewritten group
@@ -987,11 +989,13 @@ class MiniDeltaTable:
         zorder_by: list[str],
         total_bytes: int,
         max_file_bytes: int,
-    ) -> DataFrame:
-        """Order the rewrite along the Morton curve of ``zorder_by``:
-        each column is range-normalized into the curve's 16-bit bucket
-        domain from ONE min/max aggregate over the victims (driver
-        traffic = 2 scalars per column), interleaved with
+    ) -> tuple[DataFrame, int]:
+        """(layout, nrows): order the rewrite along the Morton curve
+        of ``zorder_by``: each column is range-normalized into the
+        curve's 16-bit bucket domain from ONE min/max aggregate over
+        the victims (driver traffic = 2 scalars per column plus the
+        row count, which rides the same aggregate so the caller's
+        avg-row sizing costs no extra scan), interleaved with
         ``operators/zorder.z_value``, then range-partitioned into
         ~``max_file_bytes`` curve segments and sorted within tasks —
         so every output file covers one contiguous curve segment and
@@ -1020,6 +1024,7 @@ class MiniDeltaTable:
                 )
             norm.append((name, num))
         bounds = df.agg(
+            F.count(F.lit(1)).alias("_nrows"),
             *[
                 agg
                 for name, num in norm
@@ -1027,8 +1032,9 @@ class MiniDeltaTable:
                     F.min(num).alias(f"_mn_{name}"),
                     F.max(num).alias(f"_mx_{name}"),
                 )
-            ]
+            ],
         ).collect()[0]
+        nrows = bounds["_nrows"]
         buckets: list[Column] = []
         for name, num in norm:
             mn, mx = bounds[f"_mn_{name}"], bounds[f"_mx_{name}"]
@@ -1045,12 +1051,13 @@ class MiniDeltaTable:
             )
         n_parts = max(1, -(-total_bytes // max_file_bytes))
         keys = [F.col(c) for c in partition_columns] + [F.col("_z")]
-        return (
+        layout = (
             df.withColumn("_z", z_value(buckets, bits))
             .repartitionByRange(n_parts, *keys)
             .sortWithinPartitions(*keys)
             .drop("_z")
         )
+        return layout, nrows
 
     def restore(self, version: int) -> int:
         """RESTORE TABLE ... TO VERSION AS OF: commit the file set and

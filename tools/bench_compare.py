@@ -45,12 +45,31 @@ def load(path: str) -> dict:
     # over the intersection and says how many pairs were recovered.
     parsed = doc.get("parsed") if isinstance(doc.get("parsed"), dict) else {}
     tail = doc.get("tail", "")
+    if '"stddev"' not in tail:
+        # the retained tail starts AFTER the queries map ended — any
+        # name:number pairs in it are stddevs / sentinel_series
+        # samples, NOT medians; harvesting them would compare noise
+        # against the other side's true medians
+        raise SystemExit(
+            f"{path}: tail retains no portion of the 'queries' map "
+            "(no '\"stddev\"' separator) — cannot recover medians"
+        )
     seg = tail.split('"stddev"')[0]
     pairs = re.findall(r'"([A-Za-z0-9_]+)": ([0-9][0-9.]*)', seg)
     queries = {
         k: float(v)
         for k, v in pairs
-        if k not in ("metric", "value", "sf", "n_queries", "sentinel_sec")
+        if k
+        not in (
+            "metric",
+            "value",
+            "sf",
+            "n_queries",
+            "sentinel_sec",
+            "sentinel_stddev",
+            "pos",
+            "sec",
+        )
     }
     if not queries:
         raise SystemExit(f"{path}: no 'queries' map and no recoverable tail")
