@@ -1,0 +1,75 @@
+"""tools/bench_compare.py parsing + normalization logic (pure Python
+— no Spark session). The comparisons this tool prints are what turn a
+raw bench delta into a regression verdict, so its edge cases (driver
+tail truncation, intra-run sentinel series) are pinned here."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(ROOT, "tools"))
+
+from bench_compare import load, per_query_sentinels  # noqa: E402
+
+
+def _write(tmp_path, name: str, doc: dict) -> str:
+    p = tmp_path / name
+    p.write_text(json.dumps(doc))
+    return str(p)
+
+
+def test_load_detail_passthrough(tmp_path):
+    doc = {"queries": {"a": 1.0}, "sentinel_sec": 0.5}
+    assert load(_write(tmp_path, "d.json", doc))["queries"] == {"a": 1.0}
+
+
+def test_tail_recovery_reads_query_pairs(tmp_path):
+    tail = '_x": 0.1, "q_full": 2.5}, "stddev": {"q_full": 0.2}}'
+    doc = {"tail": tail, "parsed": {"sentinel_sec": 0.4}}
+    got = load(_write(tmp_path, "r.json", doc))
+    # the cut-mid-name first pair has no opening quote and is skipped;
+    # stddev pairs after the separator are not medians
+    assert got["queries"] == {"q_full": 2.5}
+    assert got["sentinel_sec"] == 0.4
+
+
+def test_tail_without_queries_map_is_refused(tmp_path):
+    # tail starts AFTER the queries map ended: only stddev/series
+    # content survives — harvesting it as medians would compare noise
+    tail = '0.2, "q_b": 0.3}, "sentinel_series": [{"pos": 8, "sec": 0.5}]}'
+    doc = {"tail": tail, "parsed": {"sentinel_sec": 0.4}}
+    with pytest.raises(SystemExit, match="no portion of the 'queries' map"):
+        load(_write(tmp_path, "r.json", doc))
+
+
+def test_series_keys_never_parse_as_queries(tmp_path):
+    tail = (
+        '"q_a": 1.5, "q_b": 0.3}, "stddev": {"q_a": 0.1}, '
+        '"sentinel_series": [{"pos": 0, "sec": 9.9}]}'
+    )
+    got = load(_write(tmp_path, "r.json", {"tail": tail, "parsed": {}}))
+    assert got["queries"] == {"q_a": 1.5, "q_b": 0.3}
+    assert "pos" not in got["queries"] and "sec" not in got["queries"]
+
+
+def test_per_query_sentinels_nearest_sample():
+    doc = {
+        "queries": {"q0": 1.0, "q1": 1.0, "q2": 1.0, "q3": 1.0},
+        "sentinel_series": [
+            {"pos": 0, "sec": 0.4},
+            {"pos": 2, "sec": 0.8},
+        ],
+    }
+    got = per_query_sentinels(doc)
+    # q0 -> pos 0; q1 equidistant (|0-1| == |2-1|) -> lower pos wins;
+    # q2, q3 -> pos 2
+    assert got == {"q0": 0.4, "q1": 0.4, "q2": 0.8, "q3": 0.8}
+
+
+def test_per_query_sentinels_absent_series():
+    assert per_query_sentinels({"queries": {"a": 1.0}}) is None
