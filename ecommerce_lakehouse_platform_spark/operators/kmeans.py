@@ -135,7 +135,11 @@ def kmeans_fit(
     seed rank order is the cluster id."""
     pts = quantize_vectors(df, id_col, vec_col)
 
-    LAST_ITER_TIMES.clear()
+    # phase times build locally and swap into LAST_ITER_TIMES whole at
+    # the end: concurrent fits (pq_fit_blocks threads the independent
+    # block fits) must not interleave their telemetry — the last
+    # finisher wins a coherent list instead of a garbled merge
+    phase_times: list[float] = []
     t0 = time.monotonic()
     seed_rows = (
         pts.select(
@@ -149,7 +153,7 @@ def kmeans_fit(
         .limit(k)
         .collect()
     )
-    LAST_ITER_TIMES.append(time.monotonic() - t0)
+    phase_times.append(time.monotonic() - t0)
     seed_rows.sort(key=lambda r: (r["_h"], r[id_col]))
     centroids = [(cid, list(r["q"])) for cid, r in enumerate(seed_rows)]
 
@@ -192,11 +196,12 @@ def kmeans_fit(
             )
             for slot, row in zip(missing, far):
                 by_cluster[slot] = dict(enumerate(row["q"]))
-        LAST_ITER_TIMES.append(time.monotonic() - t0)
+        phase_times.append(time.monotonic() - t0)
         centroids = [
             (cid, [d[p] for p in sorted(d)])
             for cid, d in sorted(by_cluster.items())
         ]
+    LAST_ITER_TIMES[:] = phase_times
     return centroids
 
 
@@ -242,15 +247,25 @@ def pq_fit_blocks(
     salt: str = "pq",
 ) -> list[list[tuple[int, list[int]]]]:
     """One independent quantized codebook per subvector block
-    (:func:`kmeans_fit` on the slice, block-salted seeds)."""
+    (:func:`kmeans_fit` on the slice, block-salted seeds).
+
+    The block fits are submitted from ``n_blocks`` threads: each fit
+    is a driver loop of small Spark jobs (seed pick + one aggregate
+    per Lloyd iteration), so run sequentially the cluster idles
+    between job launches; concurrent submission overlaps the
+    scheduling gaps (Spark sessions are thread-safe for job
+    submission, and the fits share no state — results are
+    bit-identical to the sequential order, and ``ex.map`` preserves
+    block order)."""
     if dim % n_blocks:
         raise ValueError(
             f"dim {dim} not divisible by n_blocks {n_blocks}: trailing "
             "components would be silently dropped from every codebook"
         )
     sub = dim // n_blocks
-    return [
-        kmeans_fit(
+
+    def fit_block(b: int) -> list[tuple[int, list[int]]]:
+        return kmeans_fit(
             _block_slice(df, b, sub, id_col, vec_col),
             k,
             n_iters,
@@ -258,8 +273,11 @@ def pq_fit_blocks(
             "_sub",
             salt=f"{salt}{b}:",
         )
-        for b in range(n_blocks)
-    ]
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=n_blocks) as ex:
+        return list(ex.map(fit_block, range(n_blocks)))
 
 
 def pq_encode(
