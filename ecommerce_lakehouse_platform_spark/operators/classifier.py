@@ -48,6 +48,15 @@ Distributed shape (the 100 TB contract):
 Each epoch re-scans the (columnar, pruned) feature source rather than
 caching: identical reasoning to kmeans' re-scan note.
 
+Magnitude bounds (BIGINT safety): after T epochs ‖w‖∞ ≤ T·n·max|x|
+(every row misclassified every epoch is the worst case), so scores are
+≤ dim·T·n·max|x|² and the confusion matrix's score mass is
+≤ dim·T·n²·max|x|³. With centered features (max|x| ~10³) that keeps
+exact BIGINT through n ~10⁸ documents; beyond that, train on a
+fixed-size stratified sample (`ext_sample_stratified`) and score the
+full corpus — the standard practice anyway, since a linear model's
+fit gains nothing from the 10⁹th example.
+
 The reference has no classifier (its curation is rule-based SQL);
 this belongs to the training-data extension surface. Public
 algorithms: Rosenblatt 1958 (perceptron), Gallant 1990 (pocket).

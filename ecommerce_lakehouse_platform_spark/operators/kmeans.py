@@ -54,7 +54,9 @@ SCALE = 1 << 20  # 2^-20 quantization grid, shared with the registry oracles
 
 # wall time of the last kmeans_fit's driver-synchronized phases
 # ([seed pick, iteration 1, ..., iteration n]) — bench telemetry only,
-# never part of any result (same contract as pagerank.LAST_ITER_TIMES)
+# never part of any result (same contract as pagerank.LAST_ITER_TIMES).
+# Fits swap their list in whole at the end, so under concurrent fits
+# (pq_fit_blocks) the slot holds the LAST FINISHER's coherent phases.
 LAST_ITER_TIMES: list[float] = []
 
 
