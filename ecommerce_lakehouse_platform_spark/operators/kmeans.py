@@ -305,7 +305,14 @@ def pq_encode(
     scans codes against per-query lookup tables. Spark shape: codebook
     training is the kmeans driver loop per block (k·dim/n_blocks
     driver state); ENCODING — the part proportional to the corpus —
-    is a zero-shuffle map-side assignment per block, unioned. All
+    is a zero-shuffle map-side assignment FUSED across blocks: both
+    codebook constants ride in as one block-indexed nested literal
+    each, an outer ``transform`` over the block sequence slices the
+    vector and picks the nearest code via the same ``array_min``
+    lexicographic argmin as :func:`_assign`, and one ``explode``
+    emits every (id, block, code, dist_sq) row from a single
+    projection over a single corpus scan — not n_blocks unioned
+    branches each rescanning the input (the pre-r8 shape). All
     arithmetic on the 2^-20 grid, so the encoding is bit-exact
     cross-engine like the underlying k-means."""
     sub = dim // n_blocks
@@ -313,24 +320,54 @@ def pq_encode(
         codebooks = pq_fit_blocks(
             df, dim, n_blocks, k, n_iters, id_col, vec_col, salt
         )
-    parts = []
-    for b in range(n_blocks):
-        sliced = _block_slice(df, b, sub, id_col, vec_col)
-        assigned = _assign(
-            quantize_vectors(sliced, id_col, "_sub"), codebooks[b]
-        )
-        parts.append(
-            assigned.select(
-                id_col,
-                F.lit(b).cast("long").alias("block"),
-                F.col("cluster").alias("code"),
-                "dist_sq",
+    cids_all = F.lit(
+        [[int(cid) for cid, _ in cb] for cb in codebooks]
+    ).cast("array<array<bigint>>")
+    vecs_all = F.lit(
+        [[[int(x) for x in vec] for _, vec in cb] for cb in codebooks]
+    ).cast("array<array<array<bigint>>>")
+    q = quantize_vectors(df, id_col, vec_col)
+
+    def block_code(b):  # b: 0-based block index Column
+        cid_arr = F.element_at(cids_all, b + 1)
+        vec_arr = F.element_at(vecs_all, b + 1)
+        q_sub = F.slice(F.col("q"), b * F.lit(sub) + 1, F.lit(sub))
+        best = F.array_min(
+            F.transform(
+                F.sequence(F.lit(1), F.size(cid_arr)),
+                lambda i: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            q_sub,
+                            F.element_at(vec_arr, i),
+                            lambda a, c: (a - c) * (a - c),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ).alias("d"),
+                    F.element_at(cid_arr, i).alias("c"),
+                ),
             )
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        return F.struct(
+            b.cast("long").alias("block"),
+            best["c"].alias("code"),
+            best["d"].alias("dist_sq"),
+        )
+
+    return q.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_blocks - 1)), block_code
+            )
+        ).alias("_bc"),
+    ).select(
+        id_col,
+        F.col("_bc.block").alias("block"),
+        F.col("_bc.code").alias("code"),
+        F.col("_bc.dist_sq").alias("dist_sq"),
+    )
 
 
 def pq_adc_topk(
@@ -349,37 +386,48 @@ def pq_adc_topk(
 
     Per query, the exact squared distance from each query subvector to
     every codebook centroid forms a (blocks × k_codes) lookup table —
-    computed DISTRIBUTED on the queries DataFrame (the codebooks ride
-    into the plan as constant array literals, the per-code distances
-    are a transform/zip_with/aggregate fold, and explode emits one
-    (query, block, code, pdist) row each), never collected: feeding a
-    corpus-sized query set no longer funnels through a driver loop.
-    The tables then ship as the broadcast side — sized queries ×
-    blocks × k_codes, which is what makes ADC's one-joint-pass shape
-    work; a query set too large to broadcast would switch this join
-    to a shuffle, not change the build. The corpus-proportional work
-    is one broadcast-hash join of the CODES (n_blocks small ints per
-    vector, the compressed representation) against the tables plus one
-    partial-aggregated sum per (query, neighbor) — no full-vector scan
-    anywhere, which at 100 TB is the entire point of searching the
-    compressed domain. All arithmetic stays on the quantized BIGINT
-    grid, so the results are bit-identical to the former driver-side
-    build."""
+    computed DISTRIBUTED on the queries DataFrame and FUSED into a
+    single stage: BOTH codebooks' constants ride into the plan as one
+    block-indexed nested array literal each, an outer ``transform``
+    over the block sequence slices the query and folds the per-code
+    distances (zip_with/aggregate), and ONE ``flatten`` + ``explode``
+    emits every (query, block, code, pdist) row from a single
+    projection — not a Python loop emitting one explode branch per
+    block and unioning them (the pre-r8 shape, whose per-block stages
+    cost ~3s of job-launch overhead at toy scale). Nothing is
+    collected: feeding a corpus-sized query set never funnels through
+    the driver. The tables then ship as the broadcast side — sized
+    queries × blocks × k_codes, which is what makes ADC's
+    one-joint-pass shape work; a query set too large to broadcast
+    would switch this join to a shuffle, not change the build. The
+    corpus-proportional work is one broadcast-hash join of the CODES
+    (n_blocks small ints per vector, the compressed representation)
+    against the tables plus one partial-aggregated sum per
+    (query, neighbor) — no full-vector scan anywhere, which at 100 TB
+    is the entire point of searching the compressed domain. All
+    arithmetic stays on the quantized BIGINT grid, so the results are
+    bit-identical to the former per-block (and the original
+    driver-side) build."""
     n_blocks = len(codebooks)
     sub = dim // n_blocks
     q = quantize_vectors(queries, id_col, vec_col)
-    parts = []
-    for b, codebook in enumerate(codebooks):
-        cid_arr = F.lit([int(cid) for cid, _ in codebook]).cast(
-            "array<bigint>"
-        )
-        vec_arr = F.lit([[int(x) for x in vec] for _, vec in codebook]).cast(
-            "array<array<bigint>>"
-        )
-        q_sub = F.slice(F.col("q"), b * sub + 1, sub)
-        per_code = F.transform(
-            F.sequence(F.lit(1), F.lit(len(codebook))),
+    # One nested literal per constant kind, indexed [block][code_pos]:
+    # the whole table build becomes a single expression tree.
+    cids_all = F.lit(
+        [[int(cid) for cid, _ in cb] for cb in codebooks]
+    ).cast("array<array<bigint>>")
+    vecs_all = F.lit(
+        [[[int(x) for x in vec] for _, vec in cb] for cb in codebooks]
+    ).cast("array<array<array<bigint>>>")
+
+    def block_table(b):  # b: 0-based block index Column
+        cid_arr = F.element_at(cids_all, b + 1)
+        vec_arr = F.element_at(vecs_all, b + 1)
+        q_sub = F.slice(F.col("q"), b * F.lit(sub) + 1, F.lit(sub))
+        return F.transform(
+            F.sequence(F.lit(1), F.size(cid_arr)),
             lambda i: F.struct(
+                b.cast("long").alias("block"),
                 F.element_at(cid_arr, i).alias("code"),
                 F.aggregate(
                     F.zip_with(
@@ -392,21 +440,22 @@ def pq_adc_topk(
                 ).alias("pdist"),
             ),
         )
-        parts.append(
-            q.select(
-                F.col(id_col).alias(query_id_col),
-                F.lit(b).cast("long").alias("block"),
-                F.explode(per_code).alias("_pc"),
-            ).select(
-                query_id_col,
-                "block",
-                F.col("_pc.code").alias("code"),
-                F.col("_pc.pdist").alias("pdist"),
+
+    tables = q.select(
+        F.col(id_col).alias(query_id_col),
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_blocks - 1)), block_table
+                )
             )
-        )
-    tables = parts[0]
-    for p in parts[1:]:
-        tables = tables.unionByName(p)
+        ).alias("_pc"),
+    ).select(
+        query_id_col,
+        F.col("_pc.block").alias("block"),
+        F.col("_pc.code").alias("code"),
+        F.col("_pc.pdist").alias("pdist"),
+    )
     scored = (
         codes.join(F.broadcast(tables), ["block", "code"])
         .filter(F.col(query_id_col) != F.col(id_col))

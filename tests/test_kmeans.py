@@ -258,6 +258,13 @@ def test_adc_table_build_is_distributed(spark):
     assert "BroadcastHashJoin" in plan
     assert "LocalTableScan" not in plan, "driver-built relation in plan"
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # r8 fusion pin: ALL blocks fused on BOTH sides — exactly two
+    # Generate nodes total (one flatten+explode building every
+    # block's table, one explode emitting every block's code from a
+    # single corpus scan in pq_encode) and no Union of per-block
+    # branches anywhere in the search plan.
+    assert plan.count("Generate") == 2, "per-block explode branches back"
+    assert "Union" not in plan, "per-block union branches back"
     # and the search itself still answers correctly: top-3 per query
     got = out.collect()
     assert {r["query_id"] for r in got} == {0, 1, 2}
