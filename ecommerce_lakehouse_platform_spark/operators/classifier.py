@@ -49,13 +49,24 @@ Each epoch re-scans the (columnar, pruned) feature source rather than
 caching: identical reasoning to kmeans' re-scan note.
 
 Magnitude bounds (BIGINT safety): after T epochs ‖w‖∞ ≤ T·n·max|x|
-(every row misclassified every epoch is the worst case), so scores are
-≤ dim·T·n·max|x|² and the confusion matrix's score mass is
-≤ dim·T·n²·max|x|³. With centered features (max|x| ~10³) that keeps
-exact BIGINT through n ~10⁸ documents; beyond that, train on a
-fixed-size stratified sample (`ext_sample_stratified`) and score the
-full corpus — the standard practice anyway, since a linear model's
-fit gains nothing from the 10⁹th example.
+(every row misclassified every epoch is the worst case), so per-row
+scores are ≤ dim·T·n·max|x|² — with centered features (max|x| ~10³)
+exact BIGINT through n ~10⁸ documents WORST CASE, which covers the
+fit and the map-side corpus filter. The confusion matrix's score
+mass adds another factor of n (≤ dim·T·n²·max|x|³), whose worst case
+crosses int64 around n ~10⁴–10⁵; in practice it stays far smaller
+because the worst case assumes every row misclassified every epoch,
+which contradicts the shrinking error counts a converging fit
+exhibits (LAST_EPOCH_ERRORS) — but that is an empirical property,
+not a bound. Both engines fail LOUDLY if it is ever exceeded: this
+repo runs Spark with ANSI mode on (sum overflow raises) and the
+oracle's CAST(SUM(..) AS BIGINT) raises in DuckDB, so a blown bound
+is a hard error on both sides, never a silent divergence. For
+corpora past either bound, train on a fixed-size stratified sample
+and score the full corpus — `ext_quality_sampled_train` exercises
+exactly that composition (gradient and score magnitudes then scale
+with the SAMPLE size) — the standard practice anyway, since a linear
+model's fit gains nothing from the 10⁹th example.
 
 The reference has no classifier (its curation is rule-based SQL);
 this belongs to the training-data extension surface. Public

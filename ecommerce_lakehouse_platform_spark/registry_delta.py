@@ -31,7 +31,6 @@ import os
 import re
 import shutil
 import tempfile
-import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -58,40 +57,43 @@ def _reap_at_exit() -> None:
 def _reap_orphans() -> None:
     """Delete minidelta temp tables left by DEAD processes (a killed
     bench run never reaches atexit). Dir names carry the owning pid
-    (see _fresh_dir); liveness-probe with signal 0. Pre-pid-format
-    dirs fall back to an age gate (>1h stale)."""
+    (see _fresh_dir); liveness-probe with signal 0. Dirs without the
+    pid marker are left alone — an age gate can delete a live table
+    out from under a long run still using the previous name format,
+    and such dirs age out of existence once every writer is upgraded.
+    Pid-reuse can make a dead run's dir look owned (it then leaks
+    until that pid dies), which is the safe side of the trade."""
     tmp = tempfile.gettempdir()
     try:
         names = os.listdir(tmp)
     except OSError:
         return
-    now = time.time()
     for name in names:
         if not name.startswith("minidelta_"):
             continue
-        path = os.path.join(tmp, name)
         m = re.match(r"minidelta_\w+?_p(\d+)_", name)
-        if m:
-            pid = int(m.group(1))
-            if pid == os.getpid():
-                continue
-            try:
-                os.kill(pid, 0)
-                continue  # owner alive — not ours to touch
-            except ProcessLookupError:
-                pass
-            except PermissionError:
-                continue  # alive under another uid
-        else:
-            try:
-                if now - os.path.getmtime(path) < 3600:
-                    continue
-            except OSError:
-                continue
-        shutil.rmtree(path, ignore_errors=True)
+        if not m:
+            continue
+        pid = int(m.group(1))
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)
+            continue  # owner alive — not ours to touch
+        except ProcessLookupError:
+            pass
+        except PermissionError:
+            continue  # alive under another uid
+        shutil.rmtree(os.path.join(tmp, name), ignore_errors=True)
 
 
 def _fresh_dir(prefix: str) -> str:
+    global _ORPHANS_REAPED
+    if not _ORPHANS_REAPED:
+        # reap on first use, not at import: importing the registry
+        # must not touch the filesystem as a side effect
+        _ORPHANS_REAPED = True
+        _reap_orphans()
     while _PREVIOUS_DIRS:
         shutil.rmtree(_PREVIOUS_DIRS.pop(), ignore_errors=True)
     base = tempfile.mkdtemp(prefix=f"{prefix}p{os.getpid()}_")
@@ -100,7 +102,7 @@ def _fresh_dir(prefix: str) -> str:
 
 
 atexit.register(_reap_at_exit)
-_reap_orphans()
+_ORPHANS_REAPED = False
 
 # the silver-orders relation both queries sink (the raw timestamp is
 # excluded per the registry determinism rules; same projection as
@@ -209,6 +211,100 @@ def ext_delta_cdf_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("_net") > 0)
         .drop("_net")
+    )
+
+
+@query(
+    "ext_delta_merge_cdf",
+    # Expected fold after the MERGE (committed as a full overwrite =
+    # delete-all + insert-all): %3==0 rows were in v0 and survive the
+    # merge untouched → 3 CDF events (insert v0, delete+insert v1);
+    # %3==1 rows' ORIGINAL version nets out (insert v0 + delete v1)
+    # and their MERGED replacement is a single v1 insert; %3==2 rows
+    # are pure inserts — 1 event each.
+    oracle=f"""
+    WITH s AS ({_SILVER_ORDERS_SQL})
+    SELECT order_id, customer_id, status, priority, total_usd,
+           order_date, CAST(3 AS BIGINT) AS n_row_events
+    FROM s WHERE CAST(order_id AS BIGINT) % 3 = 0
+    UNION ALL
+    SELECT order_id, customer_id, status, 'MERGED' AS priority,
+           total_usd, order_date, CAST(1 AS BIGINT) AS n_row_events
+    FROM s WHERE CAST(order_id AS BIGINT) % 3 IN (1, 2)
+    """,
+)
+def ext_delta_merge_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO under the change feed: write two-thirds of silver
+    orders (v0), MERGE a source that UPDATES the %3==1 rows (priority
+    restated) and INSERTS the %3==2 rows (copy-on-write upsert,
+    ``MiniDeltaTable.merge`` — the managed-Delta upsert surface the
+    reference's silver sink models, 02_silver_transform.py:29-37),
+    then fold ``changes(0)`` per row. The fold must reproduce the
+    post-merge snapshot exactly AND the per-row event counts must show
+    the merge's delete+reinsert of untouched rows — the observable
+    contract of a full-overwrite MERGE commit. The oracle states the
+    net relation and counts directly from the fixtures."""
+    base = _silver_orders(spark, sf_dir)
+    key_mod = F.col("order_id").cast("long") % 3
+    path = _fresh_dir("minidelta_mrg_") + "/orders"
+    tbl = MiniDeltaTable(spark, path)
+    tbl.write(base.filter(key_mod.isin(0, 1)))  # v0
+    source = base.filter(key_mod.isin(1, 2)).withColumn(
+        "priority", F.lit("MERGED")
+    )
+    merged_version = tbl.merge(source, keys=["order_id"])
+    if merged_version != 1:
+        raise RuntimeError(f"merge landed at v{merged_version}, expected v1")
+    cdf = tbl.changes(0)
+    cols = [c for c in cdf.columns if not c.startswith("_")]
+    return (
+        cdf.groupBy(*cols)
+        .agg(
+            F.sum(
+                F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+            ).alias("_net"),
+            F.count(F.lit(1)).alias("n_row_events"),
+        )
+        .filter(F.col("_net") > 0)
+        .drop("_net")
+    )
+
+
+@query(
+    "ext_delta_restore",
+    # After RESTORE the LATEST snapshot is the v0 relation under the
+    # v0 schema, and history has moved FORWARD to v2 (restore commits
+    # a new version; it never truncates) — pinned by the constant
+    # latest_version column.
+    oracle=f"""
+    SELECT *, CAST(2 AS BIGINT) AS latest_version
+    FROM ({_SILVER_ORDERS_SQL})
+    """,
+)
+def ext_delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE ... TO VERSION AS OF, read back at latest: write
+    silver orders (v0), overwrite with a filtered relation under an
+    EVOLVED schema (v1 — the reference's overwriteSchema contract),
+    RESTORE to v0 (v2, metadata-only file-level removes/adds), then
+    read the LATEST snapshot with no version pin. The read must
+    surface the v0 rows under the v0 schema — proving restore rebinds
+    both the file set and the schema — and the returned
+    ``latest_version`` pins that history advanced to v2 instead of
+    being truncated. Oracle: the v0 relation straight from the
+    fixtures."""
+    base = _silver_orders(spark, sf_dir)
+    path = _fresh_dir("minidelta_rst_") + "/orders"
+    tbl = MiniDeltaTable(spark, path)
+    tbl.write(base)  # v0
+    tbl.write(  # v1: filtered + evolved, the state restore must undo
+        base.filter(F.col("status") == "F").withColumn(
+            "restated", F.lit(True)
+        ),
+        overwrite_schema=True,
+    )
+    restored_version = tbl.restore(0)
+    return tbl.read().withColumn(
+        "latest_version", F.lit(restored_version).cast("long")
     )
 
 

@@ -1424,7 +1424,7 @@ def ext_kmeans_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _perceptron_oracle(n_iters: int) -> str:
+def _perceptron_oracle(n_iters: int, train_where: str | None = None) -> str:
     """DuckDB twin of the pocket-perceptron chain
     (operators/classifier.py): long-format centered features, the
     epoch CTEs unrolled (margin under w_{t-1} → misclassified
@@ -1435,7 +1435,14 @@ def _perceptron_oracle(n_iters: int) -> str:
     regardless of partitioning or join order. Spark's zero-error
     early stop is equivalent under the fixed unroll: a zero-error
     epoch's gradient is empty, so every later w_t is identical and
-    the earliest-epoch tiebreak selects the same vector."""
+    the earliest-epoch tiebreak selects the same vector.
+
+    ``train_where`` (a predicate over ``documents d``) restricts the
+    FIT — margins, gradients, and the pocket's error counts — to the
+    matching documents; scoring always covers the full corpus. This
+    mirrors the sampled-train/full-score composition the classifier's
+    magnitude-bounds note prescribes for n beyond exact-BIGINT
+    range."""
     from .operators.classifier import (
         CENTER_DISTINCT,
         CENTER_THE,
@@ -1466,21 +1473,34 @@ def _perceptron_oracle(n_iters: int) -> str:
       FROM range(0, 4) r(i)
     )""",
     ]
+    fit_src = "fx"
+    if train_where is not None:
+        fit_src = "fxt"
+        ctes.append(
+            f"""fxt AS (
+      SELECT fx.* FROM fx
+      JOIN documents d ON d.doc_id = fx.doc_id
+      WHERE {train_where}
+    )"""
+        )
     # m{t} = per-doc margins under w_{t-1}; one extra margin pass
     # (m{T+1}) measures the last update's vector, mirroring the fit
     for t in range(1, n_iters + 2):
         ctes.append(
             f"""m{t} AS (
-      SELECT fx.doc_id, CAST(SUM(fx.v * w.w) AS BIGINT) * MIN(fx.y) AS m
-      FROM fx JOIN w{t - 1} w USING (pos) GROUP BY fx.doc_id
+      SELECT {fit_src}.doc_id,
+             CAST(SUM({fit_src}.v * w.w) AS BIGINT) * MIN({fit_src}.y) AS m
+      FROM {fit_src} JOIN w{t - 1} w USING (pos)
+      GROUP BY {fit_src}.doc_id
     )"""
         )
         if t > n_iters:
             break
         ctes.append(
             f"""g{t} AS (
-      SELECT fx.pos, CAST(SUM(fx.y * fx.v) AS BIGINT) AS g
-      FROM fx JOIN m{t} USING (doc_id) WHERE m{t}.m <= 0 GROUP BY fx.pos
+      SELECT {fit_src}.pos, CAST(SUM({fit_src}.y * {fit_src}.v) AS BIGINT) AS g
+      FROM {fit_src} JOIN m{t} USING (doc_id) WHERE m{t}.m <= 0
+      GROUP BY {fit_src}.pos
     )"""
         )
         ctes.append(
@@ -1545,6 +1565,64 @@ def ext_quality_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = classifier.perceptron_fit(feats, dim=4, n_iters=6)
     return classifier.perceptron_confusion(
         classifier.perceptron_score(feats, w)
+    )
+
+
+# The stratified keep-rates live with ext_sample_stratified; the
+# sampled-train composition below must use the SAME sample (that is
+# the point of the composition). registry.py imports registry_ext
+# before this module, so the import is cycle-free.
+from .registry_ext import _STRATA_RATES, _STRATA_SQL  # noqa: E402
+
+_TRAIN_SAMPLE_WHERE = (
+    "CAST(('0x' || substring(md5('strat:' || CAST(d.doc_id AS VARCHAR)), "
+    "1, 8)) AS BIGINT) % 10000 < CASE "
+    + _STRATA_SQL.replace("lang =", "d.lang =")
+    + " ELSE 0 END"
+)
+
+
+@query(
+    "ext_quality_sampled_train",
+    oracle=_perceptron_oracle(6, train_where=_TRAIN_SAMPLE_WHERE),
+)
+def ext_quality_sampled_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-train / full-score composition: fit the pocket
+    perceptron on the stratified salted-hash sample (the EXACT sample
+    ext_sample_stratified materializes — a pure function of doc_id,
+    so the two queries stay consistent by construction) and score the
+    WHOLE corpus under the pocket weights. This is the regime the
+    classifier's magnitude-bounds note prescribes for corpora past
+    exact-BIGINT range (operators/classifier.py): gradient magnitudes
+    scale with the SAMPLE size while scoring stays a map-side
+    projection over everything — the n>10⁸ shape, exercised
+    end-to-end under the oracle gate rather than just documented.
+    The confusion matrix is over the full corpus, so sample-selection,
+    fit, pocket argmin, and cross-population generalization all sit
+    on the checked path."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    rate = F.lit(0)
+    for lang, per10k in _STRATA_RATES.items():
+        rate = F.when(F.col("lang") == lang, per10k).otherwise(rate)
+    feats_all = classifier.quality_features(docs)
+    feats_train = classifier.quality_features(docs.filter(bucket < rate))
+    w = classifier.perceptron_fit(feats_train, dim=4, n_iters=6)
+    return classifier.perceptron_confusion(
+        classifier.perceptron_score(feats_all, w)
     )
 
 

@@ -302,13 +302,39 @@ class MiniDeltaTable:
         """Parquet reader for logged paths: ``basePath`` (hive
         partition-column recovery) only when every path sits under the
         table root — a shallow clone's ABSOLUTE references to its
-        source's files would fail Spark's basePath prefix check, and
-        clones are unpartitioned by construction so they don't need
-        the recovery."""
+        source's files would fail Spark's basePath prefix check; a
+        partitioned clone's reads go through
+        :meth:`_read_logged_partitions` instead."""
         reader = self.spark.read
         if all(not os.path.isabs(r) for r in rels):
             reader = reader.option("basePath", self.path)
         return reader
+
+    def _read_logged_partitions(self, snap: Snapshot) -> DataFrame:
+        """Read a partitioned snapshot whose files span roots (shallow
+        clone): partition columns come from each add action's
+        ``partitionValues`` — the log IS the protocol's source of
+        truth for them — attached as typed literals per partition
+        group, one reader branch per distinct partition tuple. The
+        branch count is the snapshot's live-partition count (bounded
+        by the partitioning scheme, corpus-independent), and each
+        branch is an ordinary distributed parquet scan."""
+        types = {f.name: f.dataType for f in snap.schema}
+        groups: dict[tuple, list[str]] = {}
+        for rel in sorted(snap.files):
+            pv = snap.files[rel].get("partitionValues", {})
+            key = tuple(pv.get(c) for c in snap.partition_columns)
+            groups.setdefault(key, []).append(os.path.join(self.path, rel))
+        parts = []
+        for key in sorted(groups, key=lambda k: tuple(v or "" for v in k)):
+            df = self.spark.read.parquet(*groups[key])
+            for col, val in zip(snap.partition_columns, key):
+                df = df.withColumn(col, F.lit(val).cast(types[col]))
+            parts.append(df.select(*[f.name for f in snap.schema]))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def read(self, version: int | None = None) -> DataFrame:
         """Snapshot read (time travel with ``version=``).
@@ -316,13 +342,21 @@ class MiniDeltaTable:
         The file list comes from the LOG, never from a directory
         listing, and the schema is the one in force AS OF the
         requested version. Partition columns are restored from the
-        hive-style paths (``basePath``) and cast to the logged types,
-        so a read across a schema evolution is exact."""
+        hive-style paths (``basePath``) and cast to the logged types —
+        or, when the snapshot references files outside the table root
+        (partitioned shallow clone), from the log's own
+        ``partitionValues`` — so a read across a schema evolution is
+        exact."""
         snap = self.snapshot(version)
         paths = snap.file_paths(self.path)
         if not paths:
             return self.spark.createDataFrame([], snap.schema)
-        df = self._reader(snap.files).parquet(*paths)
+        if snap.partition_columns and any(
+            os.path.isabs(r) for r in snap.files
+        ):
+            df = self._read_logged_partitions(snap)
+        else:
+            df = self._reader(snap.files).parquet(*paths)
         return df.select(
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in snap.schema]
         )
@@ -444,8 +478,33 @@ class MiniDeltaTable:
                     }
                 )
         actions.extend({"add": add} for add in adds)
-        self._commit(version, actions)
-        return version
+        # Blind appends to an existing table rebase onto the winner of
+        # a lost put-if-absent race instead of failing: an
+        # AddFile-only commit reads nothing, so per the Delta
+        # protocol's conflict-resolution rules it conflicts only with
+        # a concurrent metadata/protocol change — which we detect by
+        # re-checking schema and partition layout against the new
+        # latest snapshot before retrying at the next version.
+        # Overwrites (which logically read the files they remove) and
+        # table-creating writes still surface the conflict to the
+        # caller. Disjoint-partition overwrites are the next conflict
+        # class a fuller implementation would auto-resolve.
+        rebasable = mode == "append" and prior is not None
+        attempts = 0
+        while True:
+            try:
+                self._commit(version, actions)
+                return version
+            except ConcurrentWriteError:
+                attempts += 1
+                if not rebasable or attempts > 50:
+                    raise
+                latest = self.snapshot()
+                if [(f.name, f.dataType) for f in latest.schema] != [
+                    (f.name, f.dataType) for f in df.schema
+                ] or latest.partition_columns != list(partition_by):
+                    raise  # winner changed the table's shape under us
+                version = latest.version + 1
 
     def _stage_data_files(
         self,
@@ -1120,17 +1179,12 @@ class MiniDeltaTable:
         own root as relative adds, overwrites just drop the references
         to the source files, and vacuuming the SOURCE invalidates
         clones that still reference those files — the real command's
-        caveat too. Subset: partitioned sources are rejected (their
-        partition columns live in hive directory names, which a
-        mixed-root file listing cannot re-derive)."""
+        caveat too. Partitioned sources clone fine: every ``add``
+        action carries its ``partitionValues``, and the clone's read
+        path restores partition columns FROM THE LOG (the protocol's
+        source of truth) instead of hive path recovery, which cannot
+        span mixed roots."""
         snap = self.snapshot()
-        if snap.partition_columns:
-            raise NotImplementedError(
-                "shallow clone of a partitioned table is not supported "
-                "by this mini implementation (partition values are "
-                "directory-derived and cannot be recovered across "
-                "mixed roots)"
-            )
         target = MiniDeltaTable(
             self.spark, target_path, self.checkpoint_interval
         )
@@ -1151,7 +1205,7 @@ class MiniDeltaTable:
                     "id": str(uuid.uuid4()),
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": snap.schema.json(),
-                    "partitionColumns": [],
+                    "partitionColumns": snap.partition_columns,
                     "configuration": {},
                     "createdTime": now_ms,
                 }

@@ -615,8 +615,7 @@ def test_shallow_clone_zero_copy(spark, tmp_table):
     """SHALLOW CLONE: the clone's v0 references the source snapshot's
     files by absolute path — no data copied — then evolves
     independently; time travel on the clone pins the cloned snapshot
-    even after both tables move on. Partitioned sources are rejected
-    (documented subset)."""
+    even after both tables move on."""
     orders = _orders(spark).limit(20).localCheckpoint(eager=True)
     tmp_table.write(orders)
     clone = tmp_table.clone(tmp_table.path + "_clone")
@@ -654,8 +653,82 @@ def test_shallow_clone_zero_copy(spark, tmp_table):
     ), "optimize should have replaced the absolute references"
 
 
-def test_shallow_clone_rejects_partitioned_source(spark, tmp_table):
-    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, p string")
+def test_shallow_clone_partitioned_source(spark, tmp_table):
+    """Partitioned shallow clone: partition columns are restored from
+    the log's partitionValues (hive path recovery cannot span the
+    mixed roots), log-level pruning still fires on the clone, a null
+    partition value round-trips, and the clone's own appends land
+    under its root and merge with the cloned references on read."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a"), (4, None)], "id int, p string"
+    )
     tmp_table.write(df, partition_by=["p"])
-    with pytest.raises(NotImplementedError):
-        tmp_table.clone(tmp_table.path + "_clone")
+    clone = tmp_table.clone(tmp_table.path + "_clone")
+    assert clone.snapshot().partition_columns == ["p"]
+    assert _canon(clone.read()) == _canon(tmp_table.read())
+    # zero-copy: no parquet data files under the clone root
+    data_files = [
+        name
+        for root, dirs, names in os.walk(clone.path)
+        if "_delta_log" not in root
+        for name in names
+        if name.endswith(".parquet")
+    ]
+    assert data_files == []
+    # log-level partition pruning works on the absolute references
+    pruned = clone.files_for({"p": "a"})
+    assert len(pruned) >= 1
+    assert all(os.path.isabs(f) and "/p=a/" in f for f in pruned)
+    assert clone.files_for({"p": "zzz"}) == []
+    # the clone evolves independently: its append is a relative add
+    clone.write(
+        spark.createDataFrame([(5, "c")], "id int, p string"), mode="append"
+    )
+    assert clone.read().count() == 5
+    assert {r["p"] for r in clone.read().collect()} == {"a", "b", "c", None}
+    assert tmp_table.read().count() == 4
+    # and the cloned snapshot stays pinned at the clone's v0
+    assert clone.read(version=0).count() == 4
+
+
+def test_concurrent_append_rebases_onto_winner(spark, tmp_table):
+    """A blind append that loses the put-if-absent race auto-retries
+    at the next version (the Delta protocol's conflict rule: an
+    AddFile-only commit conflicts with nothing it didn't read) — both
+    writers' rows land, in two consecutive versions."""
+    orders = _orders(spark).limit(20).localCheckpoint(eager=True)
+    tmp_table.write(orders)  # v0
+    rival = MiniDeltaTable(spark, tmp_table.path)
+    original_stage = tmp_table._stage_data_files
+
+    def stage_then_lose_race(df, partition_by, **kw):
+        adds = original_stage(df, partition_by, **kw)
+        rival.write(orders.limit(3), mode="append")  # rival takes v1
+        return adds
+
+    tmp_table._stage_data_files = stage_then_lose_race
+    version = tmp_table.write(orders.limit(5), mode="append")
+    assert version == 2  # rebased past the rival's v1
+    assert tmp_table.read().count() == 28  # 20 + 3 + 5: nothing lost
+    ops = [h.get("operation") for h in tmp_table.history()]
+    assert ops.count("WRITE") == 3
+
+
+def test_concurrent_append_conflicting_schema_still_raises(spark, tmp_table):
+    """Rebase is only for non-conflicting commits: if the race winner
+    evolved the schema out from under the append, retrying would
+    commit rows under the wrong shape — the conflict must surface."""
+    orders = _orders(spark).limit(10).localCheckpoint(eager=True)
+    tmp_table.write(orders)  # v0
+    rival = MiniDeltaTable(spark, tmp_table.path)
+    evolved = orders.withColumn("flag", F.lit(True))
+    original_stage = tmp_table._stage_data_files
+
+    def stage_then_lose_to_evolution(df, partition_by, **kw):
+        adds = original_stage(df, partition_by, **kw)
+        rival.write(evolved, overwrite_schema=True)  # v1 changes schema
+        return adds
+
+    tmp_table._stage_data_files = stage_then_lose_to_evolution
+    with pytest.raises(ConcurrentWriteError):
+        tmp_table.write(orders.limit(5), mode="append")
