@@ -292,6 +292,62 @@ def ext_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# src-index map for the 12×8 → 5×3 exact nearest-neighbor resample:
+# dst (x, y) ← src (⌊x·12/5⌋, ⌊y·8/3⌋); flat index y·12+x. Fixed dims
+# → a compile-time constant the oracle replays as byte picks.
+_PGM_RESIZE_IDX = [
+    y * 12 + x
+    for y in ((yy * 8) // 3 for yy in range(3))
+    for x in ((xx * 12) // 5 for xx in range(5))
+]
+_PGM_OUT_HEADER_HEX = "P5\n5 3\n255\n".encode().hex().upper()
+_PGM_ORACLE_PICKS = " || ".join(
+    f"substring(pix, {i * 2 + 1}, 2)" for i in _PGM_RESIZE_IDX
+)
+_PGM_ORACLE_BLOCKS = " || ".join(
+    f"md5(CAST(doc_id AS VARCHAR) || ':pgm{i}')" for i in range(6)
+)
+
+
+@query(
+    "ext_media_ppm_resize",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, {_PGM_ORACLE_BLOCKS} AS pix
+      FROM documents
+    )
+    SELECT media_id, 'image' AS media_type,
+      CAST(5 AS BIGINT) AS width, CAST(3 AS BIGINT) AS height,
+      '{_PGM_OUT_HEADER_HEX}' || upper({_PGM_ORACLE_PICKS}) AS payload_hex
+    FROM m
+    """,
+)
+def ext_media_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec end-to-end (``fake=False``): build a genuine
+    12×8 binary PGM per document JVM-side (md5-chain pixel bytes under
+    a canonical netpbm header — attach_pgm_payload), then run the real
+    decode → exact nearest-neighbor resample → canonical re-encode
+    path (multimodal/binary.reencode_resized, netpbm P5/P6 + BMP
+    codecs implemented from their public specs with numpy) through
+    the same Arrow mapInPandas plumbing as the stand-in queries.
+    Byte-exact: the oracle re-derives the pixel chain and replays the
+    constant floor-index map as hex-domain byte picks under the
+    resized header — header parse, raster reshape, index math, and
+    re-encode all sit on the checked path with genuine pixels."""
+    docs = _t(spark, sf_dir, "documents")
+    from .multimodal.binary import attach_pgm_payload, resize_media
+
+    media = attach_pgm_payload(docs, width=12, height=8)
+    resized = resize_media(media, width=5, height=3, fake=False)
+    return resized.select(
+        "media_id",
+        "media_type",
+        "width",
+        "height",
+        F.hex("payload").alias("payload_hex"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deduplication family
 # ---------------------------------------------------------------------------

@@ -128,3 +128,120 @@ def test_fake_phash_matches_reference_bits(spark):
     hashes = {r.media_id: r.phash for r in media_phash(dup, fake=True).collect()}
     assert hashes[1] == hashes[2]
     assert hashes[3] == 0
+
+
+# ---------------------------------------------------------------------------
+# Real codecs: netpbm P5/P6 and uncompressed 24-bit BMP
+# ---------------------------------------------------------------------------
+
+
+def test_netpbm_round_trip_and_comments():
+    import numpy as np
+
+    from ecommerce_lakehouse_platform_spark.multimodal.binary import (
+        decode_netpbm,
+        encode_netpbm,
+    )
+
+    gray = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    assert np.array_equal(decode_netpbm(encode_netpbm(gray)), gray)
+    rgb = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    assert np.array_equal(decode_netpbm(encode_netpbm(rgb)), rgb)
+    # header comments between tokens are legal netpbm
+    commented = b"P5\n# made by hand\n4 # w then h\n3\n255\n" + bytes(range(12))
+    assert np.array_equal(
+        decode_netpbm(commented), np.arange(12, dtype=np.uint8).reshape(3, 4)
+    )
+    with pytest.raises(ValueError):
+        decode_netpbm(b"P3\n1 1\n255\n0")  # ASCII netpbm unsupported
+    with pytest.raises(ValueError):
+        decode_netpbm(b"P5\n1 1\n65535\n\x00\x00")  # 2-byte maxval
+
+
+def test_bmp_round_trip_with_row_padding():
+    import numpy as np
+
+    from ecommerce_lakehouse_platform_spark.multimodal.binary import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    # width 3 → 9-byte rows padded to 12: the padding path is exercised
+    rgb = np.arange(27, dtype=np.uint8).reshape(3, 3, 3)
+    payload = encode_bmp(rgb)
+    assert payload[:2] == b"BM"
+    assert np.array_equal(decode_bmp(payload), rgb)
+    with pytest.raises(ValueError):
+        decode_bmp(b"PNG not really")
+
+
+def test_resize_nearest_exact_index_map():
+    import numpy as np
+
+    from ecommerce_lakehouse_platform_spark.multimodal.binary import (
+        resize_nearest,
+    )
+
+    src = np.arange(96, dtype=np.uint8).reshape(8, 12)
+    out = resize_nearest(src, width=5, height=3)
+    ys = [(y * 8) // 3 for y in range(3)]
+    xs = [(x * 12) // 5 for x in range(5)]
+    expect = np.array([[src[y, x] for x in xs] for y in ys], dtype=np.uint8)
+    assert np.array_equal(out, expect)
+    # upscale replicates source pixels, never interpolates
+    up = resize_nearest(np.array([[0, 255]], dtype=np.uint8), 4, 1)
+    assert up.tolist() == [[0, 0, 255, 255]]
+
+
+def test_real_resize_runs_on_genuine_pixels(spark):
+    """fake=False end-to-end through the Arrow plumbing: PGM payloads
+    built JVM-side, decoded and resampled by the REAL codec, and the
+    output re-decodes to exactly the source pixels under the floor
+    index map."""
+    import numpy as np
+
+    from ecommerce_lakehouse_platform_spark.multimodal.binary import (
+        attach_pgm_payload,
+        decode_netpbm,
+        resize_media,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(5)
+    media = attach_pgm_payload(docs, width=12, height=8)
+    src = {r.media_id: bytes(r.payload) for r in media.collect()}
+    out = resize_media(media, width=5, height=3, fake=False).collect()
+    assert len(out) == 5
+    for row in out:
+        assert (row.width, row.height) == (5, 3)
+        resized = decode_netpbm(bytes(row.payload))
+        assert resized.shape == (3, 5)
+        original = decode_netpbm(src[row.media_id])
+        ys = [(y * 8) // 3 for y in range(3)]
+        xs = [(x * 12) // 5 for x in range(5)]
+        assert np.array_equal(
+            resized, original[np.ix_(ys, xs)]
+        ), "real resize must be the exact floor-index resample"
+
+
+def test_real_resize_bmp_payloads(spark):
+    """The BMP branch of the real path, through Spark: encode locally,
+    ship as payloads, resize distributed, decode and check."""
+    import numpy as np
+
+    from ecommerce_lakehouse_platform_spark.multimodal.binary import (
+        MEDIA_SCHEMA,
+        decode_bmp,
+        encode_bmp,
+        resize_media,
+        resize_nearest,
+    )
+
+    rng = [(i, np.arange(i, i + 48, dtype=np.uint8).reshape(4, 4, 3)) for i in range(3)]
+    rows = [(i, "image", bytearray(encode_bmp(a))) for i, a in rng]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: bytes(r.payload)
+           for r in resize_media(media, 2, 2, fake=False).collect()}
+    for i, arr in rng:
+        assert np.array_equal(
+            decode_bmp(out[i]), resize_nearest(arr, 2, 2)
+        )

@@ -43,6 +43,7 @@ MAPINPANDAS_ALLOWED = {
     "ext_media_frames",
     "ext_media_phash_dedup",
     "ext_media_embed_topk",  # decode stage feeding the cosine top-k
+    "ext_media_ppm_resize",  # the REAL netpbm codec path (fake=False)
 }
 
 ALL_QUERIES = sorted(QUERIES)
