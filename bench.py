@@ -111,15 +111,36 @@ HEADLINE = [
     # shuffle, map-side scoring)
     "ext_running_gold_totals",
     "ext_quality_perceptron",
-    # the Delta-protocol gate queries run LAST: they physically write
-    # the silver relation (×3 timed runs) and the page-cache
-    # writeback stalls whichever query follows — measured at sf1 as a
-    # spurious 15× on an innocent neighbor while the frozen sentinel
-    # swung 0.4s→17s (BENCH_SF1.md round-7 contamination note).
-    # Last place means the sink cost lands on the sinks.
+    # round 8 additions: sampled-train/full-score composition and the
+    # real (netpbm) codec path
+    "ext_quality_sampled_train",
+    "ext_media_ppm_resize",
+    # the Delta-protocol gate queries run LAST as an isolated sink
+    # group: they physically write the silver relation (×3 timed
+    # runs) and the page-cache writeback stalls whichever query
+    # follows — measured at sf1 as a spurious 15× on an innocent
+    # neighbor while the frozen sentinel swung 0.4s→17s (BENCH_SF1.md
+    # round-7 contamination note). Last place + an os.sync() settle
+    # barrier after every timed sink run (outside the timer — the
+    # timed region stays comparable to earlier rounds) means the sink
+    # cost lands on the sinks and cannot accumulate into a later
+    # query or the post-run sentinel sample.
     "ext_delta_time_travel",
     "ext_delta_cdf_fold",
+    "ext_delta_merge_cdf",
+    "ext_delta_restore",
 ]
+
+# Queries that WRITE real files during their timed runs (everything
+# else computes to a noop sink). Kept as a set so main() can pin them
+# to a trailing group and settle writeback between runs even if the
+# HEADLINE list above is reordered or subset via SPARK_GRAFT_QUERIES.
+SINK_QUERIES = {
+    "ext_delta_time_travel",
+    "ext_delta_cdf_fold",
+    "ext_delta_merge_cdf",
+    "ext_delta_restore",
+}
 
 
 def _sentinel_once(spark, sf_dir: str) -> float:
@@ -187,6 +208,11 @@ def main() -> None:
     if subset:
         wanted = [q.strip() for q in subset.split(",") if q.strip()]
         names = [n for n in wanted if n in registry.QUERIES]
+    # sink-writing queries always trail as their own group (see
+    # SINK_QUERIES note): writeback must not shadow a compute query
+    names = [n for n in names if n not in SINK_QUERIES] + [
+        n for n in names if n in SINK_QUERIES
+    ]
     # warm the JVM + parquet footers so per-query numbers measure the
     # plan, not first-touch overheads
     registry.QUERIES[names[0]](spark, sf_dir).write.mode("overwrite").format(
@@ -209,8 +235,13 @@ def main() -> None:
         sentinel_series.append({"pos": pos, "sec": sec})
         print(f"[bench] sentinel@{pos} {sec:.3f}s", file=sys.stderr)
 
+    first_sink = next(
+        (i for i, n in enumerate(names) if n in SINK_QUERIES), None
+    )
     for qi, name in enumerate(names):
-        if qi % 8 == 0:
+        if qi % 8 == 0 or qi == first_sink:
+            # the extra boundary sample timestamps the ambient level
+            # right before the sink group starts writing
             _sample_sentinel(qi)
         runs: list[float] = []
         for _ in range(3):
@@ -228,6 +259,12 @@ def main() -> None:
             # stderr progress so an aborted run (OOM, timeout) still
             # attributes the failure to the query that was executing
             print(f"[bench] {name} run={len(runs)} {runs[-1]:.3f}s", file=sys.stderr)
+            if name in SINK_QUERIES:
+                # settle barrier OUTSIDE the timer: flush this run's
+                # writeback before anything else is measured, so sink
+                # cost can neither bleed into the next query/sentinel
+                # sample nor accumulate across a sink's own runs
+                os.sync()
         timings[name] = round(statistics.median(runs), 3)
         spreads[name] = round(statistics.stdev(runs), 3)
     _sample_sentinel(len(names))

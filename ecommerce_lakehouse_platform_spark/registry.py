@@ -814,109 +814,90 @@ resolve_deferred_oracles()
 # has at least one external green row; the staleness ledger is r4=50,
 # r3=43, r2=43.
 #
-# Round-6 rotation policy (r5 verdict items 3 & 8): first the 9
-# queries whose CODE changed this round — the adaptive-C IVF swap
-# (ext_dedup_embedding now runs the bucketed generator;
-# ext_dedup_semantic_clusters sizes C = max(8, ceil(sqrt(n))) with the
-# oracle mirroring the formula), the fused single-df-pass prefix
-# filter, the two other exact shingle queries sharing the refactored
-# cap helper, the JVM heavy-hitter candidate pass, the deferred-token
-# ext_ann_recall oracle, and the two langid queries whose oracle
-# fragments moved to functions/text.py — a changed query's previous
-# green row proves nothing; then the 5 queries ADDED this round
-# (ext_media_phash_dedup, ext_kmeans_embedding,
-# ext_embedding_covariance, ext_pq_encode, ext_pq_adc_search — a new
-# query must get its first external row in its first round to keep
-# union coverage at 100%); then 2
-# high-churn r5 canaries (ext_dedup_clusters, ext_bm25_topk — r5
-# verdict item 3); then the 6 queries displaced since r2 (the stalest
-# external rows in the ledger); then 28 of the 42 queries whose
-# newest external row is r3, explicitly including op_dedupe_latest
-# and gold_customer_360 (the keep-latest idiom staleness canary, r5
-# verdict item 8). The 14 r3 entries that slip to r7 are simple
-# relational ops re-proven every session by the local
-# sf0.001+sf0.01 differential (ext_scalar_subquery, ext_setops_users,
-# ext_histogram_totals, ext_profile_orders, ext_stats_correlation,
-# ext_cube_returns, ext_rollup_revenue, ext_unpivot_lineitem,
-# ext_join_semi_anti, ext_zorder_layout, plus ext_window_funcs,
-# ext_topk_per_group, ext_pivot_events, and ext_moving_revenue —
-# displaced when the round's 4 late embedding-ML queries
-# (ext_kmeans_embedding, ext_embedding_covariance, ext_pq_encode,
-# ext_pq_adc_search) took the new-query slots).
-# Everything else keeps registration order behind the window, and the
-# repo-side sf0.01 oracle suite (tests/test_registry_oracle.py, same
-# gate as the harness) still covers every registered query each
-# session.
+# Rotation precedence each round (the r5–r7 policy, now standing):
+# (1) queries ADDED this round — first external row now or never;
+# (2) queries whose CODE OR ORACLE changed this round — a changed
+# query's previous green row proves nothing; (3) the queries whose
+# newest external green row is OLDEST, oldest cohort first, slipping
+# only simple single-relation plans that the local differential
+# re-proves every session. Everything else keeps registration order
+# behind the window, and the repo-side sf0.01 oracle suite
+# (tests/test_registry_oracle.py, same gate as the harness) still
+# covers every registered query each session.
+#
+# Round-8 rotation: 4 new-query slots (the Delta MERGE/RESTORE gate,
+# the sampled-train perceptron composition, the real-codec media
+# query), 3 changed-query slots (the fused PQ encode/ADC plans, plus
+# ext_quality_perceptron whose oracle builder was parametrized —
+# semantics identical, but a changed oracle text gets re-proven, not
+# grandfathered), the 8 queries whose newest external green row is r4
+# (clearing the last pre-r5 staleness tail — r7 verdict item 1), and
+# 35 of the 44 r5-stale queries. The 9 r5 queries that slip to r9 —
+# op_clean_id, op_filter_range, op_project_silver_customers,
+# op_project_silver_orders, ext_text_stats, ext_text_fingerprint,
+# ext_text_length_quantiles, ext_train_test_split,
+# ext_weighted_sample — are single-relation map-side transforms/
+# simple aggs re-proven every session by the local sf0.001+sf0.01
+# differential, and tests/test_staleness_ledger.py now pins the
+# "newest external green row ≥ current round − 3" bound, so they
+# CANNOT slip past r9 without failing the suite.
 _DRIVER_WINDOW: tuple[str, ...] = (
     # --- New this round: first external row happens now or never ---
-    "ext_delta_time_travel",
-    "ext_delta_cdf_fold",
-    "ext_running_gold_totals",
-    "ext_quality_perceptron",
+    "ext_delta_merge_cdf",
+    "ext_delta_restore",
+    "ext_quality_sampled_train",
+    "ext_media_ppm_resize",
     # --- Changed this round: re-check is mandatory, not rotation ---
-    # window-sum candidate pass (double-evaluation hazard removed)
-    "ext_heavy_hitters",
-    # trained-k-means centroids replace the hash pick as the default
-    "ext_similarity_ivf",
-    # nests the IVF oracle chain via deferred token -> changed with it
-    "ext_ann_recall",
-    # distributed ADC distance-table build (driver collect removed)
+    # fused single-stage ADC table build + fused single-scan encode
     "ext_pq_adc_search",
-    # kmeans_fit empty-cluster reseeding (shared by the whole family)
     "ext_pq_encode",
-    "ext_kmeans_embedding",
-    # --- Newest external row is r3: ALL 14 cleared this round
-    # (r6 verdict item 3 -- after this window no registered query's
-    # newest external green row is older than r4) ---
-    "ext_scalar_subquery",
-    "ext_setops_users",
-    "ext_histogram_totals",
-    "ext_profile_orders",
-    "ext_stats_correlation",
-    "ext_cube_returns",
-    "ext_rollup_revenue",
-    "ext_unpivot_lineitem",
-    "ext_join_semi_anti",
-    "ext_zorder_layout",
-    "ext_window_funcs",
-    "ext_topk_per_group",
-    "ext_pivot_events",
-    "ext_moving_revenue",
-    # --- Newest external row is r4: 26 of 34 (the 8 that slip --
-    # ext_cohort_retention, ext_gapfill_daily, ext_groupwise_stats,
-    # ext_market_basket, ext_peak_concurrency, ext_time_to_convert,
-    # ext_winsorized_stats, and ext_url_canonicalize (displaced when
-    # ext_quality_perceptron took a new-query slot) -- are
-    # single-relation aggregations / map-side transforms re-proven
-    # every session by the local sf0.001+sf0.01 differential; the
-    # kept 26 prioritize multi-stage plans:
-    # dedup/graph/streaming/BPE families) ---
-    "ext_bpe_apply_merge",
-    "ext_bpe_pair_counts",
-    "ext_compaction_bins",
-    "ext_corpus_mixture",
-    "ext_dedup_incremental",
-    "ext_dedup_minhash_lsh",
-    "ext_dedup_simhash",
-    "ext_dedup_sorted_neighborhood",
-    "ext_dup_span_islands",
-    "ext_event_transitions",
-    "ext_graph_khop",
-    "ext_hard_negative_mining",
-    "ext_label_propagation",
-    "ext_length_bucket_batching",
-    "ext_multitouch_attribution",
-    "ext_negative_edges",
-    "ext_pagerank_copurchase",
-    "ext_similarity_topk",
-    "ext_sketch_profile",
-    "ext_skew_diagnosis",
-    "ext_text_postings",
-    "ext_time_decayed_ltv",
-    "ext_triangle_count",
-    "stream_dedup_exactly_once",
-    "stream_dedup_index_maintenance",
-    "stream_interval_join_outer",
+    # oracle builder parametrized for the sampled-train composition
+    "ext_quality_perceptron",
+    # --- Newest external row is r4: ALL 8 cleared this round ---
+    "ext_cohort_retention",
+    "ext_gapfill_daily",
+    "ext_groupwise_stats",
+    "ext_market_basket",
+    "ext_peak_concurrency",
+    "ext_time_to_convert",
+    "ext_url_canonicalize",
+    "ext_winsorized_stats",
+    # --- Newest external row is r5: 35 of 44 (slips named above) ---
+    "dash_customer_360",
+    "dash_sales_overview",
+    "dash_site_funnel",
+    "dq_bounded_rates",
+    "dq_nonneg_amounts",
+    "dq_notnull_products",
+    "dq_pk_unique_customer",
+    "ext_asof_attribution",
+    "ext_binary_metadata",
+    "ext_corpus_curation",
+    "ext_dedup_exact",
+    "ext_dedup_keep_best",
+    "ext_dedup_lines",
+    "ext_dedup_normalized",
+    "ext_dedup_span_cut",
+    "ext_dsir_importance",
+    "ext_global_score_rank",
+    "ext_interval_join_errors",
+    "ext_json_extract",
+    "ext_lm_perplexity",
+    "ext_media_frames",
+    "ext_media_resize",
+    "ext_rfm_segmentation",
+    "ext_text_tfidf",
+    "ext_text_vocab",
+    "ext_time_bucket_rollup",
+    "gold_daily_metrics",
+    "gold_product_funnel",
+    "gold_product_metrics",
+    "gold_session_metrics",
+    "gold_session_metrics_attrs",
+    "op_agg_having",
+    "op_agg_pivotcount",
+    "op_agg_reviews",
+    "op_join_left_enrich_items",
 )
 
 

@@ -188,26 +188,21 @@ def test_changed_queries_sit_inside_driver_window():
     round's diff."""
     from ecommerce_lakehouse_platform_spark import registry
 
-    changed_r7 = {
-        # window-sum candidate pass (self-join double-evaluation
-        # hazard removed)
-        "ext_heavy_hitters",
-        # trained-k-means centroids are now the registered IVF default
-        "ext_similarity_ivf",
-        # nests the IVF oracle chain via deferred token
-        "ext_ann_recall",
-        # distributed ADC distance-table build (driver collect gone)
+    changed_r8 = {
+        # fused single-stage ADC table build (one flatten+explode)
         "ext_pq_adc_search",
-        # kmeans_fit empty-cluster reseeding (shared by the family)
+        # fused single-scan PQ encoding (argmin in the expression tree)
         "ext_pq_encode",
-        "ext_kmeans_embedding",
+        # oracle builder parametrized (train_where) — text changed
+        "ext_quality_perceptron",
         # new this round — first external row must happen now
-        "ext_delta_time_travel",
-        "ext_delta_cdf_fold",
-        "ext_running_gold_totals",
+        "ext_delta_merge_cdf",
+        "ext_delta_restore",
+        "ext_quality_sampled_train",
+        "ext_media_ppm_resize",
     }
     window = set(registry._DRIVER_WINDOW)
-    assert changed_r7 <= window, sorted(changed_r7 - window)
+    assert changed_r8 <= window, sorted(changed_r8 - window)
 
 
 def test_bench_headline_names_are_registered():

@@ -42,6 +42,36 @@ def test_every_query_covered_or_windowed(ledger):
     )
 
 
+def test_staleness_bound_enforced(ledger):
+    """Pin the rotation policy's freshness bound: after the CURRENT
+    round's window is checked, no registered query's newest external
+    green row may be older than (current round − 3). Enforced as:
+    every query whose newest green row would violate the bound must
+    be IN the current window (so this round's driver run refreshes
+    it). A window edit that silently lets coverage age past the bound
+    fails here instead of surfacing rounds later in a verdict."""
+    import glob
+    import re
+
+    recorded = [
+        int(re.search(r"CORRECTNESS_r(\d+)\.json$", p).group(1))
+        for p in glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))
+    ]
+    current_round = max(recorded) + 1  # the round this window feeds
+    bound = current_round - 3
+    window = set(registry._DRIVER_WINDOW)
+    too_stale = sorted(
+        name
+        for name, (rnd, _status) in ledger.items()
+        if name in registry.QUERIES and rnd < bound and name not in window
+    )
+    assert not too_stale, (
+        f"queries whose newest external green row is older than r{bound} "
+        f"(bound: current round {current_round} − 3) and NOT in the "
+        f"current driver window: {too_stale} — rotate them in"
+    )
+
+
 def test_window_names_are_registered_and_unique():
     window = list(registry._DRIVER_WINDOW)
     assert len(window) == len(set(window)), "duplicate window entries"

@@ -85,20 +85,32 @@ def load(path: str) -> dict:
 
 
 def per_query_sentinels(doc: dict) -> dict[str, float] | None:
-    """query -> nearest intra-run sentinel sample, when the artifact
-    carries a ``sentinel_series`` (bench.py samples the frozen probe
-    at query positions through the run — ambient load swings WITHIN a
-    run, e.g. page-cache writeback from sink queries, which the
-    single end-of-run sentinel cannot timestamp). Positions index the
-    queries map's key order, which json preserves."""
+    """query -> intra-run sentinel sample, when the artifact carries a
+    ``sentinel_series`` (bench.py samples the frozen probe at query
+    positions through the run — ambient load swings WITHIN a run,
+    e.g. page-cache writeback from sink queries, which the single
+    end-of-run sentinel cannot timestamp). Positions index the
+    queries map's key order, which json preserves.
+
+    Each query uses the nearest PRECEDING sample (pos ≤ its own): a
+    query's own side effects (the sink queries' writeback) can
+    inflate the sample that FOLLOWS it, and dividing by that inflated
+    sample would normalize a genuinely slower sink back to ~1.0× —
+    the preceding sample is the pre-contamination ambient level. For
+    sink queries also read the RAW column: bench.py's settle barrier
+    keeps their neighbors clean, but their own cost is theirs."""
     series = doc.get("sentinel_series")
     if not series:
         return None
     names = list(doc["queries"])
     out = {}
     for i, q in enumerate(names):
-        nearest = min(series, key=lambda s: (abs(s["pos"] - i), s["pos"]))
-        out[q] = nearest["sec"]
+        preceding = [s for s in series if s["pos"] <= i]
+        if preceding:
+            chosen = max(preceding, key=lambda s: s["pos"])
+        else:  # no sample at-or-before: fall back to the earliest
+            chosen = min(series, key=lambda s: s["pos"])
+        out[q] = chosen["sec"]
     return out
 
 
