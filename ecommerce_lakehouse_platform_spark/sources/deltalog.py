@@ -145,6 +145,78 @@ def _parse_partition_values(relpath: str) -> dict[str, str | None]:
     return values
 
 
+def _stats_value(v):
+    """JSON-safe stats value: numbers pass through, date/time become
+    ISO strings, bytes decode best-effort — anything else is dropped
+    (returning None skips the column: data skipping must only ever be
+    conservative)."""
+    import datetime
+    import decimal
+
+    if isinstance(v, bool) or v is None:
+        return None  # boolean min/max carries no skipping power
+    if isinstance(v, (int, float)):
+        return v
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, str):
+        return v
+    return None
+
+
+def _file_stats_json(path: str) -> str | None:
+    """Per-file statistics for the ``add`` action, read from the
+    parquet FOOTER the writer already produced (one footer per file,
+    O(files) driver metadata — no data scan): ``numRecords`` plus
+    ``minValues``/``maxValues`` per top-level column where every row
+    group carries min/max. This is the Delta protocol's ``stats``
+    string — the metadata that lets a reader skip files whose range
+    cannot match a predicate, which at 100 TB is the difference
+    between a metadata lookup and a full scan."""
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(path).metadata
+    except Exception:
+        return None
+    mins: dict[str, Any] = {}
+    maxs: dict[str, Any] = {}
+    complete: dict[str, bool] = {}
+    for r in range(md.num_row_groups):
+        rg = md.row_group(r)
+        for c in range(rg.num_columns):
+            col = rg.column(c)
+            name = col.path_in_schema
+            if "." in name:  # nested leaf — skip, top-level only
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                complete[name] = False
+                continue
+            lo, hi = _stats_value(st.min), _stats_value(st.max)
+            if lo is None or hi is None:
+                complete[name] = False
+                continue
+            if complete.setdefault(name, True):
+                mins[name] = lo if name not in mins else min(mins[name], lo)
+                maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    for name, ok in complete.items():
+        if not ok:  # a row group without min/max poisons the column
+            mins.pop(name, None)
+            maxs.pop(name, None)
+    return json.dumps(
+        {"numRecords": md.num_rows, "minValues": mins, "maxValues": maxs},
+        separators=(",", ":"),
+    )
+
+
 def _checkpoint_arrow_schema():
     """Arrow schema of the checkpoint parquet: one row per consolidated
     action, the non-matching action structs null — the layout the
@@ -184,6 +256,7 @@ def _checkpoint_arrow_schema():
                         ("size", pa.int64()),
                         ("modificationTime", pa.int64()),
                         ("dataChange", pa.bool_()),
+                        ("stats", pa.string()),
                     ]
                 ),
             ),
@@ -378,6 +451,50 @@ class MiniDeltaTable:
                 out.append(os.path.join(self.path, rel))
         return out
 
+    def files_for_range(
+        self,
+        column: str,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+    ) -> list[str]:
+        """Data skipping from the per-file ``stats`` in the log: active
+        files whose [min, max] for ``column`` can overlap [lo, hi]
+        (either bound may be None = unbounded). Conservative by
+        construction — a file without stats for the column (old
+        writer, unsupported type, a statless row group) is always
+        kept, so the result is a superset of the files that actually
+        contain matches, never a subset.
+
+        Comparisons happen in the stats' stored JSON domain (numbers
+        as numbers; dates/timestamps/strings as their ISO/string
+        form, which for ISO dates orders identically to the values).
+        This is the metadata-only planning step that pairs with
+        ``optimize(zorder_by=...)``: clustering tightens each file's
+        min/max, and this method turns a range predicate into a file
+        subset without touching storage — at 100 TB, the scan you
+        skip is the scan that matters."""
+        snap = self.snapshot(version)
+        out = []
+        for rel in sorted(snap.files):
+            raw = snap.files[rel].get("stats")
+            keep = True
+            if raw:
+                st = json.loads(raw)
+                fmin = st.get("minValues", {}).get(column)
+                fmax = st.get("maxValues", {}).get(column)
+                if fmin is not None and fmax is not None:
+                    try:
+                        if lo is not None and fmax < lo:
+                            keep = False
+                        if hi is not None and fmin > hi:
+                            keep = False
+                    except TypeError:
+                        keep = True  # incomparable domains: keep
+            if keep:
+                out.append(os.path.join(self.path, rel))
+        return out
+
     # -- write ----------------------------------------------------------
 
     def write(
@@ -546,6 +663,10 @@ class MiniDeltaTable:
                             "size": st.st_size,
                             "modificationTime": int(st.st_mtime * 1000),
                             "dataChange": True,
+                            # per-file min/max from the footer the
+                            # writer just produced — fuels data
+                            # skipping (files_for_range)
+                            "stats": _file_stats_json(dst),
                         }
                     )
         finally:
@@ -696,6 +817,7 @@ class MiniDeltaTable:
                         "modificationTime": add.get("modificationTime"),
                         # a checkpoint restates state, it is not a change
                         "dataChange": False,
+                        "stats": add.get("stats"),
                     },
                 }
             )

@@ -732,3 +732,96 @@ def test_concurrent_append_conflicting_schema_still_raises(spark, tmp_table):
     tmp_table._stage_data_files = stage_then_lose_to_evolution
     with pytest.raises(ConcurrentWriteError):
         tmp_table.write(orders.limit(5), mode="append")
+
+
+def test_add_actions_carry_footer_stats(spark, tmp_table):
+    """Every add action records numRecords + per-column min/max read
+    from the parquet footer (O(files) driver metadata, no data scan),
+    as the protocol's stats string."""
+    import json as _json
+
+    orders = _orders(spark).limit(40).localCheckpoint(eager=True)
+    tmp_table.write(orders.repartition(4))
+    snap = tmp_table.snapshot()
+    stats = [_json.loads(a["stats"]) for a in snap.files.values()]
+    assert all(s["numRecords"] > 0 for s in stats)
+    assert sum(s["numRecords"] for s in stats) == 40
+    rows = orders.collect()
+    lo = min(r["total_usd"] for r in rows)
+    hi = max(r["total_usd"] for r in rows)
+    assert min(float(s["minValues"]["total_usd"]) for s in stats) == float(lo)
+    assert max(float(s["maxValues"]["total_usd"]) for s in stats) == float(hi)
+    # dates serialize as ISO strings, which order like the values
+    assert all("order_date" in s["minValues"] for s in stats)
+
+
+def test_files_for_range_skips_and_stays_exact(spark, tmp_table):
+    """Data skipping: range-partitioned files let a range predicate
+    prune to a strict subset, and reading ONLY the surviving files
+    (with the residual filter) equals the unpruned filtered read —
+    skipping is a plan optimization, never a semantic one."""
+    orders = _orders(spark).limit(60).localCheckpoint(eager=True)
+    tmp_table.write(orders.repartitionByRange(4, "order_date"))
+    dates = sorted(r["order_date"] for r in orders.collect())
+    lo, hi = dates[5].isoformat(), dates[15].isoformat()
+    pruned = tmp_table.files_for_range("order_date", lo, hi)
+    everything = tmp_table.files_for_range("order_date")
+    assert len(everything) == len(tmp_table.snapshot().files)
+    assert 0 < len(pruned) < len(everything), (
+        "range-clustered files should make skipping strictly effective"
+    )
+    got = (
+        spark.read.parquet(*pruned)
+        .filter(F.col("order_date").between(lo, hi))
+    )
+    want = tmp_table.read().filter(F.col("order_date").between(lo, hi))
+    assert _canon(got) == _canon(want)
+    # a disjoint range prunes everything
+    assert tmp_table.files_for_range("order_date", "1900-01-01", "1900-12-31") == []
+
+
+def test_stats_survive_checkpoint_replay(spark, tmp_table):
+    orders = _orders(spark).limit(30).localCheckpoint(eager=True)
+    tmp_table.write(orders.repartition(3))
+    tmp_table.checkpoint()
+    # a fresh handle replaying FROM the checkpoint still skips
+    import json as _json
+
+    reopened = MiniDeltaTable(spark, tmp_table.path)
+    ckpt = reopened._best_checkpoint_at_or_before(reopened.versions()[-1])
+    assert ckpt is not None
+    snap = reopened.snapshot()
+    stats = [_json.loads(a["stats"]) for a in snap.files.values() if a.get("stats")]
+    assert stats and sum(s["numRecords"] for s in stats) == 30
+
+
+def test_zorder_tightens_stats_for_skipping(spark, tmp_table):
+    """OPTIMIZE ZORDER BY + data skipping compose: after clustering on
+    two dimensions, a narrow range on EITHER dimension prunes files —
+    the read-side payoff the rewrite exists for."""
+    import json as _json
+
+    df = spark.range(0, 4096).select(
+        F.col("id"),
+        (F.col("id") % 64).alias("a"),
+        (F.col("id") / F.lit(64)).cast("long").alias("b"),
+    )
+    tmp_table.write(df.repartition(8))  # row-order layout: wide ranges
+    assert tmp_table.optimize(zorder_by=["a", "b"], max_file_bytes=16_000) is not None
+    files = tmp_table.snapshot().files
+    assert len(files) > 1
+    for dim in ("a", "b"):
+        pruned = tmp_table.files_for_range(dim, 0, 3)
+        assert len(pruned) < len(files), (
+            f"z-order should bound {dim} ranges tightly enough to skip files"
+        )
+        got = sorted(
+            r["id"]
+            for r in spark.read.parquet(*pruned)
+            .filter(F.col(dim).between(0, 3))
+            .collect()
+        )
+        want = sorted(
+            r["id"] for r in df.filter(F.col(dim).between(0, 3)).collect()
+        )
+        assert got == want
