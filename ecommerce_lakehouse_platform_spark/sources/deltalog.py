@@ -217,6 +217,30 @@ def _file_stats_json(path: str) -> str | None:
     )
 
 
+def _stats_overlap(add: dict[str, Any], column: str, lo, hi) -> bool:
+    """Can this add action's file contain a value of ``column`` in
+    [lo, hi]? Conservative: no stats (or incomparable domains) → True.
+    Comparisons happen in the stats' stored JSON domain (numbers as
+    numbers; dates/timestamps/strings as ISO/string form, which for
+    ISO dates orders identically to the values)."""
+    raw = add.get("stats")
+    if not raw:
+        return True
+    st = json.loads(raw)
+    fmin = st.get("minValues", {}).get(column)
+    fmax = st.get("maxValues", {}).get(column)
+    if fmin is None or fmax is None:
+        return True
+    try:
+        if lo is not None and fmax < lo:
+            return False
+        if hi is not None and fmin > hi:
+            return False
+    except TypeError:
+        return True  # incomparable domains: keep
+    return True
+
+
 def _checkpoint_arrow_schema():
     """Arrow schema of the checkpoint parquet: one row per consolidated
     action, the non-matching action structs null — the layout the
@@ -409,7 +433,11 @@ class MiniDeltaTable:
             out = out.unionByName(p)
         return out
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        version: int | None = None,
+        where: tuple | None = None,
+    ) -> DataFrame:
         """Snapshot read (time travel with ``version=``).
 
         The file list comes from the LOG, never from a directory
@@ -419,8 +447,31 @@ class MiniDeltaTable:
         or, when the snapshot references files outside the table root
         (partitioned shallow clone), from the log's own
         ``partitionValues`` — so a read across a schema evolution is
-        exact."""
+        exact.
+
+        ``where=(column, lo, hi)`` (either bound may be None) applies
+        DATA SKIPPING before the scan: files whose stats range cannot
+        overlap the bound are dropped from the plan entirely, and the
+        residual range filter is applied to the surviving rows — so
+        the result is exactly the filtered relation while the I/O is
+        proportional to the matching files, not the table."""
         snap = self.snapshot(version)
+        residual = None
+        if where is not None:
+            col, lo, hi = where
+            kept = {
+                rel: add
+                for rel, add in snap.files.items()
+                if _stats_overlap(add, col, lo, hi)
+            }
+            snap = Snapshot(
+                snap.version, snap.schema, snap.partition_columns, kept
+            )
+            residual = F.lit(True)
+            if lo is not None:
+                residual = residual & (F.col(col) >= lo)
+            if hi is not None:
+                residual = residual & (F.col(col) <= hi)
         paths = snap.file_paths(self.path)
         if not paths:
             return self.spark.createDataFrame([], snap.schema)
@@ -430,9 +481,10 @@ class MiniDeltaTable:
             df = self._read_logged_partitions(snap)
         else:
             df = self._reader(snap.files).parquet(*paths)
-        return df.select(
+        df = df.select(
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in snap.schema]
         )
+        return df.filter(residual) if residual is not None else df
 
     def files_for(
         self, partition_filter: dict[str, Any], version: int | None = None
@@ -475,25 +527,11 @@ class MiniDeltaTable:
         subset without touching storage — at 100 TB, the scan you
         skip is the scan that matters."""
         snap = self.snapshot(version)
-        out = []
-        for rel in sorted(snap.files):
-            raw = snap.files[rel].get("stats")
-            keep = True
-            if raw:
-                st = json.loads(raw)
-                fmin = st.get("minValues", {}).get(column)
-                fmax = st.get("maxValues", {}).get(column)
-                if fmin is not None and fmax is not None:
-                    try:
-                        if lo is not None and fmax < lo:
-                            keep = False
-                        if hi is not None and fmin > hi:
-                            keep = False
-                    except TypeError:
-                        keep = True  # incomparable domains: keep
-            if keep:
-                out.append(os.path.join(self.path, rel))
-        return out
+        return [
+            os.path.join(self.path, rel)
+            for rel in sorted(snap.files)
+            if _stats_overlap(snap.files[rel], column, lo, hi)
+        ]
 
     # -- write ----------------------------------------------------------
 
@@ -852,19 +890,95 @@ class MiniDeltaTable:
 
     # -- table operations on top of the log ------------------------------
 
-    def merge(self, source: DataFrame, keys: list[str]) -> int:
+    def merge(
+        self, source: DataFrame, keys: list[str], prune_files: bool = False
+    ) -> int:
         """Copy-on-write MERGE (upsert): matched target rows are
         replaced by their source row, unmatched source rows are
-        inserted, and the result is committed as a full overwrite —
-        the semantic core of ``MERGE INTO`` (file-level pruning of
-        untouched files is the real engine's optimization of the same
-        contract). Relational algebra shared with
-        ``operators/scd.merge_upsert``."""
+        inserted — the semantic core of ``MERGE INTO``. Relational
+        algebra shared with ``operators/scd.merge_upsert``.
+
+        ``prune_files=False`` (default) commits the result as a full
+        overwrite: every row's change-feed event count is then a pure
+        function of the DATA (3 events for a surviving pre-merge row,
+        1 for an upserted one), which is what lets
+        ``ext_delta_merge_cdf`` pin per-row counts in its oracle.
+
+        ``prune_files=True`` is the real engine's optimization of the
+        same contract: only files whose stats range can contain a
+        source key (plus statless files — conservative) are read and
+        rewritten; untouched files stay committed as-is. At 100 TB an
+        incremental upsert touches a sliver of the table, and
+        rewriting only that sliver is the difference between a merge
+        and a full rebuild. The RESULT relation is identical either
+        way (tests pin it); per-row CDF event counts become
+        layout-dependent (rows sharing a file with a matched row get
+        delete+reinsert), but the change feed's NET fold still equals
+        the snapshot — the layout-independent CDF invariant.
+
+        Single-key pruning only: multi-key ranges compose poorly with
+        per-column min/max, so multi-key merges fall back to the full
+        overwrite."""
         from ..operators.scd import merge_upsert
 
         target = self.read()
-        merged = merge_upsert(target, source.select(*target.columns), keys)
-        return self.write(merged, mode="overwrite")
+        if not prune_files or len(keys) != 1:
+            merged = merge_upsert(target, source.select(*target.columns), keys)
+            return self.write(merged, mode="overwrite")
+
+        key = keys[0]
+        bounds = source.select(
+            F.min(key).alias("lo"), F.max(key).alias("hi")
+        ).collect()[0]
+        snap = self.snapshot()
+        touched = set(self.files_for_range(key, bounds["lo"], bounds["hi"]))
+        touched_rels = sorted(
+            rel
+            for rel in snap.files
+            if os.path.join(self.path, rel) in touched
+        )
+        if touched_rels:
+            sub = self._reader(
+                {r: snap.files[r] for r in touched_rels}
+            ).parquet(*(os.path.join(self.path, r) for r in touched_rels))
+            sub = sub.select(
+                *[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    for f in snap.schema
+                ]
+            )
+        else:
+            sub = self.spark.createDataFrame([], snap.schema)
+        merged_sub = merge_upsert(sub, source.select(*sub.columns), keys)
+        adds = self._stage_data_files(merged_sub, snap.partition_columns)
+        now_ms = int(time.time() * 1000)
+        actions: list[dict[str, Any]] = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "MERGE",
+                    "operationParameters": {
+                        "keys": json.dumps(keys),
+                        "prunedFiles": len(snap.files) - len(touched_rels),
+                        "rewrittenFiles": len(touched_rels),
+                    },
+                }
+            }
+        ]
+        for rel in touched_rels:
+            actions.append(
+                {
+                    "remove": {
+                        "path": rel,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+        actions.extend({"add": add} for add in adds)
+        version = snap.version + 1
+        self._commit(version, actions)
+        return version
 
     def changes(
         self, starting_version: int, ending_version: int | None = None

@@ -825,3 +825,93 @@ def test_zorder_tightens_stats_for_skipping(spark, tmp_table):
             r["id"] for r in df.filter(F.col(dim).between(0, 3)).collect()
         )
         assert got == want
+
+
+def test_pruned_merge_rewrites_only_touched_files(spark, tmp_table):
+    """prune_files=True: only files whose stats range can contain a
+    source key are rewritten; the result relation is identical to the
+    full-overwrite merge, untouched files survive the commit as-is,
+    and the change feed's NET fold still equals the snapshot (the
+    layout-independent CDF invariant)."""
+    orders = _orders(spark).limit(80).localCheckpoint(eager=True)
+    ids = sorted(r["order_id"] for r in orders.collect())
+    tmp_table.write(orders.repartitionByRange(4, "order_id"))
+    before = dict(tmp_table.snapshot().files)
+
+    lowest = ids[: len(ids) // 8]  # keys confined to the lowest range
+    picked = orders.filter(F.col("order_id").isin(lowest))
+    source = picked.withColumn("status", F.lit("merged")).unionByName(
+        picked.limit(1).withColumn("order_id", F.lit("!brand-new"))
+    ).localCheckpoint(eager=True)
+
+    v = tmp_table.merge(source, keys=["order_id"], prune_files=True)
+    info = next(h for h in tmp_table.history() if h["version"] == v)
+    assert info["operation"] == "MERGE"
+    assert int(info["operationParameters"]["prunedFiles"]) > 0
+    assert int(info["operationParameters"]["rewrittenFiles"]) < len(before)
+    # untouched files survive by identity (same path, same add entry)
+    after = tmp_table.snapshot().files
+    surviving = set(before) & set(after)
+    assert len(surviving) == int(info["operationParameters"]["prunedFiles"])
+
+    # result == the full-overwrite merge's result, computed independently
+    from ecommerce_lakehouse_platform_spark.operators.scd import merge_upsert
+
+    want = merge_upsert(orders, source.select(*orders.columns), ["order_id"])
+    assert _canon(tmp_table.read()) == _canon(want)
+
+    # CDF net fold == snapshot even though per-row event counts are
+    # layout-dependent under pruning
+    cdf = tmp_table.changes(0)
+    cols = [c for c in cdf.columns if not c.startswith("_")]
+    net = (
+        cdf.groupBy(*cols)
+        .agg(
+            F.sum(
+                F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+            ).alias("_net")
+        )
+        .filter(F.col("_net") > 0)
+        .drop("_net")
+    )
+    assert _canon(net) == _canon(want)
+
+
+def test_pruned_merge_multikey_falls_back(spark, tmp_table):
+    orders = _orders(spark).limit(20).localCheckpoint(eager=True)
+    tmp_table.write(orders.repartition(2))
+    source = orders.limit(3).withColumn("status", F.lit("merged"))
+    v = tmp_table.merge(
+        source, keys=["order_id", "customer_id"], prune_files=True
+    )
+    info = next(h for h in tmp_table.history() if h["version"] == v)
+    assert info["operation"] == "WRITE"  # full overwrite fallback
+    assert tmp_table.read().filter(F.col("status") == "merged").count() == 3
+
+
+def test_read_where_skips_files_and_filters_exactly(spark, tmp_table):
+    """read(where=(col, lo, hi)): data skipping feeds the scan only
+    surviving files and the residual filter makes the result exactly
+    the filtered relation; an impossible range reads zero files but
+    keeps the schema."""
+    orders = _orders(spark).limit(60).localCheckpoint(eager=True)
+    tmp_table.write(orders.repartitionByRange(4, "order_date"))
+    dates = sorted(r["order_date"] for r in orders.collect())
+    lo, hi = dates[10].isoformat(), dates[20].isoformat()
+    got = tmp_table.read(where=("order_date", lo, hi))
+    want = tmp_table.read().filter(F.col("order_date").between(lo, hi))
+    assert _canon(got) == _canon(want)
+    # the pruned plan reads strictly fewer files than the table holds
+    n_files = len(tmp_table.snapshot().files)
+    n_scanned = got._jdf.queryExecution().executedPlan().toString().count(
+        ".parquet"
+    )
+    assert 0 < len(tmp_table.files_for_range("order_date", lo, hi)) < n_files
+    empty = tmp_table.read(where=("order_date", "1900-01-01", "1900-02-01"))
+    assert empty.count() == 0
+    assert empty.schema == tmp_table.read().schema
+    # open-ended bounds work too
+    tail = tmp_table.read(where=("order_date", hi, None))
+    assert _canon(tail) == _canon(
+        tmp_table.read().filter(F.col("order_date") >= hi)
+    )
