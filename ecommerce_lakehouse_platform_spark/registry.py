@@ -841,6 +841,15 @@ resolve_deferred_oracles()
 # differential, and tests/test_staleness_ledger.py now pins the
 # "newest external green row ≥ current round − 3" bound, so they
 # CANNOT slip past r9 without failing the suite.
+#
+# CAPACITY INVARIANT: a 50-slot window under the −3 bound sustains at
+# most 50 × 3 = 150 registered queries (every query must be
+# re-windowed at least once every 3 rounds, and new/changed slots eat
+# from the same budget). The registry is AT that capacity as of r8 —
+# do not register another externally-gated query without retiring
+# one, or the staleness bound becomes unsatisfiable a few rounds out.
+# New operators beyond this point should extend EXISTING queries'
+# plans or live as pytest-proven library surface.
 _DRIVER_WINDOW: tuple[str, ...] = (
     # --- New this round: first external row happens now or never ---
     "ext_delta_merge_cdf",
