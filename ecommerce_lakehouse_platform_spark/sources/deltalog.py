@@ -111,6 +111,10 @@ class Snapshot:
     partition_columns: list[str]
     files: dict[str, dict[str, Any]] = field(default_factory=dict)
     # files: relative path -> its `add` action payload
+    # app_versions: streaming-writer appId -> highest committed txn
+    # version (the Delta protocol's `txn` action — the idempotence
+    # ledger that gives foreachBatch sinks exactly-once)
+    app_versions: dict[str, int] = field(default_factory=dict)
 
     def file_paths(self, base: str) -> list[str]:
         return [os.path.join(base, p) for p in sorted(self.files)]
@@ -284,6 +288,15 @@ def _checkpoint_arrow_schema():
                     ]
                 ),
             ),
+            (
+                "txn",
+                pa.struct(
+                    [
+                        ("appId", pa.string()),
+                        ("version", pa.int64()),
+                    ]
+                ),
+            ),
         ]
     )
 
@@ -340,6 +353,7 @@ class MiniDeltaTable:
         schema: T.StructType | None = None
         partition_columns: list[str] = []
         files: dict[str, dict[str, Any]] = {}
+        app_versions: dict[str, int] = {}
 
         def apply(action: dict[str, Any]) -> None:
             nonlocal schema, partition_columns
@@ -351,6 +365,11 @@ class MiniDeltaTable:
                 files[action["add"]["path"]] = action["add"]
             elif "remove" in action:
                 files.pop(action["remove"]["path"], None)
+            elif "txn" in action:
+                txn = action["txn"]
+                app_versions[txn["appId"]] = max(
+                    app_versions.get(txn["appId"], -1), int(txn["version"])
+                )
 
         # Start from the newest checkpoint at-or-before the requested
         # version; replay only the JSON commits after it. Requests
@@ -376,7 +395,7 @@ class MiniDeltaTable:
                 apply(action)
         if schema is None:
             raise ValueError("corrupt log: no metaData action replayed")
-        return Snapshot(version, schema, partition_columns, files)
+        return Snapshot(version, schema, partition_columns, files, app_versions)
 
     def history(self) -> list[dict[str, Any]]:
         """One commitInfo dict per version, newest first."""
@@ -535,12 +554,22 @@ class MiniDeltaTable:
 
     # -- write ----------------------------------------------------------
 
+    def last_txn_version(self, app_id: str) -> int | None:
+        """Highest ``txn`` version committed by ``app_id``, or None if
+        the app never committed (or the table does not exist yet) —
+        the read half of the protocol's streaming-idempotence ledger:
+        a foreachBatch sink skips any batch id ≤ this value."""
+        if not self.exists():
+            return None
+        return self.snapshot().app_versions.get(app_id)
+
     def write(
         self,
         df: DataFrame,
         mode: str = "overwrite",
         partition_by: list[str] | None = None,
         overwrite_schema: bool = False,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Commit ``df`` as the next table version; returns it.
 
@@ -549,7 +578,15 @@ class MiniDeltaTable:
         02_silver_transform.py:33-35); ``mode="append"`` only adds.
         Existing-table writes enforce the logged schema unless
         ``overwrite_schema=True`` (overwrite only), which commits a new
-        ``metaData`` action — the ``overwriteSchema`` contract."""
+        ``metaData`` action — the ``overwriteSchema`` contract.
+
+        ``txn=(app_id, version)`` stamps the commit with the
+        protocol's ``txn`` action, recording that this application has
+        committed through ``version`` — the ledger a streaming sink
+        consults (``last_txn_version``) to make epoch replays
+        idempotent. The stamp rides in the SAME atomic commit as the
+        data, so a replayed epoch either fully committed (and is
+        skipped) or never happened — there is no torn state."""
         if mode not in ("overwrite", "append"):
             raise ValueError(f"unsupported mode: {mode}")
         tbl_exists = self.exists()
@@ -620,6 +657,10 @@ class MiniDeltaTable:
                         "createdTime": now_ms,
                     }
                 }
+            )
+        if txn is not None:
+            actions.append(
+                {"txn": {"appId": str(txn[0]), "version": int(txn[1])}}
             )
         if mode == "overwrite" and prior is not None:
             for rel in sorted(prior.files):
@@ -792,6 +833,7 @@ class MiniDeltaTable:
         protocol: dict[str, Any] | None = None
         metadata: dict[str, Any] | None = None
         files: dict[str, dict[str, Any]] = {}
+        app_versions: dict[str, int] = {}
 
         def absorb(action: dict[str, Any]) -> None:
             nonlocal protocol, metadata
@@ -803,6 +845,11 @@ class MiniDeltaTable:
                 files[action["add"]["path"]] = action["add"]
             elif "remove" in action:
                 files.pop(action["remove"]["path"], None)
+            elif "txn" in action:
+                txn = action["txn"]
+                app_versions[txn["appId"]] = max(
+                    app_versions.get(txn["appId"], -1), int(txn["version"])
+                )
 
         # chain from the newest checkpoint at-or-before the target:
         # each checkpoint costs O(files + commits since the last one),
@@ -840,6 +887,17 @@ class MiniDeltaTable:
                 "add": None,
             },
         ]
+        # one txn row per appId: the idempotence ledger must survive
+        # log expiry exactly like the file list does
+        for app_id in sorted(app_versions):
+            rows.append(
+                {
+                    "protocol": None,
+                    "metaData": None,
+                    "add": None,
+                    "txn": {"appId": app_id, "version": app_versions[app_id]},
+                }
+            )
         for rel in sorted(files):
             add = files[rel]
             rows.append(
@@ -886,6 +944,8 @@ class MiniDeltaTable:
                 add = dict(row["add"])
                 add["partitionValues"] = dict(add.get("partitionValues") or [])
                 actions.append({"add": add})
+            elif row.get("txn") is not None:
+                actions.append({"txn": dict(row["txn"])})
         return actions
 
     # -- table operations on top of the log ------------------------------

@@ -915,3 +915,51 @@ def test_read_where_skips_files_and_filters_exactly(spark, tmp_table):
     assert _canon(tail) == _canon(
         tmp_table.read().filter(F.col("order_date") >= hi)
     )
+
+
+def test_txn_action_is_an_idempotence_ledger(spark, tmp_table):
+    """The protocol's txn action: (appId, version) stamps ride in the
+    same atomic commit as the data, last_txn_version reads the
+    high-water mark per app, and the ledger survives checkpoint
+    consolidation and log expiry like the file list does."""
+    orders = _orders(spark).limit(12).localCheckpoint(eager=True)
+    assert tmp_table.last_txn_version("job-a") is None
+    tmp_table.write(orders, txn=("job-a", 0))
+    tmp_table.write(orders.limit(3), mode="append", txn=("job-a", 1))
+    tmp_table.write(orders.limit(2), mode="append", txn=("job-b", 7))
+    assert tmp_table.last_txn_version("job-a") == 1
+    assert tmp_table.last_txn_version("job-b") == 7
+    assert tmp_table.last_txn_version("job-c") is None
+    # ledger survives checkpoint + a fresh handle replaying FROM it
+    tmp_table.checkpoint()
+    reopened = MiniDeltaTable(spark, tmp_table.path)
+    assert reopened.snapshot().app_versions == {"job-a": 1, "job-b": 7}
+
+
+def test_streaming_sink_exactly_once_append(spark, tmp_table):
+    """foreachBatch → MiniDelta: a real availableNow streaming query
+    lands every row exactly once, and a REPLAYED epoch (same batch id
+    re-delivered after a checkpoint/commit race) is a no-op instead
+    of a duplicate append."""
+    from ecommerce_lakehouse_platform_spark.streaming.delta_sink import (
+        delta_append_batch,
+        run_stream_to_minidelta_bounded,
+    )
+
+    orders = _orders(spark).limit(30).localCheckpoint(eager=True)
+    run_stream_to_minidelta_bounded(spark, orders, tmp_table, "silver-job")
+    assert _canon(tmp_table.read()) == _canon(orders)
+    last = tmp_table.last_txn_version("silver-job")
+    assert last is not None and last >= 0
+    n_versions = len(tmp_table.versions())
+
+    # replay the last epoch (at-least-once delivery): idempotent skip
+    handle = delta_append_batch(tmp_table, "silver-job")
+    handle(orders.limit(5), last)
+    assert len(tmp_table.versions()) == n_versions  # no new commit
+    assert _canon(tmp_table.read()) == _canon(orders)  # no duplicates
+
+    # the NEXT epoch commits normally
+    handle(orders.limit(5), last + 1)
+    assert tmp_table.read().count() == 35
+    assert tmp_table.last_txn_version("silver-job") == last + 1
