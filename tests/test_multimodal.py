@@ -30,7 +30,9 @@ def test_fake_decode_schema_and_shape(spark):
         assert r.byte_len > 0
 
 
-def test_real_decode_is_stubbed(spark):
+def test_real_decode_unknown_format_raises(spark):
+    """fake=False on a payload with no supported codec (raw text
+    bytes) fails loudly instead of fabricating features."""
     docs = load_table(spark, SF_SMOKE, "documents").limit(2)
     media = attach_binary_payload(docs)
     with pytest.raises(Exception) as exc_info:
@@ -78,7 +80,9 @@ def test_frame_sampling_fan_out(spark):
         assert all(i % 4 == 0 for i in idxs)
 
 
-def test_resize_and_sample_stubs_raise(spark):
+def test_unknown_format_payloads_raise(spark):
+    """Every real-path media op rejects a payload with no supported
+    codec (raw text bytes) instead of silently faking."""
     media = attach_binary_payload(
         load_table(spark, SF_SMOKE, "documents").limit(2)
     )
@@ -245,3 +249,55 @@ def test_real_resize_bmp_payloads(spark):
         assert np.array_equal(
             decode_bmp(out[i]), resize_nearest(arr, 2, 2)
         )
+
+
+def test_real_decode_features_from_pixels(spark):
+    """fake=False decode over genuine PGM payloads: the features are
+    value-histogram densities of the actual raster, matching a
+    pure-Python replica bin for bin."""
+    from ecommerce_lakehouse_platform_spark.multimodal.binary import (
+        attach_pgm_payload,
+        decode_netpbm,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(4)
+    media = attach_pgm_payload(docs, width=12, height=8)
+    src = {r.media_id: bytes(r.payload) for r in media.collect()}
+    got = {r.media_id: list(r.feature)
+           for r in decode_media(media, fake=False).collect()}
+    for mid, payload in src.items():
+        pixels = decode_netpbm(payload).reshape(-1).tolist()
+        counts = [0] * 8
+        for v in pixels:
+            counts[min(v // 32, 7)] += 1
+        expect = [c / len(pixels) for c in counts]
+        assert got[mid] == expect
+
+
+def test_real_phash_is_format_independent(spark):
+    """The real blockhash is a function of the PIXELS, not the
+    container: the same raster encoded as grayscale PGM and as an RGB
+    BMP (all three channels equal) produces the SAME hash — the
+    cross-format collision property perceptual hashing exists for —
+    and different rasters produce different hashes."""
+    import numpy as np
+
+    from ecommerce_lakehouse_platform_spark.multimodal.binary import (
+        MEDIA_SCHEMA,
+        encode_bmp,
+        encode_netpbm,
+    )
+
+    rng = np.arange(12 * 8, dtype=np.uint8).reshape(8, 12)
+    other = (rng[::-1] * 2 + 7).astype(np.uint8)
+    rows = [
+        (0, "image", bytearray(encode_netpbm(rng))),
+        (1, "image", bytearray(encode_bmp(np.stack([rng] * 3, axis=-1)))),
+        (2, "image", bytearray(encode_netpbm(other))),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r.phash
+           for r in media_phash(media, fake=False).collect()}
+    assert got[0] == got[1], "same pixels, different container: must collide"
+    assert got[0] != got[2], "different pixels must (here) differ"
+    assert got[0] > 0
