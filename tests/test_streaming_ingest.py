@@ -79,3 +79,72 @@ def test_stream_ingest_then_compact_keep_latest(spark):
     finally:
         for d in (land, out, ckpt):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_ingest_into_minidelta_exactly_once(spark):
+    """The reference's managed-Delta streaming shape end-to-end:
+    streaming bronze CSV → the SAME silver transform → foreachBatch
+    append into the MiniDelta table with txn stamps. The table equals
+    the batch silver relation, a checkpoint restart appends nothing,
+    and a forced epoch replay is a no-op (exactly-once)."""
+    import os
+
+    from ecommerce_lakehouse_platform_spark.sources.deltalog import (
+        MiniDeltaTable,
+    )
+    from ecommerce_lakehouse_platform_spark.streaming.delta_sink import (
+        delta_append_batch,
+    )
+
+    land = tempfile.mkdtemp(prefix="land_")
+    ckpt = tempfile.mkdtemp(prefix="ingest_ckpt_")
+    tbl_dir = tempfile.mkdtemp(prefix="silver_tbl_")
+    table = MiniDeltaTable(spark, os.path.join(tbl_dir, "customers"))
+    try:
+        with open(f"{land}/batch1.csv", "w") as f:
+            f.write("customer_id,name,age\n7.0,  Old Name ,30\n8,Bob,41\n")
+        with open(f"{land}/batch2.csv", "w") as f:
+            f.write("customer_id,name,age\n9, Carol ,25\nxyz,Ghost,99\n")
+
+        def run():
+            stream = stream_bronze_csv(
+                spark, land, SCHEMA, source_tag="customers"
+            )
+            # drop the per-run ingest timestamp: silver content must be
+            # a pure function of the files for the equality below
+            out = _silver(stream).drop("_ingest_ts")
+            q = (
+                out.writeStream.foreachBatch(
+                    delta_append_batch(table, "silver-ingest")
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run()
+        got = {(r.customer_id, r.name, r.age, r._source_file)
+               for r in table.read().collect()}
+        assert got == {
+            ("7", "Old Name", 30, "batch1.csv"),
+            ("8", "Bob", 41, "batch1.csv"),
+            ("9", "Carol", 25, "batch2.csv"),
+        }
+        last = table.last_txn_version("silver-ingest")
+        assert last is not None
+        n_versions = len(table.versions())
+
+        # restart over the same checkpoint: no new epochs, no new rows
+        run()
+        assert table.read().count() == 3
+        assert len(table.versions()) == n_versions
+
+        # forced replay of the last committed epoch: idempotent skip
+        replay = table.read().limit(1)
+        delta_append_batch(table, "silver-ingest")(replay, last)
+        assert table.read().count() == 3
+        assert len(table.versions()) == n_versions
+    finally:
+        for d in (land, ckpt, tbl_dir):
+            shutil.rmtree(d, ignore_errors=True)
