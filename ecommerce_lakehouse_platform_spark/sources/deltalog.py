@@ -950,6 +950,146 @@ class MiniDeltaTable:
 
     # -- table operations on top of the log ------------------------------
 
+    def _rel_file_col(self) -> Column:
+        """Logged-relative path of each row's source file, decoded
+        from ``input_file_name()``'s percent-encoded URI the same
+        guarded way optimize() does (literal '+' protected before
+        url_decode; the raw table root located inside the decoded
+        string)."""
+        root = self.path.rstrip("/").replace("\\", "\\\\").replace(
+            "'", "\\'"
+        )
+        decoded = (
+            "url_decode(regexp_replace(input_file_name(),"
+            " '\\\\+', '%2B'))"
+        )
+        return F.expr(
+            f"substring({decoded},"
+            f" instr({decoded}, '{root}')"
+            f" + {len(self.path.rstrip('/')) + 1})"
+        )
+
+    def _touched_rewrite(
+        self,
+        condition: Column,
+        rewrite,
+        operation: str,
+        parameters: dict[str, Any],
+    ) -> int | None:
+        """Copy-on-write DML core shared by DELETE and UPDATE: one
+        discovery scan finds the FILES containing rows matching
+        ``condition`` (the real engine's touched-file scan — sound for
+        arbitrary predicates, and it prunes automatically: untouched
+        files are never rewritten), ``rewrite(sub)`` produces those
+        files' replacement relation, and the commit pairs their
+        removes with the new adds. Returns the new version, or None if
+        nothing matched (a no-op, like the real commands)."""
+        snap = self.snapshot()
+        if not snap.files:
+            return None
+        paths = snap.file_paths(self.path)
+        scan = (
+            self._reader(snap.files)
+            .parquet(*paths)
+            .withColumn("_rel", self._rel_file_col())
+        )
+        touched_rels = sorted(
+            r["_rel"]
+            for r in scan.filter(condition).select("_rel").distinct().collect()
+        )
+        if not touched_rels:
+            return None
+        sub = self._reader(
+            {r: snap.files[r] for r in touched_rels}
+        ).parquet(*(os.path.join(self.path, r) for r in touched_rels))
+        sub = sub.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in snap.schema
+            ]
+        )
+        adds = self._stage_data_files(rewrite(sub), snap.partition_columns)
+        now_ms = int(time.time() * 1000)
+        actions: list[dict[str, Any]] = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": operation,
+                    "operationParameters": {
+                        **parameters,
+                        "rewrittenFiles": len(touched_rels),
+                        "prunedFiles": len(snap.files) - len(touched_rels),
+                    },
+                }
+            }
+        ]
+        for rel in touched_rels:
+            actions.append(
+                {
+                    "remove": {
+                        "path": rel,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+        actions.extend({"add": add} for add in adds)
+        version = snap.version + 1
+        self._commit(version, actions)
+        return version
+
+    def delete(self, condition: Column) -> int | None:
+        """DELETE FROM ... WHERE: remove rows where ``condition`` is
+        TRUE (NULL keeps the row — SQL semantics), rewriting ONLY the
+        files that contain matches. At 100 TB a targeted delete (GDPR
+        erasure, a bad-batch rollback) touches a sliver of the table;
+        the touched-file discovery keeps the rewrite proportional to
+        that sliver, never the table. Returns the new version or None
+        when nothing matched."""
+        return self._touched_rewrite(
+            F.coalesce(condition, F.lit(False)),
+            lambda sub: sub.filter(
+                ~F.coalesce(condition, F.lit(False))
+            ),
+            "DELETE",
+            {},
+        )
+
+    def update(
+        self, condition: Column, assignments: dict[str, Column]
+    ) -> int | None:
+        """UPDATE ... SET ... WHERE: apply ``assignments`` to rows
+        where ``condition`` is TRUE, same touched-file copy-on-write
+        shape as :meth:`delete`. Assigned expressions are cast to the
+        column's logged type (schema enforcement: an UPDATE can change
+        values, never the table's shape). Returns the new version or
+        None when nothing matched."""
+        snap_schema = {f.name: f.dataType for f in self.snapshot().schema}
+        unknown = sorted(set(assignments) - set(snap_schema))
+        if unknown:
+            raise SchemaMismatchError(
+                f"UPDATE assigns columns not in the table: {unknown}"
+            )
+        cond = F.coalesce(condition, F.lit(False))
+
+        def rewrite(sub: DataFrame) -> DataFrame:
+            out = sub
+            for name, expr in assignments.items():
+                out = out.withColumn(
+                    name,
+                    F.when(cond, expr.cast(snap_schema[name])).otherwise(
+                        F.col(name)
+                    ),
+                )
+            return out
+
+        return self._touched_rewrite(
+            cond,
+            rewrite,
+            "UPDATE",
+            {"columns": json.dumps(sorted(assignments))},
+        )
+
     def merge(
         self, source: DataFrame, keys: list[str], prune_files: bool = False
     ) -> int:

@@ -963,3 +963,80 @@ def test_streaming_sink_exactly_once_append(spark, tmp_table):
     handle(orders.limit(5), last + 1)
     assert tmp_table.read().count() == 35
     assert tmp_table.last_txn_version("silver-job") == last + 1
+
+
+def test_delete_rewrites_only_touched_files(spark, tmp_table):
+    """DELETE: the discovery scan finds the files containing matches,
+    only those are rewritten (history shows the pruned/rewritten
+    split), the deleted rows are gone and everything else survives —
+    including rows that shared a file with a deleted row. A
+    no-match delete is a no-op returning None."""
+    orders = _orders(spark).limit(80).localCheckpoint(eager=True)
+    ids = sorted(r["order_id"] for r in orders.collect())
+    tmp_table.write(orders.repartitionByRange(4, "order_id"))
+    before = dict(tmp_table.snapshot().files)
+
+    victims = ids[:3]  # confined to the lowest range file(s)
+    v = tmp_table.delete(F.col("order_id").isin(victims))
+    assert v == 1
+    info = next(h for h in tmp_table.history() if h["version"] == v)
+    assert info["operation"] == "DELETE"
+    assert int(info["operationParameters"]["prunedFiles"]) > 0
+    after = tmp_table.snapshot().files
+    assert len(set(before) & set(after)) == int(
+        info["operationParameters"]["prunedFiles"]
+    )
+    got = {r["order_id"] for r in tmp_table.read().collect()}
+    assert got == set(ids) - set(victims)
+    # time travel still shows the pre-delete relation
+    assert tmp_table.read(version=0).count() == 80
+    # no matches: no commit at all
+    assert tmp_table.delete(F.col("order_id") == "!nope") is None
+    assert len(tmp_table.versions()) == 2
+
+
+def test_update_applies_assignments_with_schema_enforcement(spark, tmp_table):
+    """UPDATE: assigned expressions hit only matching rows, are cast
+    to the logged column type, untouched files survive, and assigning
+    a column the table does not have raises."""
+    orders = _orders(spark).limit(60).localCheckpoint(eager=True)
+    ids = sorted(r["order_id"] for r in orders.collect())
+    tmp_table.write(orders.repartitionByRange(4, "order_id"))
+    n_files = len(tmp_table.snapshot().files)
+
+    targets = ids[:4]
+    cond = F.col("order_id").isin(targets)
+    v = tmp_table.update(
+        cond,
+        {"status": F.lit("VOID"), "total_usd": F.col("total_usd") * 0},
+    )
+    info = next(h for h in tmp_table.history() if h["version"] == v)
+    assert info["operation"] == "UPDATE"
+    assert int(info["operationParameters"]["rewrittenFiles"]) < n_files
+    rows = {r["order_id"]: r for r in tmp_table.read().collect()}
+    assert len(rows) == 60  # row count unchanged
+    for oid in targets:
+        assert rows[oid]["status"] == "VOID"
+        assert float(rows[oid]["total_usd"]) == 0.0
+    untouched = [oid for oid in ids if oid not in targets]
+    original = {r["order_id"]: r for r in orders.collect()}
+    for oid in untouched:
+        assert rows[oid]["status"] == original[oid]["status"]
+        assert rows[oid]["total_usd"] == original[oid]["total_usd"]
+    # schema enforcement: unknown assignment column fails loudly
+    with pytest.raises(SchemaMismatchError):
+        tmp_table.update(cond, {"not_a_column": F.lit(1)})
+    # CDF net fold over the whole history equals the final snapshot
+    cdf = tmp_table.changes(0)
+    cols = [c for c in cdf.columns if not c.startswith("_")]
+    net = (
+        cdf.groupBy(*cols)
+        .agg(
+            F.sum(
+                F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+            ).alias("_net")
+        )
+        .filter(F.col("_net") > 0)
+        .drop("_net")
+    )
+    assert _canon(net) == _canon(tmp_table.read())
