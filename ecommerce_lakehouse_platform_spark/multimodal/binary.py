@@ -129,11 +129,14 @@ def _fake_decode(payload: bytes, n_bins: int = 8) -> list[float]:
 
 
 def _real_decode(payload: bytes, n_bins: int = 8) -> list[float]:
-    """REAL decode + feature head for the supported raster formats:
-    decode the pixels (netpbm/BMP, below) and emit value-histogram
-    densities over the raster (bin = pixel_value // 32) — the same
-    shape/type a tiny embedding head produces, computed from genuine
-    image content. Unknown formats raise (honest gap)."""
+    """REAL decode + feature head for the supported formats: image
+    rasters (netpbm/BMP, below) emit pixel-value histogram densities
+    (bin = value // 32); WAVE audio emits absolute-amplitude
+    histogram densities — the same shape/type a tiny embedding head
+    produces, computed from genuine content. Unknown formats raise
+    (honest gap)."""
+    if payload[:4] == b"RIFF":
+        return _wav_features(payload, n_bins)
     arr = decode_raster(payload)
     flat = arr.reshape(-1)
     counts = [0] * n_bins
@@ -294,6 +297,71 @@ def resize_nearest(arr, width: int, height: int):
     ys = (np.arange(height) * src_h) // height
     xs = (np.arange(width) * src_w) // width
     return arr[np.ix_(ys, xs)]
+
+
+def encode_wav(samples, sample_rate: int = 16000) -> bytes:
+    """Canonical RIFF/WAVE encode: mono 16-bit PCM — header (fmt
+    chunk) + little-endian samples. The one audio format trivial
+    enough to implement honestly from its public spec."""
+    import struct
+
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype=np.int16).tobytes()
+    fmt = struct.pack(
+        "<4sIHHIIHH",
+        b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16,
+    )
+    data = struct.pack("<4sI", b"data", len(pcm)) + pcm
+    riff = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(data), b"WAVE")
+    return riff + fmt + data
+
+
+def decode_wav(payload: bytes):
+    """Decode RIFF/WAVE mono 16-bit PCM into (sample_rate, int16
+    array), walking the chunk list per the spec (extra chunks like
+    LIST/INFO are skipped); anything but PCM16 mono raises."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    sample_rate = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError(
+                    "only mono 16-bit PCM WAVE supported "
+                    f"(fmt={audio_fmt}, ch={channels}, bits={bits})"
+                )
+            sample_rate = rate
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if sample_rate is None or data is None:
+        raise ValueError("WAVE payload missing fmt or data chunk")
+    return sample_rate, np.frombuffer(data, dtype="<i2")
+
+
+def _wav_features(payload: bytes, n_bins: int = 8) -> list[float]:
+    """Feature head for audio: absolute-amplitude histogram densities
+    (bin = |sample| // 4096, 8 bins over the int16 range) — the same
+    output shape as the image head, computed from genuine samples."""
+    _rate, samples = decode_wav(payload)
+    if samples.size == 0:
+        return [0.0] * n_bins
+    counts = [0] * n_bins
+    for v in samples.tolist():
+        counts[min(abs(int(v)) // 4096, n_bins - 1)] += 1
+    total = float(samples.size)
+    return [c / total for c in counts]
 
 
 def decode_raster(payload: bytes):

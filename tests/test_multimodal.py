@@ -301,3 +301,52 @@ def test_real_phash_is_format_independent(spark):
     assert got[0] == got[1], "same pixels, different container: must collide"
     assert got[0] != got[2], "different pixels must (here) differ"
     assert got[0] > 0
+
+
+def test_wav_round_trip_and_real_audio_features(spark):
+    """RIFF/WAVE mono PCM16: encode/decode round-trip (with an extra
+    LIST chunk skipped per the spec), format guards, and fake=False
+    decode_media over genuine audio payloads matching a pure-Python
+    amplitude-histogram replica."""
+    import struct
+
+    import numpy as np
+
+    from ecommerce_lakehouse_platform_spark.multimodal.binary import (
+        MEDIA_SCHEMA,
+        decode_wav,
+        encode_wav,
+    )
+
+    samples = np.array([0, 100, -100, 5000, -32768, 32767], dtype=np.int16)
+    payload = encode_wav(samples, sample_rate=8000)
+    rate, back = decode_wav(payload)
+    assert rate == 8000
+    assert np.array_equal(back, samples)
+    # an extra chunk between fmt and data is walked over, not tripped on
+    pos = 12 + 8 + 16  # after fmt chunk
+    extra = struct.pack("<4sI", b"LIST", 4) + b"INFO"
+    padded = payload[:pos] + extra + payload[pos:]
+    riff_len = struct.unpack_from("<I", padded, 4)[0] + len(extra)
+    padded = padded[:4] + struct.pack("<I", riff_len) + padded[8:]
+    rate2, back2 = decode_wav(padded)
+    assert rate2 == 8000 and np.array_equal(back2, samples)
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxNOPE")
+
+    # distributed fake=False decode over audio rows
+    rows = [
+        (i, "audio", bytearray(encode_wav(
+            np.arange(i * 7, i * 7 + 64, dtype=np.int16) * 512
+        )))
+        for i in range(3)
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: list(r.feature)
+           for r in decode_media(media, fake=False).collect()}
+    for i, _t, payload in rows:
+        _r, s = decode_wav(bytes(payload))
+        counts = [0] * 8
+        for v in s.tolist():
+            counts[min(abs(int(v)) // 4096, 7)] += 1
+        assert got[i] == [c / s.size for c in counts]
