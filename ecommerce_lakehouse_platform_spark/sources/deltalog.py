@@ -65,7 +65,7 @@ Also implemented, because each is the piece that matters at 100 TB:
 Deliberately NOT implemented (documented subset, all honest gaps):
 multi-cluster LogStores (os.link put-if-absent covers single-host
 concurrency, which is what this runtime can exercise), deletion
-vectors, column mapping, constraints, and expired-log cleanup (JSON
+vectors, column mapping, and expired-log cleanup (JSON
 commits are kept forever, so pre-checkpoint time travel always works
 here; the real writer eventually prunes them). Data files are written
 by the stock Spark parquet writer, so everything under the log is
@@ -102,6 +102,11 @@ class SchemaMismatchError(ValueError):
     not requested (Delta schema enforcement)."""
 
 
+class ConstraintViolationError(ValueError):
+    """A write contained rows violating a CHECK constraint
+    (``delta.constraints.<name>`` in the table configuration)."""
+
+
 @dataclass
 class Snapshot:
     """Replayed state of the log as of one version."""
@@ -115,6 +120,9 @@ class Snapshot:
     # version (the Delta protocol's `txn` action — the idempotence
     # ledger that gives foreachBatch sinks exactly-once)
     app_versions: dict[str, int] = field(default_factory=dict)
+    # configuration: the metaData's key/value table properties —
+    # carries `delta.constraints.<name>` CHECK constraints
+    configuration: dict[str, str] = field(default_factory=dict)
 
     def file_paths(self, base: str) -> list[str]:
         return [os.path.join(base, p) for p in sorted(self.files)]
@@ -271,6 +279,7 @@ def _checkpoint_arrow_schema():
                         ("format", pa.struct([("provider", pa.string())])),
                         ("schemaString", pa.string()),
                         ("partitionColumns", pa.list_(pa.string())),
+                        ("configuration", pa.map_(pa.string(), pa.string())),
                         ("createdTime", pa.int64()),
                     ]
                 ),
@@ -354,13 +363,15 @@ class MiniDeltaTable:
         partition_columns: list[str] = []
         files: dict[str, dict[str, Any]] = {}
         app_versions: dict[str, int] = {}
+        configuration: dict[str, str] = {}
 
         def apply(action: dict[str, Any]) -> None:
-            nonlocal schema, partition_columns
+            nonlocal schema, partition_columns, configuration
             if "metaData" in action:
                 meta = action["metaData"]
                 schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
                 partition_columns = list(meta["partitionColumns"])
+                configuration = dict(meta.get("configuration") or {})
             elif "add" in action:
                 files[action["add"]["path"]] = action["add"]
             elif "remove" in action:
@@ -395,7 +406,10 @@ class MiniDeltaTable:
                 apply(action)
         if schema is None:
             raise ValueError("corrupt log: no metaData action replayed")
-        return Snapshot(version, schema, partition_columns, files, app_versions)
+        return Snapshot(
+            version, schema, partition_columns, files, app_versions,
+            configuration,
+        )
 
     def history(self) -> list[dict[str, Any]]:
         """One commitInfo dict per version, newest first."""
@@ -620,6 +634,8 @@ class MiniDeltaTable:
                         "overwrite_schema=True with mode='overwrite' to evolve"
                     )
         partition_by = partition_by or []
+        if prior is not None:
+            self._enforce_constraints(df, prior.configuration)
 
         adds = self._stage_data_files(df, partition_by)
         version = (prior.version + 1) if prior is not None else 0
@@ -653,7 +669,11 @@ class MiniDeltaTable:
                         "format": {"provider": "parquet", "options": {}},
                         "schemaString": df.schema.json(),
                         "partitionColumns": partition_by,
-                        "configuration": {},
+                        # table properties (CHECK constraints included)
+                        # survive a schema evolution
+                        "configuration": dict(
+                            prior.configuration if prior else {}
+                        ),
                         "createdTime": now_ms,
                     }
                 }
@@ -882,6 +902,9 @@ class MiniDeltaTable:
                     "format": {"provider": metadata["format"]["provider"]},
                     "schemaString": metadata["schemaString"],
                     "partitionColumns": list(metadata["partitionColumns"]),
+                    "configuration": list(
+                        (metadata.get("configuration") or {}).items()
+                    ),
                     "createdTime": metadata.get("createdTime"),
                 },
                 "add": None,
@@ -939,6 +962,7 @@ class MiniDeltaTable:
                 actions.append({"protocol": row["protocol"]})
             elif row.get("metaData") is not None:
                 meta = dict(row["metaData"])
+                meta["configuration"] = dict(meta.get("configuration") or [])
                 actions.append({"metaData": meta})
             elif row.get("add") is not None:
                 add = dict(row["add"])
@@ -949,6 +973,100 @@ class MiniDeltaTable:
         return actions
 
     # -- table operations on top of the log ------------------------------
+
+    @staticmethod
+    def _enforce_constraints(
+        df: DataFrame, configuration: dict[str, str]
+    ) -> None:
+        """CHECK-constraint enforcement (write path): for each
+        ``delta.constraints.<name>`` table property, count rows whose
+        expression evaluates FALSE (NULL passes — SQL CHECK
+        semantics) and fail the write before any file is staged. One
+        aggregate per constrained write; the real engine fuses the
+        check into the write scan, but the contract — no committed
+        version ever contains a violating row — is the same."""
+        checks = {
+            k.removeprefix("delta.constraints."): v
+            for k, v in configuration.items()
+            if k.startswith("delta.constraints.")
+        }
+        if not checks:
+            return
+        counters = [
+            F.count_if(~F.coalesce(F.expr(sql), F.lit(True))).alias(name)
+            for name, sql in checks.items()
+        ]
+        bad = df.agg(*counters).collect()[0]
+        violated = {n: bad[n] for n in checks if bad[n]}
+        if violated:
+            detail = "; ".join(
+                f"{n} (CHECK {checks[n]}): {c} row(s)"
+                for n, c in sorted(violated.items())
+            )
+            raise ConstraintViolationError(
+                f"write violates CHECK constraint(s): {detail}"
+            )
+
+    def set_constraint(self, name: str, sql: str) -> int:
+        """ALTER TABLE ... ADD CONSTRAINT ... CHECK (...): validate
+        the EXISTING rows satisfy the expression (the real command
+        scans the table before accepting), then commit a metaData
+        action with ``delta.constraints.<name>`` set. Every later
+        write enforces it."""
+        snap = self.snapshot()
+        self._enforce_constraints(
+            self.read(), {f"delta.constraints.{name}": sql}
+        )
+        config = dict(snap.configuration)
+        config[f"delta.constraints.{name}"] = sql
+        return self._commit_configuration(
+            snap, config, "ADD CONSTRAINT", {"name": name, "expr": sql}
+        )
+
+    def drop_constraint(self, name: str) -> int | None:
+        """ALTER TABLE ... DROP CONSTRAINT: remove the property; None
+        if the constraint does not exist."""
+        snap = self.snapshot()
+        key = f"delta.constraints.{name}"
+        if key not in snap.configuration:
+            return None
+        config = {k: v for k, v in snap.configuration.items() if k != key}
+        return self._commit_configuration(
+            snap, config, "DROP CONSTRAINT", {"name": name}
+        )
+
+    def _commit_configuration(
+        self,
+        snap: Snapshot,
+        configuration: dict[str, str],
+        operation: str,
+        parameters: dict[str, Any],
+    ) -> int:
+        """Metadata-only commit restating the CURRENT schema/layout
+        with a new configuration map."""
+        now_ms = int(time.time() * 1000)
+        actions: list[dict[str, Any]] = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": operation,
+                    "operationParameters": parameters,
+                }
+            },
+            {
+                "metaData": {
+                    "id": str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": snap.schema.json(),
+                    "partitionColumns": snap.partition_columns,
+                    "configuration": configuration,
+                    "createdTime": now_ms,
+                }
+            },
+        ]
+        version = snap.version + 1
+        self._commit(version, actions)
+        return version
 
     def _rel_file_col(self) -> Column:
         """Logged-relative path of each row's source file, decoded

@@ -1040,3 +1040,60 @@ def test_update_applies_assignments_with_schema_enforcement(spark, tmp_table):
         .drop("_net")
     )
     assert _canon(net) == _canon(tmp_table.read())
+
+
+def test_check_constraints_enforced_on_write(spark, tmp_table):
+    """CHECK constraints: adding one validates existing rows, every
+    later write enforces it (NULL passes — SQL semantics), the
+    property survives schema evolution and checkpoint consolidation,
+    and dropping it lifts the gate."""
+    from ecommerce_lakehouse_platform_spark.sources.deltalog import (
+        ConstraintViolationError,
+    )
+
+    orders = _orders(spark).limit(20).localCheckpoint(eager=True)
+    tmp_table.write(orders)
+    v = tmp_table.set_constraint("nonneg_total", "total_usd >= 0")
+    assert v == 1
+    # a violating append fails BEFORE anything is committed
+    bad = orders.limit(2).withColumn("total_usd", F.lit(-5.0).cast(
+        orders.schema["total_usd"].dataType))
+    with pytest.raises(ConstraintViolationError) as exc:
+        tmp_table.write(bad, mode="append")
+    assert "nonneg_total" in str(exc.value)
+    assert len(tmp_table.versions()) == 2  # no partial commit
+    # a clean append passes; NULLs pass (SQL CHECK semantics)
+    nulls = orders.limit(1).withColumn("total_usd", F.lit(None).cast(
+        orders.schema["total_usd"].dataType))
+    tmp_table.write(nulls, mode="append")
+    assert tmp_table.read().count() == 21
+    # the property survives a schema evolution...
+    evolved = tmp_table.read().withColumn("flag", F.lit(True))
+    tmp_table.write(evolved, overwrite_schema=True)
+    assert "delta.constraints.nonneg_total" in tmp_table.snapshot().configuration
+    with pytest.raises(ConstraintViolationError):
+        tmp_table.write(
+            evolved.withColumn("total_usd", F.lit(-1.0).cast(
+                orders.schema["total_usd"].dataType)),
+            mode="append",
+        )
+    # ...and a checkpoint round-trip
+    tmp_table.checkpoint()
+    reopened = MiniDeltaTable(spark, tmp_table.path)
+    assert (
+        reopened.snapshot().configuration[
+            "delta.constraints.nonneg_total"
+        ]
+        == "total_usd >= 0"
+    )
+    # adding a constraint existing rows violate is refused
+    with pytest.raises(ConstraintViolationError):
+        tmp_table.set_constraint("impossible", "total_usd > 1e12")
+    # dropping lifts the gate; dropping twice is a no-op
+    assert tmp_table.drop_constraint("nonneg_total") is not None
+    tmp_table.write(
+        evolved.withColumn("total_usd", F.lit(-1.0).cast(
+            orders.schema["total_usd"].dataType)),
+        mode="append",
+    )
+    assert tmp_table.drop_constraint("nonneg_total") is None
