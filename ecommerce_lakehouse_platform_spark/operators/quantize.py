@@ -112,6 +112,91 @@ def sq8_dequantize(
     return codes.select(id_col, deq.alias("deq"))
 
 
+def sq8_topk_ivf(
+    codes: DataFrame,
+    calibration: tuple[list[int], list[int]],
+    queries: DataFrame,
+    centroids: list[tuple[int, list[int]]],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF over the COMPRESSED column: bucket the dequantized codes by
+    nearest trained centroid (``kmeans_fit``'s model, riding in the
+    plan as literals — zero-shuffle assignment), probe each query's
+    ``nprobe`` nearest buckets, and score only those candidates —
+    the FAISS ``IVF,SQ8`` composition: SQ8 cuts the bytes touched 4×,
+    IVF cuts the candidates to ~nprobe/C of the corpus, and neither
+    ever reads a stored float. The candidate join is a broadcast
+    equi-join on bucket_id (queries × nprobe rows broadcast), never a
+    cartesian."""
+    from pyspark.sql import Window
+
+    from .kmeans import _assign
+
+    deq = sq8_dequantize(codes, calibration, id_col).withColumnRenamed(
+        "deq", "q"
+    )
+    assigned = _assign(deq, centroids).select(
+        id_col, F.col("q").alias("_deq"), F.col("cluster").alias("bucket_id")
+    )
+    qv = quantize_vectors(queries, id_col, vec_col)
+    # query side: rank every centroid distance and keep nprobe buckets
+    # (array_sort over (dist, id) structs = the lexicographic ranking)
+    cid_arr = F.lit([int(c) for c, _ in centroids]).cast("array<bigint>")
+    vec_arr = F.lit(
+        [[int(x) for x in v] for _, v in centroids]
+    ).cast("array<array<bigint>>")
+    per_centroid = F.transform(
+        F.sequence(F.lit(1), F.lit(len(centroids))),
+        lambda i: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col("q"),
+                    F.element_at(vec_arr, i),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            F.element_at(cid_arr, i).alias("c"),
+        ),
+    )
+    probes = (
+        qv.select(
+            F.col(id_col).alias(query_id_col),
+            F.col("q").alias("_qv"),
+            F.explode(
+                F.slice(F.array_sort(per_centroid), 1, nprobe)
+            ).alias("_p"),
+        )
+        .select(query_id_col, "_qv", F.col("_p.c").alias("bucket_id"))
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), ["bucket_id"])
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            F.aggregate(
+                F.zip_with(
+                    F.col("_deq"), F.col("_qv"), lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("sq_dist"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy("sq_dist", "neighbor_id")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def sq8_topk(
     codes: DataFrame,
     calibration: tuple[list[int], list[int]],

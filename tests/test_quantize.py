@@ -112,3 +112,43 @@ def test_sq8_topk_recall_vs_exact(spark):
     assert len(got) == 8 * 5
     recall = len(exact & got) / len(exact)
     assert recall >= 0.6, f"SQ8 recall@5 unexpectedly low: {recall}"
+
+
+def test_sq8_topk_ivf_buckets_and_recalls(spark):
+    """IVF over the compressed column: the candidate join is a
+    broadcast equi-join on bucket_id (no cartesian against the
+    corpus), widening nprobe can only improve results, and at full
+    probe width the answer EQUALS brute-force SQ8 search exactly."""
+    from ecommerce_lakehouse_platform_spark.operators import kmeans
+
+    rows = _vectors(80, dim=16)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in vec]) for i, vec in rows],
+        "vec_id long, embedding array<float>",
+    )
+    cal = quantize.sq8_calibrate(df, dim=16)
+    codes = quantize.sq8_encode(df, cal)
+    cents = kmeans.kmeans_fit(df, k=4, n_iters=2)
+    queries = df.filter(F.col("vec_id") < 6)
+
+    out = quantize.sq8_topk_ivf(codes, cal, queries, cents, k=5, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+    def pairs(df_):
+        return {(r["query_id"], r["neighbor_id"], r["sq_dist"])
+                for r in df_.collect()}
+
+    brute = pairs(quantize.sq8_topk(codes, cal, queries, k=5))
+    probed = pairs(out)
+    assert len(probed) <= 6 * 5
+    # recall vs brute SQ8 at nprobe=2 of 4 buckets
+    recall = len(brute & probed) / len(brute)
+    assert recall >= 0.5, f"IVF-SQ8 recall vs brute SQ8 too low: {recall}"
+    # full probe width == brute force exactly (same distances, same ties)
+    full = pairs(
+        quantize.sq8_topk_ivf(codes, cal, queries, cents, k=5, nprobe=4)
+    )
+    assert full == brute
