@@ -62,10 +62,19 @@ Also implemented, because each is the piece that matters at 100 TB:
   actions with ``dataChange=false``; contents and history are
   preserved, CDF readers see nothing.
 
+Deletion vectors are implemented as a subset: ``delete(cond,
+use_dv=True)`` writes the matching rows' file positions to a parquet
+sidecar under ``_dv/`` and re-commits the touched adds with a
+``deletionVector`` descriptor — readers anti-join the sidecar against
+``_metadata.row_index``, every rewrite path reads through the filter,
+OPTIMIZE materializes DVs away, vacuum reaps superseded sidecars, and
+``changes()``/``clone()`` reject DV-carrying ranges/tables loudly.
+
 Deliberately NOT implemented (documented subset, all honest gaps):
 multi-cluster LogStores (os.link put-if-absent covers single-host
-concurrency, which is what this runtime can exercise), deletion
-vectors, column mapping, and expired-log cleanup (JSON
+concurrency, which is what this runtime can exercise), the real DV
+roaring-bitmap encoding (positions are a parquet relation here),
+column mapping, and expired-log cleanup (JSON
 commits are kept forever, so pre-checkpoint time travel always works
 here; the real writer eventually prunes them). Data files are written
 by the stock Spark parquet writer, so everything under the log is
@@ -294,6 +303,15 @@ def _checkpoint_arrow_schema():
                         ("modificationTime", pa.int64()),
                         ("dataChange", pa.bool_()),
                         ("stats", pa.string()),
+                        (
+                            "deletionVector",
+                            pa.struct(
+                                [
+                                    ("storagePath", pa.string()),
+                                    ("cardinality", pa.int64()),
+                                ]
+                            ),
+                        ),
                     ]
                 ),
             ),
@@ -508,15 +526,62 @@ class MiniDeltaTable:
         paths = snap.file_paths(self.path)
         if not paths:
             return self.spark.createDataFrame([], snap.schema)
+        casts = [
+            F.col(f.name).cast(f.dataType).alias(f.name) for f in snap.schema
+        ]
+        dv_rels = {
+            rel: add
+            for rel, add in snap.files.items()
+            if add.get("deletionVector")
+        }
         if snap.partition_columns and any(
             os.path.isabs(r) for r in snap.files
         ):
             df = self._read_logged_partitions(snap)
-        else:
+        elif not dv_rels:
             df = self._reader(snap.files).parquet(*paths)
-        df = df.select(
-            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in snap.schema]
-        )
+        else:
+            # deletion-vector files: anti-join each DV's (rel, pos)
+            # sidecar against the rows' file-metadata positions — the
+            # deleted rows vanish without the files ever being
+            # rewritten; untouched files scan exactly as before
+            parts = []
+            plain = {
+                rel: a for rel, a in snap.files.items() if rel not in dv_rels
+            }
+            if plain:
+                parts.append(
+                    self._reader(plain)
+                    .parquet(
+                        *(os.path.join(self.path, r) for r in sorted(plain))
+                    )
+                    .select(*casts)
+                )
+            by_sidecar: dict[str, list[str]] = {}
+            for rel, add in dv_rels.items():
+                by_sidecar.setdefault(
+                    add["deletionVector"]["storagePath"], []
+                ).append(rel)
+            for sidecar in sorted(by_sidecar):
+                rels = sorted(by_sidecar[sidecar])
+                sub = self._reader(
+                    {r: snap.files[r] for r in rels}
+                ).parquet(*(os.path.join(self.path, r) for r in rels))
+                sub = sub.withColumn(
+                    "_rel", self._rel_from("_metadata.file_path")
+                ).withColumn("_pos", F.col("_metadata.row_index"))
+                dvp = self.spark.read.parquet(
+                    os.path.join(self.path, sidecar)
+                ).select(
+                    F.col("rel").alias("_rel"), F.col("pos").alias("_pos")
+                )
+                parts.append(
+                    sub.join(dvp, ["_rel", "_pos"], "left_anti").select(*casts)
+                )
+            df = parts[0]
+            for part in parts[1:]:
+                df = df.unionByName(part)
+        df = df.select(*casts)
         return df.filter(residual) if residual is not None else df
 
     def files_for(
@@ -937,6 +1002,7 @@ class MiniDeltaTable:
                         # a checkpoint restates state, it is not a change
                         "dataChange": False,
                         "stats": add.get("stats"),
+                        "deletionVector": add.get("deletionVector"),
                     },
                 }
             )
@@ -967,6 +1033,10 @@ class MiniDeltaTable:
             elif row.get("add") is not None:
                 add = dict(row["add"])
                 add["partitionValues"] = dict(add.get("partitionValues") or [])
+                if add.get("deletionVector") is None:
+                    add.pop("deletionVector", None)
+                else:
+                    add["deletionVector"] = dict(add["deletionVector"])
                 actions.append({"add": add})
             elif row.get("txn") is not None:
                 actions.append({"txn": dict(row["txn"])})
@@ -1068,17 +1138,17 @@ class MiniDeltaTable:
         self._commit(version, actions)
         return version
 
-    def _rel_file_col(self) -> Column:
-        """Logged-relative path of each row's source file, decoded
-        from ``input_file_name()``'s percent-encoded URI the same
-        guarded way optimize() does (literal '+' protected before
-        url_decode; the raw table root located inside the decoded
-        string)."""
+    def _rel_from(self, uri_sql: str) -> Column:
+        """Logged-relative path decoded from a percent-encoded file
+        URI expression (``input_file_name()`` or
+        ``_metadata.file_path``), the same guarded way optimize() does
+        (literal '+' protected before url_decode; the raw table root
+        located inside the decoded string)."""
         root = self.path.rstrip("/").replace("\\", "\\\\").replace(
             "'", "\\'"
         )
         decoded = (
-            "url_decode(regexp_replace(input_file_name(),"
+            f"url_decode(regexp_replace({uri_sql},"
             " '\\\\+', '%2B'))"
         )
         return F.expr(
@@ -1086,6 +1156,52 @@ class MiniDeltaTable:
             f" instr({decoded}, '{root}')"
             f" + {len(self.path.rstrip('/')) + 1})"
         )
+
+    def _rel_file_col(self) -> Column:
+        return self._rel_from("input_file_name()")
+
+    def _read_files_dv_aware(
+        self, snap: Snapshot, rels, with_rel: bool = False
+    ) -> DataFrame:
+        """Raw parquet read of the given logged files with any active
+        deletion vectors applied (anti-join of the sidecars' (rel,
+        pos) against the rows' file-metadata positions). Columns are
+        neither cast nor pruned — callers project. Every rewrite path
+        (DML, OPTIMIZE) must read through this, or rows deleted by a
+        DV would resurrect in the rewrite."""
+        rels = sorted(rels)
+        sub = self._reader({r: snap.files[r] for r in rels}).parquet(
+            *(os.path.join(self.path, r) for r in rels)
+        )
+        dv_rels = [r for r in rels if snap.files[r].get("deletionVector")]
+        if dv_rels or with_rel:
+            # the rel path must come from the rows' OWN file metadata,
+            # attached BEFORE any join: input_file_name() cannot
+            # resolve across the anti-join's two sources
+            sub = sub.withColumn(
+                "_rel", self._rel_from("_metadata.file_path")
+            )
+        if dv_rels:
+            sub = sub.withColumn("_pos", F.col("_metadata.row_index"))
+            sidecars = sorted(
+                {
+                    snap.files[r]["deletionVector"]["storagePath"]
+                    for r in dv_rels
+                }
+            )
+            dvp = None
+            for sidecar in sidecars:
+                one = self.spark.read.parquet(
+                    os.path.join(self.path, sidecar)
+                )
+                dvp = one if dvp is None else dvp.unionByName(one)
+            dvp = dvp.select(
+                F.col("rel").alias("_rel"), F.col("pos").alias("_pos")
+            )
+            sub = sub.join(dvp, ["_rel", "_pos"], "left_anti").drop("_pos")
+        if dv_rels and not with_rel:
+            sub = sub.drop("_rel")
+        return sub
 
     def _touched_rewrite(
         self,
@@ -1105,21 +1221,14 @@ class MiniDeltaTable:
         snap = self.snapshot()
         if not snap.files:
             return None
-        paths = snap.file_paths(self.path)
-        scan = (
-            self._reader(snap.files)
-            .parquet(*paths)
-            .withColumn("_rel", self._rel_file_col())
-        )
+        scan = self._read_files_dv_aware(snap, snap.files, with_rel=True)
         touched_rels = sorted(
             r["_rel"]
             for r in scan.filter(condition).select("_rel").distinct().collect()
         )
         if not touched_rels:
             return None
-        sub = self._reader(
-            {r: snap.files[r] for r in touched_rels}
-        ).parquet(*(os.path.join(self.path, r) for r in touched_rels))
+        sub = self._read_files_dv_aware(snap, touched_rels)
         sub = sub.select(
             *[
                 F.col(f.name).cast(f.dataType).alias(f.name)
@@ -1156,22 +1265,144 @@ class MiniDeltaTable:
         self._commit(version, actions)
         return version
 
-    def delete(self, condition: Column) -> int | None:
+    def delete(
+        self, condition: Column, use_dv: bool = False
+    ) -> int | None:
         """DELETE FROM ... WHERE: remove rows where ``condition`` is
         TRUE (NULL keeps the row — SQL semantics), rewriting ONLY the
         files that contain matches. At 100 TB a targeted delete (GDPR
         erasure, a bad-batch rollback) touches a sliver of the table;
         the touched-file discovery keeps the rewrite proportional to
         that sliver, never the table. Returns the new version or None
-        when nothing matched."""
+        when nothing matched.
+
+        ``use_dv=True`` switches to DELETION VECTORS (the modern Delta
+        writer's default): instead of rewriting the touched files, the
+        matching rows' file positions are written to a parquet sidecar
+        and each touched add is re-committed carrying a
+        ``deletionVector`` descriptor — readers anti-join the sidecar
+        against ``_metadata.row_index``, so a delete's cost is the
+        POSITION LIST, not even the touched files' bytes. OPTIMIZE
+        materializes DVs away (reading victims through the filter);
+        ``changes()`` and ``clone()`` reject DV-carrying ranges/tables
+        (documented subset)."""
+        cond = F.coalesce(condition, F.lit(False))
+        if use_dv:
+            return self._delete_with_dv(cond)
         return self._touched_rewrite(
-            F.coalesce(condition, F.lit(False)),
-            lambda sub: sub.filter(
-                ~F.coalesce(condition, F.lit(False))
-            ),
+            cond,
+            lambda sub: sub.filter(~cond),
             "DELETE",
             {},
         )
+
+    def _dv_positions(self, snap: Snapshot) -> DataFrame | None:
+        """(rel, pos) union of every ACTIVE deletion vector, or None
+        when the snapshot carries none."""
+        sidecars = sorted(
+            {
+                add["deletionVector"]["storagePath"]
+                for add in snap.files.values()
+                if add.get("deletionVector")
+            }
+        )
+        if not sidecars:
+            return None
+        out = None
+        for sidecar in sidecars:
+            dvp = self.spark.read.parquet(os.path.join(self.path, sidecar))
+            out = dvp if out is None else out.unionByName(dvp)
+        return out
+
+    def _delete_with_dv(self, cond: Column) -> int | None:
+        snap = self.snapshot()
+        if not snap.files:
+            return None
+        if any(os.path.isabs(r) for r in snap.files):
+            raise NotImplementedError(
+                "deletion vectors on tables with absolute file "
+                "references (shallow clones) are not supported"
+            )
+        paths = snap.file_paths(self.path)
+        scan = (
+            self._reader(snap.files)
+            .parquet(*paths)
+            .withColumn("_rel", self._rel_from("_metadata.file_path"))
+            .withColumn("_pos", F.col("_metadata.row_index"))
+        )
+        matches = scan.filter(cond).select(
+            F.col("_rel").alias("rel"), F.col("_pos").alias("pos")
+        )
+        existing = self._dv_positions(snap)
+        if existing is not None:
+            # rows already deleted by an active DV cannot re-match
+            matches = matches.join(existing, ["rel", "pos"], "left_anti")
+        touched = {
+            r["rel"]: r["n"]
+            for r in matches.groupBy("rel")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if not touched:
+            return None
+        # the new sidecar carries the touched files' FULL position
+        # sets (old DV positions folded in), so each add references
+        # exactly one sidecar and superseded sidecars become
+        # vacuumable
+        positions = matches
+        if existing is not None:
+            positions = positions.unionByName(
+                existing.filter(F.col("rel").isin(*touched))
+            )
+        dv_rel = f"_dv/{uuid.uuid4().hex}"
+        positions.repartition(1).write.mode("overwrite").parquet(
+            os.path.join(self.path, dv_rel)
+        )
+        cardinality = {
+            r["rel"]: r["n"]
+            for r in self.spark.read.parquet(os.path.join(self.path, dv_rel))
+            .groupBy("rel")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        now_ms = int(time.time() * 1000)
+        actions: list[dict[str, Any]] = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "DELETE",
+                    "operationParameters": {
+                        "mode": "deletion-vectors",
+                        "dvFiles": len(touched),
+                        "rewrittenFiles": 0,
+                    },
+                }
+            }
+        ]
+        for rel in sorted(touched):
+            actions.append(
+                {
+                    "remove": {
+                        "path": rel,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+            add = {
+                k: v
+                for k, v in snap.files[rel].items()
+                if k != "deletionVector"
+            }
+            add["dataChange"] = True
+            add["deletionVector"] = {
+                "storagePath": dv_rel,
+                "cardinality": int(cardinality[rel]),
+            }
+            actions.append({"add": add})
+        version = snap.version + 1
+        self._commit(version, actions)
+        return version
 
     def update(
         self, condition: Column, assignments: dict[str, Column]
@@ -1256,9 +1487,7 @@ class MiniDeltaTable:
             if os.path.join(self.path, rel) in touched
         )
         if touched_rels:
-            sub = self._reader(
-                {r: snap.files[r] for r in touched_rels}
-            ).parquet(*(os.path.join(self.path, r) for r in touched_rels))
+            sub = self._read_files_dv_aware(snap, touched_rels)
             sub = sub.select(
                 *[
                     F.col(f.name).cast(f.dataType).alias(f.name)
@@ -1388,6 +1617,16 @@ class MiniDeltaTable:
                 ),
                 0,
             )
+            if any(
+                "add" in a and a["add"].get("deletionVector")
+                for a in actions
+            ) and v >= starting_version:
+                raise NotImplementedError(
+                    f"version {v} carries deletion vectors; the change "
+                    "feed cannot reconstruct row-level changes from a "
+                    "DV commit (documented subset) — OPTIMIZE the "
+                    "table to materialize DVs before streaming changes"
+                )
             adds = [
                 a["add"]["path"]
                 for a in actions
@@ -1462,9 +1701,12 @@ class MiniDeltaTable:
         victim_rels = [a["path"] for adds in targets for a in adds]
         total = sum(a.get("size") or 0 for adds in targets for a in adds)
 
-        df = self._reader(victim_rels).parquet(
-            *[os.path.join(self.path, rel) for rel in victim_rels]
-        )
+        # read victims THROUGH any active deletion vectors: OPTIMIZE
+        # materializes DVs — the rewritten files carry no descriptor
+        # and the deleted rows are physically gone. _rel is attached
+        # from file metadata (pre-join: input_file_name cannot span
+        # the DV anti-join's sources) and doubles as _fname below.
+        df = self._read_files_dv_aware(snap, victim_rels, with_rel=True)
         cast_cols = [
             F.col(f.name).cast(f.dataType).alias(f.name) for f in snap.schema
         ]
@@ -1496,30 +1738,12 @@ class MiniDeltaTable:
             bins_df = self.spark.createDataFrame(
                 bins_rows, "_fname string, _bins long"
             )
-            root = self.path.rstrip("/").replace("\\", "\\\\").replace(
-                "'", "\\'"
-            )
-            # input_file_name() is a percent-encoded URI (space→%20,
-            # and hive-escaped on-disk chars like %3D re-encode to
-            # %253D); the logged add paths are RAW on-disk relative
-            # paths, so decode before matching — guarding literal '+'
-            # first, which url_decode (form decoding) would turn into
-            # a space. Decode the WHOLE uri, then locate the (raw)
-            # table root inside the decoded string.
-            decoded = (
-                "url_decode(regexp_replace(input_file_name(),"
-                " '\\\\+', '%2B'))"
-            )
-            df = (
-                df.withColumn(
-                    "_fname",
-                    F.expr(
-                        f"substring({decoded},"
-                        f" instr({decoded}, '{root}')"
-                        f" + {len(self.path.rstrip('/')) + 1})"
-                    ),
-                )
-                .join(F.broadcast(bins_df), "_fname", "left")
+            # the row's source path is the _rel column the DV-aware
+            # reader attached from the file METADATA — same
+            # percent-decode guards as before (see _rel_from), but
+            # join-safe
+            df = df.withColumnRenamed("_rel", "_fname").join(
+                F.broadcast(bins_df), "_fname", "left"
             )
             # fail fast BEFORE committing removes: a row whose source
             # path failed to match would silently vanish from the
@@ -1739,6 +1963,12 @@ class MiniDeltaTable:
         source of truth) instead of hive path recovery, which cannot
         span mixed roots."""
         snap = self.snapshot()
+        if any(a.get("deletionVector") for a in snap.files.values()):
+            raise NotImplementedError(
+                "shallow clone of a table with active deletion vectors "
+                "is not supported (the clone's absolute references "
+                "cannot span the source's DV sidecars); OPTIMIZE first"
+            )
         target = MiniDeltaTable(
             self.spark, target_path, self.checkpoint_interval
         )
@@ -1797,11 +2027,30 @@ class MiniDeltaTable:
         retention window has lapsed, this destroys time travel to the
         versions that referenced those files; the log itself is kept
         (history stays auditable)."""
-        active = set(self.snapshot().files)
+        snap = self.snapshot()
+        active = set(snap.files)
+        live_sidecars = {
+            a["deletionVector"]["storagePath"]
+            for a in snap.files.values()
+            if a.get("deletionVector")
+        }
         removed: list[str] = []
+        # deletion-vector sidecars live under _dv/<id>; those the
+        # LATEST snapshot references are table state, superseded ones
+        # (a later delete folded their positions forward) reclaim here
+        dv_root = os.path.join(self.path, "_dv")
+        if os.path.isdir(dv_root):
+            for name in sorted(os.listdir(dv_root)):
+                rel = f"_dv/{name}"
+                if rel not in live_sidecars:
+                    shutil.rmtree(os.path.join(self.path, rel),
+                                  ignore_errors=True)
+                    removed.append(rel)
         for root, dirs, names in os.walk(self.path):
             dirs[:] = [
-                d for d in dirs if d != _LOG_DIR and not d.startswith(".")
+                d
+                for d in dirs
+                if d != _LOG_DIR and d != "_dv" and not d.startswith(".")
             ]
             for name in names:
                 if name.startswith((".", "_")) or not name.endswith(".parquet"):

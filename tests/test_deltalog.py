@@ -1097,3 +1097,87 @@ def test_check_constraints_enforced_on_write(spark, tmp_table):
         mode="append",
     )
     assert tmp_table.drop_constraint("nonneg_total") is None
+
+
+def test_deletion_vectors_delete_without_rewrite(spark, tmp_table):
+    """delete(use_dv=True): no data file is rewritten — the touched
+    adds re-commit carrying a deletionVector descriptor whose parquet
+    sidecar holds the deleted positions; reads anti-join it away,
+    time travel still sees the pre-delete rows, a second DV delete
+    folds positions forward (superseding the first sidecar, which
+    vacuum then reaps while reads stay correct), and OPTIMIZE
+    materializes the DVs into a clean layout."""
+    from ecommerce_lakehouse_platform_spark.sources.deltalog import (
+        MiniDeltaTable,
+    )
+
+    orders = _orders(spark).limit(60).localCheckpoint(eager=True)
+    ids = sorted(r["order_id"] for r in orders.collect())
+    tmp_table.write(orders.repartitionByRange(4, "order_id"))
+    files_v0 = set(tmp_table.snapshot().files)
+
+    v1 = tmp_table.delete(F.col("order_id").isin(ids[:3]), use_dv=True)
+    assert v1 == 1
+    info = next(h for h in tmp_table.history() if h["version"] == v1)
+    assert info["operationParameters"]["mode"] == "deletion-vectors"
+    assert int(info["operationParameters"]["rewrittenFiles"]) == 0
+    snap = tmp_table.snapshot()
+    assert set(snap.files) == files_v0, "no data file may be rewritten"
+    dv_adds = [a for a in snap.files.values() if a.get("deletionVector")]
+    assert dv_adds and sum(
+        a["deletionVector"]["cardinality"] for a in dv_adds
+    ) == 3
+    assert {r["order_id"] for r in tmp_table.read().collect()} == set(ids[3:])
+    assert tmp_table.read(version=0).count() == 60  # time travel intact
+
+    # second DV delete: victim in ANOTHER file + one in the same file
+    first_sidecar = dv_adds[0]["deletionVector"]["storagePath"]
+    v2 = tmp_table.delete(
+        F.col("order_id").isin([ids[3], ids[-1]]), use_dv=True
+    )
+    assert v2 == 2
+    assert {r["order_id"] for r in tmp_table.read().collect()} == set(
+        ids[4:-1]
+    )
+    # re-deleting already-deleted rows is a no-op
+    assert tmp_table.delete(F.col("order_id").isin(ids[:2]), use_dv=True) is None
+
+    # a non-DV rewrite (UPDATE) must not resurrect DV-deleted rows
+    tmp_table.update(
+        F.col("order_id") == ids[10], {"status": F.lit("TOUCHED")}
+    )
+    got = {r["order_id"] for r in tmp_table.read().collect()}
+    assert got == set(ids[4:-1])
+
+    # read(where=...) works over a DV snapshot: skipping + residual
+    lo, hi = ids[4], ids[20]
+    where_read = {
+        r["order_id"]
+        for r in tmp_table.read(where=("order_id", lo, hi)).collect()
+    }
+    assert where_read == {i for i in ids[4:-1] if lo <= i <= hi}
+
+    # CDF and clone reject DV ranges/tables loudly (checked BEFORE
+    # vacuum: vacuum legitimately destroys time travel to rewritten
+    # files, which would mask the DV guard with a path error)
+    with pytest.raises(NotImplementedError):
+        tmp_table.changes(0)
+    with pytest.raises(NotImplementedError):
+        tmp_table.clone(tmp_table.path + "_clone")
+
+    # the superseded first sidecar is vacuumable; the live ones are not
+    reclaimed = tmp_table.vacuum()
+    assert any(r.startswith("_dv/") for r in reclaimed)
+    assert first_sidecar in {r for r in reclaimed if r.startswith("_dv/")}
+    assert {r["order_id"] for r in tmp_table.read().collect()} == got
+
+    # checkpoint round-trips the descriptors
+    tmp_table.checkpoint()
+    reopened = MiniDeltaTable(spark, tmp_table.path)
+    assert {r["order_id"] for r in reopened.read().collect()} == got
+
+    # OPTIMIZE materializes: descriptors gone, relation unchanged
+    assert tmp_table.optimize() is not None
+    snap2 = tmp_table.snapshot()
+    assert not any(a.get("deletionVector") for a in snap2.files.values())
+    assert {r["order_id"] for r in tmp_table.read().collect()} == got
