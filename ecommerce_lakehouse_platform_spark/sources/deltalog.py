@@ -484,12 +484,31 @@ class MiniDeltaTable:
             out = out.unionByName(p)
         return out
 
+    def version_at_timestamp(self, ts_ms: int) -> int:
+        """TIMESTAMP AS OF resolution: the newest version whose commit
+        timestamp is ≤ ``ts_ms`` — the real command's rule. Raises if
+        the timestamp predates the table (version 0's commit)."""
+        candidate: int | None = None
+        for entry in reversed(self.history()):  # oldest → newest
+            if int(entry.get("timestamp", 0)) <= ts_ms:
+                candidate = entry["version"]
+            else:
+                break
+        if candidate is None:
+            raise ValueError(
+                f"timestamp {ts_ms} predates the table's first commit"
+            )
+        return candidate
+
     def read(
         self,
         version: int | None = None,
         where: tuple | None = None,
+        timestamp_ms: int | None = None,
     ) -> DataFrame:
-        """Snapshot read (time travel with ``version=``).
+        """Snapshot read (time travel with ``version=`` — VERSION AS
+        OF — or ``timestamp_ms=`` — TIMESTAMP AS OF, resolved to the
+        newest commit at-or-before the instant).
 
         The file list comes from the LOG, never from a directory
         listing, and the schema is the one in force AS OF the
@@ -506,6 +525,10 @@ class MiniDeltaTable:
         residual range filter is applied to the surviving rows — so
         the result is exactly the filtered relation while the I/O is
         proportional to the matching files, not the table."""
+        if timestamp_ms is not None:
+            if version is not None:
+                raise ValueError("pass version= OR timestamp_ms=, not both")
+            version = self.version_at_timestamp(timestamp_ms)
         snap = self.snapshot(version)
         residual = None
         if where is not None:

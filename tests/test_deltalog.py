@@ -1181,3 +1181,22 @@ def test_deletion_vectors_delete_without_rewrite(spark, tmp_table):
     snap2 = tmp_table.snapshot()
     assert not any(a.get("deletionVector") for a in snap2.files.values())
     assert {r["order_id"] for r in tmp_table.read().collect()} == got
+
+
+def test_timestamp_as_of_time_travel(spark, tmp_table):
+    """TIMESTAMP AS OF: reads resolve to the newest commit at-or-
+    before the instant; a pre-table timestamp raises; version= and
+    timestamp_ms= are mutually exclusive."""
+    orders = _orders(spark).limit(20).localCheckpoint(eager=True)
+    tmp_table.write(orders)  # v0
+    tmp_table.write(orders.limit(5))  # v1
+    hist = {h["version"]: int(h["timestamp"]) for h in tmp_table.history()}
+    assert tmp_table.version_at_timestamp(hist[0]) == 0
+    assert tmp_table.read(timestamp_ms=hist[0]).count() == 20
+    assert tmp_table.read(timestamp_ms=hist[1] + 10_000).count() == 5
+    # between the commits (or exactly at v1) resolves at-or-before
+    assert tmp_table.version_at_timestamp(hist[1]) == 1
+    with pytest.raises(ValueError):
+        tmp_table.read(timestamp_ms=hist[0] - 1)
+    with pytest.raises(ValueError):
+        tmp_table.read(version=0, timestamp_ms=hist[0])
