@@ -561,36 +561,58 @@ FRAME_SCHEMA = StructType(
 def sample_frames(
     df: DataFrame, every_n: int = 4, max_frames: int = 8, fake: bool = False
 ) -> DataFrame:
-    """Sample frames from video payloads: one input row fans out to up
+    """Sample frames from media payloads: one input row fans out to up
     to ``max_frames`` frame rows (1→N expansion inside mapInPandas —
     the batch shape a real ffmpeg-style sampler has; output row count
     is decoupled from input row count).
 
-    The deterministic stand-in treats the payload as a byte stream of
-    fixed-size "frames" (16 bytes) and takes every ``every_n``-th one.
+    ``fake=False`` runs the REAL path for RIFF/WAVE audio: decode the
+    PCM and emit every ``every_n``-th 16-SAMPLE window's raw
+    little-endian bytes — genuine waveform windows, the audio analogue
+    of keyframe sampling. Video codecs are not in this environment, so
+    non-WAVE payloads raise. The deterministic stand-in (``fake=True``)
+    treats the raw payload as a byte stream of fixed-size 16-byte
+    "frames" and takes every ``every_n``-th one.
     """
-    frame_bytes = 16
+    frame_bytes = 16  # fake path: bytes per frame; real: samples/window
+
+    def _real_frames(mid, payload: bytes, ids, idxs, frames) -> None:
+        if payload[:4] != b"RIFF":
+            raise NotImplementedError(
+                "real frame sampling supports RIFF/WAVE audio only in "
+                "this environment (video codecs unavailable); run with "
+                "fake=True for the deterministic stand-in"
+            )
+        _rate, samples = decode_wav(payload)
+        n = samples.size // frame_bytes
+        for k, f in enumerate(range(0, n, every_n)):
+            if k >= max_frames:
+                break
+            ids.append(mid)
+            idxs.append(f)
+            frames.append(
+                samples[f * frame_bytes : (f + 1) * frame_bytes].tobytes()
+            )
+
+    def _fake_frames(mid, payload: bytes, ids, idxs, frames) -> None:
+        n = len(payload) // frame_bytes
+        for k, f in enumerate(range(0, n, every_n)):
+            if k >= max_frames:
+                break
+            ids.append(mid)
+            idxs.append(f)
+            frames.append(
+                bytes(payload[f * frame_bytes : (f + 1) * frame_bytes])
+            )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        emit = _fake_frames if fake else _real_frames
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "real frame sampling requires video codec libraries; "
-                    "run with fake=True for the deterministic stand-in"
-                )
             ids: list[int] = []
             idxs: list[int] = []
             frames: list[bytes] = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                n = len(payload) // frame_bytes
-                for k, f in enumerate(range(0, n, every_n)):
-                    if k >= max_frames:
-                        break
-                    ids.append(mid)
-                    idxs.append(f)
-                    frames.append(
-                        bytes(payload[f * frame_bytes : (f + 1) * frame_bytes])
-                    )
+                emit(mid, bytes(payload), ids, idxs, frames)
             yield pd.DataFrame(
                 {"media_id": ids, "frame_idx": idxs, "frame": frames}
             )

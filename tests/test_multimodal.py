@@ -350,3 +350,38 @@ def test_wav_round_trip_and_real_audio_features(spark):
         for v in s.tolist():
             counts[min(abs(int(v)) // 4096, 7)] += 1
         assert got[i] == [c / s.size for c in counts]
+
+
+def test_real_frame_sampling_over_wav(spark):
+    """fake=False frame sampling on genuine WAVE audio: every 4th
+    16-sample window's raw PCM bytes, matching a pure-Python replica;
+    non-WAVE payloads still raise."""
+    import numpy as np
+
+    from ecommerce_lakehouse_platform_spark.multimodal.binary import (
+        MEDIA_SCHEMA,
+        decode_wav,
+        encode_wav,
+    )
+
+    rows = [
+        (i, "audio", bytearray(encode_wav(
+            np.arange(i * 11, i * 11 + 200, dtype=np.int16) * 123
+        )))
+        for i in range(2)
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        (r.media_id, r.frame_idx): bytes(r.frame)
+        for r in sample_frames(media, every_n=4, max_frames=3,
+                               fake=False).collect()
+    }
+    expect = {}
+    for i, _t, payload in rows:
+        _r, s = decode_wav(bytes(payload))
+        n = s.size // 16
+        for k, f in enumerate(range(0, n, 4)):
+            if k >= 3:
+                break
+            expect[(i, f)] = s[f * 16 : (f + 1) * 16].tobytes()
+    assert got == expect
