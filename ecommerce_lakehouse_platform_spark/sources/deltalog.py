@@ -382,10 +382,15 @@ class MiniDeltaTable:
         files: dict[str, dict[str, Any]] = {}
         app_versions: dict[str, int] = {}
         configuration: dict[str, str] = {}
+        min_reader = 1
 
         def apply(action: dict[str, Any]) -> None:
-            nonlocal schema, partition_columns, configuration
-            if "metaData" in action:
+            nonlocal schema, partition_columns, configuration, min_reader
+            if "protocol" in action:
+                min_reader = int(
+                    action["protocol"].get("minReaderVersion", 1)
+                )
+            elif "metaData" in action:
                 meta = action["metaData"]
                 schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
                 partition_columns = list(meta["partitionColumns"])
@@ -424,6 +429,14 @@ class MiniDeltaTable:
                 apply(action)
         if schema is None:
             raise ValueError("corrupt log: no metaData action replayed")
+        if min_reader > 3:
+            # the protocol's forward-compat contract: a reader MUST
+            # refuse tables requiring a newer reader version instead
+            # of silently misreading them
+            raise NotImplementedError(
+                f"table requires minReaderVersion {min_reader}; this "
+                "reader supports up to 3 (deletion vectors)"
+            )
         return Snapshot(
             version, schema, partition_columns, files, app_versions,
             configuration,
@@ -1400,7 +1413,11 @@ class MiniDeltaTable:
                         "rewrittenFiles": 0,
                     },
                 }
-            }
+            },
+            # DVs gate on reader 3 / writer 7 in the real protocol:
+            # older readers must refuse the table rather than
+            # resurrect deleted rows by scanning files directly
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}},
         ]
         for rel in sorted(touched):
             actions.append(

@@ -1200,3 +1200,27 @@ def test_timestamp_as_of_time_travel(spark, tmp_table):
         tmp_table.read(timestamp_ms=hist[0] - 1)
     with pytest.raises(ValueError):
         tmp_table.read(version=0, timestamp_ms=hist[0])
+
+
+def test_protocol_gating_for_deletion_vectors(spark, tmp_table):
+    """A DV commit bumps the protocol to reader 3 / writer 7 (older
+    readers must refuse rather than resurrect deleted rows), and a
+    table demanding a FUTURE reader version is refused loudly."""
+    orders = _orders(spark).limit(10).localCheckpoint(eager=True)
+    tmp_table.write(orders)
+    ids = sorted(r["order_id"] for r in orders.collect())
+    tmp_table.delete(F.col("order_id") == ids[0], use_dv=True)
+    with open(tmp_table._version_file(1), encoding="utf-8") as fh:
+        actions = [json.loads(line) for line in fh]
+    proto = next(a["protocol"] for a in actions if "protocol" in a)
+    assert proto == {"minReaderVersion": 3, "minWriterVersion": 7}
+    assert tmp_table.read().count() == 9  # still readable by us
+    # forward-compat refusal: a hypothetical newer table is rejected
+    tmp_table._commit(2, [
+        {"commitInfo": {"operation": "UPGRADE"}},
+        {"protocol": {"minReaderVersion": 9, "minWriterVersion": 9}},
+    ])
+    with pytest.raises(NotImplementedError):
+        tmp_table.read()
+    # time travel to the pre-upgrade version still works
+    assert tmp_table.read(version=1).count() == 9
