@@ -707,6 +707,19 @@ class MiniDeltaTable:
         tbl_exists = self.exists()
         prior = self.snapshot() if tbl_exists else None
         if prior is not None:
+            gen = self._generation_exprs(prior.schema)
+            if gen:
+                types = {f.name: f.dataType for f in prior.schema}
+                for gname, gsql in gen.items():
+                    if gname not in df.columns:
+                        # the writer omitted the generated column:
+                        # compute it (the protocol's convenience half)
+                        df = df.withColumn(
+                            gname, F.expr(gsql).cast(types[gname])
+                        )
+                if set(df.columns) == {f.name for f in prior.schema}:
+                    df = df.select(*[f.name for f in prior.schema])
+        if prior is not None:
             if (
                 partition_by is not None
                 and list(partition_by) != prior.partition_columns
@@ -737,6 +750,7 @@ class MiniDeltaTable:
         partition_by = partition_by or []
         if prior is not None:
             self._enforce_constraints(df, prior.configuration)
+            self._enforce_generated(df, prior.schema)
 
         adds = self._stage_data_files(df, partition_by)
         version = (prior.version + 1) if prior is not None else 0
@@ -1112,6 +1126,109 @@ class MiniDeltaTable:
             raise ConstraintViolationError(
                 f"write violates CHECK constraint(s): {detail}"
             )
+
+    @staticmethod
+    def _generation_exprs(schema: T.StructType) -> dict[str, str]:
+        """column -> generation expression, from the schema fields'
+        metadata (the protocol stores generated columns as
+        ``delta.generationExpression`` in the column metadata)."""
+        out = {}
+        for f in schema:
+            expr = (f.metadata or {}).get("delta.generationExpression")
+            if expr:
+                out[f.name] = expr
+        return out
+
+    @staticmethod
+    def _enforce_generated(df: DataFrame, schema: T.StructType) -> None:
+        """Generated-column enforcement (write path): provided values
+        must equal the generation expression (null-safe compare) —
+        one aggregate for all generated columns; violations fail the
+        write before anything is staged."""
+        gen = MiniDeltaTable._generation_exprs(schema)
+        gen = {n: e for n, e in gen.items() if n in df.columns}
+        if not gen:
+            return
+        types = {f.name: f.dataType for f in schema}
+        counters = [
+            F.count_if(
+                ~F.col(n).eqNullSafe(F.expr(e).cast(types[n]))
+            ).alias(n)
+            for n, e in gen.items()
+        ]
+        bad = df.agg(*counters).collect()[0]
+        violated = {n: bad[n] for n in gen if bad[n]}
+        if violated:
+            detail = "; ".join(
+                f"{n} (GENERATED AS {gen[n]}): {c} row(s)"
+                for n, c in sorted(violated.items())
+            )
+            raise ConstraintViolationError(
+                f"write violates generated column(s): {detail}"
+            )
+
+    def set_generated_column(self, name: str, sql: str) -> int:
+        """Declare ``name`` a GENERATED column: its value is always
+        ``sql`` over the other columns. Existing rows are validated
+        first (like ADD CONSTRAINT); afterwards every write either
+        computes the column (when the incoming frame omits it) or
+        validates that the provided values match — the protocol's
+        generated-columns contract, which is what makes derived
+        partition columns (``date(ts)`` and friends) trustworthy for
+        pruning."""
+        snap = self.snapshot()
+        if name not in {f.name for f in snap.schema}:
+            raise SchemaMismatchError(
+                f"generated column {name!r} is not in the table schema"
+            )
+        mismatches = (
+            self.read()
+            .filter(
+                ~F.col(name).eqNullSafe(F.expr(sql).cast(
+                    {f.name: f.dataType for f in snap.schema}[name]
+                ))
+            )
+            .count()
+        )
+        if mismatches:
+            raise ConstraintViolationError(
+                f"cannot declare {name!r} generated as {sql!r}: "
+                f"{mismatches} existing row(s) disagree"
+            )
+        fields = []
+        for f in snap.schema:
+            if f.name == name:
+                meta = dict(f.metadata or {})
+                meta["delta.generationExpression"] = sql
+                fields.append(
+                    T.StructField(f.name, f.dataType, f.nullable, meta)
+                )
+            else:
+                fields.append(f)
+        new_schema = T.StructType(fields)
+        now_ms = int(time.time() * 1000)
+        actions: list[dict[str, Any]] = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "SET GENERATED COLUMN",
+                    "operationParameters": {"name": name, "expr": sql},
+                }
+            },
+            {
+                "metaData": {
+                    "id": str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": new_schema.json(),
+                    "partitionColumns": snap.partition_columns,
+                    "configuration": dict(snap.configuration),
+                    "createdTime": now_ms,
+                }
+            },
+        ]
+        version = snap.version + 1
+        self._commit(version, actions)
+        return version
 
     def set_constraint(self, name: str, sql: str) -> int:
         """ALTER TABLE ... ADD CONSTRAINT ... CHECK (...): validate

@@ -1224,3 +1224,50 @@ def test_protocol_gating_for_deletion_vectors(spark, tmp_table):
         tmp_table.read()
     # time travel to the pre-upgrade version still works
     assert tmp_table.read(version=1).count() == 9
+
+
+def test_generated_columns_computed_and_enforced(spark, tmp_table):
+    """Generated columns: declaring one validates existing rows; a
+    write that OMITS the column gets it computed; a write that
+    provides WRONG values is refused; the declaration survives in the
+    schema metadata for fresh handles."""
+    from ecommerce_lakehouse_platform_spark.sources.deltalog import (
+        ConstraintViolationError,
+    )
+
+    orders = _orders(spark).limit(20).localCheckpoint(eager=True)
+    with_month = orders.withColumn(
+        "order_month", F.date_format("order_date", "yyyy-MM")
+    ).localCheckpoint(eager=True)
+    tmp_table.write(with_month)
+    v = tmp_table.set_generated_column(
+        "order_month", "date_format(order_date, 'yyyy-MM')"
+    )
+    assert v == 1
+
+    # a write omitting the column has it computed
+    tmp_table.write(with_month.drop("order_month").limit(4), mode="append")
+    got = tmp_table.read().filter(F.col("order_month").isNull()).count()
+    assert got == 0
+    assert tmp_table.read().count() == 24
+    sample = tmp_table.read().limit(5).collect()
+    for r in sample:
+        assert r["order_month"] == r["order_date"].strftime("%Y-%m")
+
+    # providing values that disagree with the expression is refused
+    bad = with_month.limit(2).withColumn("order_month", F.lit("9999-99"))
+    with pytest.raises(ConstraintViolationError) as exc:
+        tmp_table.write(bad, mode="append")
+    assert "order_month" in str(exc.value)
+
+    # declaring over disagreeing existing data is refused
+    with pytest.raises(ConstraintViolationError):
+        tmp_table.set_generated_column("status", "upper(priority)")
+    with pytest.raises(SchemaMismatchError):
+        tmp_table.set_generated_column("nope", "1")
+
+    # the declaration persists for a fresh handle
+    reopened = MiniDeltaTable(spark, tmp_table.path)
+    assert reopened._generation_exprs(reopened.snapshot().schema) == {
+        "order_month": "date_format(order_date, 'yyyy-MM')"
+    }
