@@ -497,6 +497,31 @@ class MiniDeltaTable:
             out = out.unionByName(p)
         return out
 
+    def detail(self) -> dict[str, Any]:
+        """DESCRIBE DETAIL: one metadata-only dict for operators —
+        file/byte/DV counts, layout, properties, protocol — computed
+        from the latest snapshot replay, never from storage listing."""
+        snap = self.snapshot()
+        dvs = [
+            a["deletionVector"]
+            for a in snap.files.values()
+            if a.get("deletionVector")
+        ]
+        return {
+            "format": "minidelta(parquet)",
+            "location": self.path,
+            "version": snap.version,
+            "numFiles": len(snap.files),
+            "sizeInBytes": sum(
+                a.get("size") or 0 for a in snap.files.values()
+            ),
+            "partitionColumns": list(snap.partition_columns),
+            "numDeletionVectors": len(dvs),
+            "deletedRowCount": sum(d["cardinality"] for d in dvs),
+            "properties": dict(snap.configuration),
+            "numTxnApps": len(snap.app_versions),
+        }
+
     def version_at_timestamp(self, ts_ms: int) -> int:
         """TIMESTAMP AS OF resolution: the newest version whose commit
         timestamp is ≤ ``ts_ms`` — the real command's rule. Raises if

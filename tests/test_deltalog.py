@@ -1271,3 +1271,17 @@ def test_generated_columns_computed_and_enforced(spark, tmp_table):
     assert reopened._generation_exprs(reopened.snapshot().schema) == {
         "order_month": "date_format(order_date, 'yyyy-MM')"
     }
+
+
+def test_describe_detail(spark, tmp_table):
+    orders = _orders(spark).limit(20).localCheckpoint(eager=True)
+    tmp_table.write(orders.repartition(2))
+    tmp_table.set_constraint("nonneg", "total_usd >= 0")
+    ids = sorted(r["order_id"] for r in orders.collect())
+    tmp_table.delete(F.col("order_id") == ids[0], use_dv=True)
+    d = tmp_table.detail()
+    assert d["numFiles"] == 2 and d["version"] == 2
+    assert d["sizeInBytes"] > 0
+    assert d["numDeletionVectors"] == 1 and d["deletedRowCount"] == 1
+    assert d["properties"] == {"delta.constraints.nonneg": "total_usd >= 0"}
+    assert d["partitionColumns"] == []
