@@ -104,6 +104,47 @@ def attach_pgm_payload(
     )
 
 
+def attach_wave_payload(
+    df: DataFrame, n_samples: int = 256, sample_rate: int = 16000
+) -> DataFrame:
+    """Fixture adapter for the REAL audio path: build a genuine
+    RIFF/WAVE mono 16-bit PCM payload per document — the canonical
+    header :func:`encode_wav` writes (constant for a fixed sample
+    count) followed by ``n_samples`` little-endian int16 samples whose
+    bytes come from an md5 chain of the doc id. Hex is ASCII and md5
+    is engine-agnostic, so the construction is byte-exact and
+    replayable in any SQL engine; entirely JVM-side (concat/unhex/md5,
+    no Python)."""
+    import struct
+
+    n_bytes = n_samples * 2
+    n_blocks = -(-n_bytes // 16)  # each md5 block yields 16 bytes
+    pcm_hex = F.concat(
+        *[
+            F.md5(
+                F.concat(F.col("doc_id").cast("string"), F.lit(f":wav{i}"))
+            )
+            for i in range(n_blocks)
+        ]
+    )
+    fmt = struct.pack(
+        "<4sIHHIIHH",
+        b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16,
+    )
+    header = (
+        struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + 8 + n_bytes, b"WAVE")
+        + fmt
+        + struct.pack("<4sI", b"data", n_bytes)
+    )
+    return df.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("media_type"),
+        F.concat(
+            F.lit(header), F.unhex(F.substring(pcm_hex, 1, n_bytes * 2))
+        ).alias("payload"),
+    )
+
+
 def binary_metadata(df: DataFrame) -> DataFrame:
     """Pure-SQL metadata over the payload: length + sha256 — no Python,
     no decode, prunes to the payload column only."""

@@ -825,88 +825,89 @@ resolve_deferred_oracles()
 # (tests/test_registry_oracle.py, same gate as the harness) still
 # covers every registered query each session.
 #
-# Round-8 rotation: 4 new-query slots (the Delta MERGE/RESTORE gate,
-# the sampled-train perceptron composition, the real-codec media
-# query), 3 changed-query slots (the fused PQ encode/ADC plans, plus
-# ext_quality_perceptron whose oracle builder was parametrized —
-# semantics identical, but a changed oracle text gets re-proven, not
-# grandfathered), the 8 queries whose newest external green row is r4
-# (clearing the last pre-r5 staleness tail — r7 verdict item 1), and
-# 35 of the 44 r5-stale queries. The 9 r5 queries that slip to r9 —
-# op_clean_id, op_filter_range, op_project_silver_customers,
-# op_project_silver_orders, ext_text_stats, ext_text_fingerprint,
-# ext_text_length_quantiles, ext_train_test_split,
-# ext_weighted_sample — are single-relation map-side transforms/
-# simple aggs re-proven every session by the local sf0.001+sf0.01
-# differential, and tests/test_staleness_ledger.py now pins the
-# "newest external green row ≥ current round − 3" bound, so they
-# CANNOT slip past r9 without failing the suite.
-#
 # CAPACITY INVARIANT: a 50-slot window under the −3 bound sustains at
 # most 50 × 3 = 150 registered queries (every query must be
 # re-windowed at least once every 3 rounds, and new/changed slots eat
-# from the same budget). The registry is AT that capacity as of r8 —
-# do not register another externally-gated query without retiring
-# one, or the staleness bound becomes unsatisfiable a few rounds out.
-# New operators beyond this point should extend EXISTING queries'
-# plans or live as pytest-proven library surface.
+# from the same budget). The registry is AT that capacity — round 9
+# registered ext_sq8_ivf_topk only by RETIRING ext_media_resize
+# (its fake-codec mapInPandas contract is subsumed by
+# ext_media_ppm_resize's real-codec path). Do not register another
+# externally-gated query without retiring one, or the staleness bound
+# becomes unsatisfiable a few rounds out. New operators beyond this
+# point should extend EXISTING queries' plans or live as
+# pytest-proven library surface (REGISTRY.md lists that tier).
+#
+# Round-9 rotation: 1 new-query slot (ext_sq8_ivf_topk, the
+# compressed-domain IVF×SQ8 search — swapped in for the retired
+# ext_media_resize), 2 changed-query slots (ext_media_frames flipped
+# to the real RIFF/WAVE decode path with a new oracle;
+# ext_delta_cdf_fold, whose changes() reader became DV-aware), the 9
+# queries whose newest external green row is r5 (the r8 slips — the
+# staleness tripwire tests/test_staleness_ledger.py made rotating
+# them mandatory this round), and 38 of the 44 r6-stale queries. The
+# 6 r6 queries that slip to r10 — ext_text_langid,
+# ext_text_repetition, ext_text_subword_stats, ext_text_unk_replace,
+# ext_doc_chunking, ext_quality_band_filter — are single-relation
+# map-side text transforms re-proven every session by the local
+# sf0.001+sf0.01 differential, and the −3 bound forces them into the
+# r10 window on pain of a red suite.
 _DRIVER_WINDOW: tuple[str, ...] = (
     # --- New this round: first external row happens now or never ---
-    "ext_delta_merge_cdf",
-    "ext_delta_restore",
-    "ext_quality_sampled_train",
-    "ext_media_ppm_resize",
+    "ext_sq8_ivf_topk",
     # --- Changed this round: re-check is mandatory, not rotation ---
-    # fused single-stage ADC table build + fused single-scan encode
-    "ext_pq_adc_search",
-    "ext_pq_encode",
-    # oracle builder parametrized for the sampled-train composition
-    "ext_quality_perceptron",
-    # --- Newest external row is r4: ALL 8 cleared this round ---
-    "ext_cohort_retention",
-    "ext_gapfill_daily",
-    "ext_groupwise_stats",
-    "ext_market_basket",
-    "ext_peak_concurrency",
-    "ext_time_to_convert",
-    "ext_url_canonicalize",
-    "ext_winsorized_stats",
-    # --- Newest external row is r5: 35 of 44 (slips named above) ---
-    "dash_customer_360",
-    "dash_sales_overview",
-    "dash_site_funnel",
-    "dq_bounded_rates",
-    "dq_nonneg_amounts",
-    "dq_notnull_products",
-    "dq_pk_unique_customer",
-    "ext_asof_attribution",
-    "ext_binary_metadata",
-    "ext_corpus_curation",
-    "ext_dedup_exact",
-    "ext_dedup_keep_best",
-    "ext_dedup_lines",
-    "ext_dedup_normalized",
-    "ext_dedup_span_cut",
-    "ext_dsir_importance",
-    "ext_global_score_rank",
-    "ext_interval_join_errors",
-    "ext_json_extract",
-    "ext_lm_perplexity",
+    # real-WAVE decode path (fake=False) + new md5-chain oracle
     "ext_media_frames",
-    "ext_media_resize",
-    "ext_rfm_segmentation",
-    "ext_text_tfidf",
-    "ext_text_vocab",
-    "ext_time_bucket_rollup",
-    "gold_daily_metrics",
-    "gold_product_funnel",
-    "gold_product_metrics",
-    "gold_session_metrics",
-    "gold_session_metrics_attrs",
-    "op_agg_having",
-    "op_agg_pivotcount",
-    "op_agg_reviews",
-    "op_join_left_enrich_items",
+    # changes() now reconstructs DV-delete commits as CDF events
+    "ext_delta_cdf_fold",
+    # --- Newest external row is r5: staleness bound forces all 9 ---
+    "ext_text_fingerprint",
+    "ext_text_length_quantiles",
+    "ext_text_stats",
+    "ext_train_test_split",
+    "ext_weighted_sample",
+    "op_clean_id",
+    "op_filter_range",
+    "op_project_silver_customers",
+    "op_project_silver_orders",
+    # --- Newest external row is r6: 38 of 44 (slips named above) ---
+    "dash_product_performance",
+    "ext_bm25_topk",
+    "ext_decontamination",
+    "ext_dedup_clusters",
+    "ext_dedup_containment",
+    "ext_dedup_embedding",
+    "ext_dedup_ngram_jaccard",
+    "ext_dedup_prefix_filter",
+    "ext_dedup_semantic_clusters",
+    "ext_dup_span_coverage",
+    "ext_embedding_centroids",
+    "ext_embedding_covariance",
+    "ext_event_paths",
+    "ext_fuzzy_blocked_join",
+    "ext_incremental_rollup",
+    "ext_knn_label_predict",
+    "ext_lang_temperature_sample",
+    "ext_langid_confusion",
+    "ext_media_embed_topk",
+    "ext_media_phash_dedup",
+    "ext_merge_upsert",
+    "ext_ordered_funnel",
+    "ext_outlier_iqr",
+    "ext_pii_pseudonymize",
+    "ext_sample_stratified",
+    "ext_scd2_user_state",
+    "ext_shard_packing",
+    "ext_similarity_lsh",
+    "ext_skew_salted_join",
+    "ext_snapshot_diff",
+    "gold_customer_360",
+    "op_agg_sales",
+    "op_dedupe_latest",
+    "op_sql_named_params",
+    "stream_interval_join",
+    "stream_session_stateful",
+    "stream_session_window",
+    "stream_time_window_rollup",
 )
 
 

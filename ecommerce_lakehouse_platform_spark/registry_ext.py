@@ -163,66 +163,45 @@ def ext_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_metadata(attach_binary_payload(docs))
 
 
-@query(
-    "ext_media_resize",
-    oracle="""
-    WITH m AS (
-      SELECT doc_id AS media_id, hex(encode(text)) AS h,
-             octet_length(encode(text)) AS len
-      FROM documents
-    )
-    SELECT media_id, 'image' AS media_type,
-      CAST(8 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
-      CASE WHEN len = 0 THEN repeat('00', 32)
-           ELSE substring(repeat(h, CAST(CEIL(32.0 / len) AS BIGINT)), 1, 64)
-      END AS payload_hex
-    FROM m
-    """,
+# PCM hex chain for the real-WAVE frame query: 256 samples = 512 PCM
+# bytes = 32 md5 blocks per document, mirrored verbatim in the oracle.
+_WAV_ORACLE_BLOCKS = " || ".join(
+    f"md5(CAST(doc_id AS VARCHAR) || ':wav{i}')" for i in range(32)
 )
-def ext_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas image resize (deterministic stand-in codec):
-    byte-exact against the oracle via hex-domain comparison — the
-    Arrow batch plumbing, size contract, and schema are the real
-    pipeline's."""
-    media = attach_binary_payload(_t(spark, sf_dir, "documents"))
-    from .multimodal.binary import resize_media
-
-    resized = resize_media(media, width=8, height=4, fake=True)
-    return resized.select(
-        "media_id",
-        "media_type",
-        "width",
-        "height",
-        F.hex("payload").alias("payload_hex"),
-    )
 
 
 @query(
     "ext_media_frames",
-    oracle="""
+    oracle=f"""
     WITH m AS (
-      SELECT doc_id AS media_id, hex(encode(text)) AS h,
-             octet_length(encode(text)) // 16 AS n_frames
+      SELECT doc_id AS media_id, {_WAV_ORACLE_BLOCKS} AS pcm_hex
       FROM documents
-      WHERE octet_length(encode(text)) >= 16
     ), fx AS (
-      SELECT media_id, h,
-             unnest(range(0, LEAST(n_frames, 32), 4)) AS f
+      SELECT media_id, pcm_hex, unnest(range(0, 16, 4)) AS f
       FROM m
     )
     SELECT media_id, CAST(f AS BIGINT) AS frame_idx,
-      substring(h, f * 32 + 1, 32) AS frame_hex
+      upper(substring(pcm_hex, CAST(f AS BIGINT) * 64 + 1, 64)) AS frame_hex
     FROM fx
     """,
 )
 def ext_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas frame sampling: 1 video row fans out to ≤8 frame
-    rows (every 4th 16-byte frame) — output cardinality decoupled
-    from input, byte-exact against the oracle in the hex domain."""
-    media = attach_binary_payload(_t(spark, sf_dir, "documents"))
-    from .multimodal.binary import sample_frames
+    """REAL audio codec end-to-end (``fake=False``): build a genuine
+    RIFF/WAVE mono PCM16 payload per document JVM-side (md5-chain
+    sample bytes under the canonical header — attach_wave_payload),
+    then run the real chunk-walking decode → every-4th-16-sample
+    window sampler (multimodal/binary.sample_frames, RIFF spec
+    implemented honestly) through Arrow mapInPandas: 1 audio row fans
+    out to 4 frame rows, output cardinality decoupled from input.
+    Byte-exact: little-endian int16 windows round-trip to the exact
+    PCM bytes, so the oracle replays each frame as a 64-hex-char
+    substring of the same md5 chain — header parse, chunk walk, and
+    window math all sit on the checked path with genuine samples."""
+    docs = _t(spark, sf_dir, "documents")
+    from .multimodal.binary import attach_wave_payload, sample_frames
 
-    frames = sample_frames(media, every_n=4, max_frames=8, fake=True)
+    media = attach_wave_payload(docs, n_samples=256)
+    frames = sample_frames(media, every_n=4, max_frames=8, fake=False)
     return frames.select(
         "media_id", "frame_idx", F.hex("frame").alias("frame_hex")
     )

@@ -1404,6 +1404,114 @@ def ext_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans.pq_adc_topk(codes, cbs, queries_df, dim=64, k=5)
 
 
+def _sq8_ivf_oracle(
+    k: int,
+    iters: int,
+    dim: int,
+    salt: str,
+    n_queries: int,
+    topk: int,
+    nprobe: int,
+) -> str:
+    """DuckDB twin of :func:`operators.quantize.sq8_topk_ivf` over
+    :func:`sq8_calibrate`/:func:`sq8_encode` output: the shared Lloyd
+    chain (operators/kmeans.py fragments, reseeding included) trains
+    the coarse quantizer; calibration is the per-dimension min/max on
+    the 2^-20 grid; encode→dequantize collapses to one fused
+    ``mn + ⌊⌊(v−mn)·255/span⌋·span/255⌋`` per coordinate (every
+    operand non-negative, so truncating ``//`` IS floor — bit-exact
+    vs Spark's float-division floor, whose < 2^30 numerators are
+    exact in double); bucket assignment, nprobe probe ranking,
+    candidate join, and the tiebroken top-k mirror the Spark plan."""
+    ctes, cfin, pts = kmeans.oracle_centroid_chain(k, iters, dim, salt)
+    rng = f"range(1, {dim + 1})"
+    ctes.append(
+        f"""cal AS (
+      SELECT t.j AS pos, MIN(p.q[t.j]) AS mn, MAX(p.q[t.j]) AS mx
+      FROM {pts} p CROSS JOIN range(1, {dim + 1}) AS t(j)
+      GROUP BY 1
+    )"""
+    )
+    ctes.append(
+        """grid AS (
+      SELECT list(mn ORDER BY pos) AS mn,
+             list(mx - mn ORDER BY pos) AS span
+      FROM cal
+    )"""
+    )
+    ctes.append(
+        f"""deq AS (
+      SELECT p.vec_id,
+        list_transform({rng}, j ->
+          g.mn[j] + CASE WHEN g.span[j] > 0
+            THEN ((p.q[j] - g.mn[j]) * 255 // g.span[j]) * g.span[j] // 255
+            ELSE 0 END) AS q
+      FROM {pts} p CROSS JOIN grid g
+    )"""
+    )
+    ctes.append(kmeans.oracle_assign_cte("asn", "deq", cfin, dim))
+    ctes.append(
+        f"""probes AS (
+      SELECT query_id, qv, cluster AS bucket_id FROM (
+        SELECT p.vec_id AS query_id, p.q AS qv, c.cluster,
+          ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+            CAST(list_sum(list_transform({rng},
+              j -> (p.q[j] - c.qc[j]) * (p.q[j] - c.qc[j]))) AS BIGINT),
+            c.cluster) AS rn
+        FROM {pts} p CROSS JOIN {cfin} c
+        WHERE p.vec_id < {n_queries}
+      ) WHERE rn <= {nprobe}
+    )"""
+    )
+    ctes.append(
+        f"""scored AS (
+      SELECT pr.query_id, a.vec_id AS neighbor_id,
+        CAST(list_sum(list_transform({rng},
+          j -> (a.q[j] - pr.qv[j]) * (a.q[j] - pr.qv[j]))) AS BIGINT)
+          AS sq_dist
+      FROM asn a JOIN probes pr ON a.cluster = pr.bucket_id
+      WHERE a.vec_id != pr.query_id
+    )"""
+    )
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"""
+    SELECT query_id, neighbor_id, sq_dist FROM scored
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY sq_dist, neighbor_id) <= {topk}
+    """
+    )
+
+
+@query(
+    "ext_sq8_ivf_topk",
+    oracle=_sq8_ivf_oracle(8, 1, 64, "sq8ivf:", 10, 5, 2),
+)
+def ext_sq8_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-domain ANN — the FAISS ``IVF,SQ8`` composition
+    (operators/quantize.py): per-dimension SQ8 calibration (one
+    map-combined ≤dim-row aggregate) encodes the corpus 4× smaller,
+    a trained coarse quantizer (one fixed-point Lloyd iteration,
+    k=8) buckets the DEQUANTIZED codes map-side, each query probes
+    its 2 nearest buckets, and squared-L2 scoring touches only those
+    candidates — no stored float is ever read on the
+    corpus-proportional path. Every stage is exact integer arithmetic
+    on the quantization grids, so the DuckDB oracle replays the full
+    fit → calibrate → encode → dequantize → bucket → probe → top-5
+    chain bit-exactly."""
+    emb = _t(spark, sf_dir, "embeddings")
+    from .operators import quantize
+
+    cal = quantize.sq8_calibrate(emb, dim=64)
+    codes = quantize.sq8_encode(emb, cal)
+    cents = kmeans.kmeans_fit(emb, k=8, n_iters=1, salt="sq8ivf:")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return quantize.sq8_topk_ivf(
+        codes, cal, queries_df, cents, k=5, nprobe=2
+    )
+
+
 @query("ext_kmeans_embedding", oracle=_kmeans_oracle(8, 2, 64, "kmeans:"))
 def ext_kmeans_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means (k=8, 2 exact fixed-point iterations) over the

@@ -39,8 +39,7 @@ from .conftest import SF_SMOKE
 # multimodal codec stages, where the decode genuinely cannot be
 # expressed relationally. Everything else must be pure JVM.
 MAPINPANDAS_ALLOWED = {
-    "ext_media_resize",
-    "ext_media_frames",
+    "ext_media_frames",  # the REAL RIFF/WAVE frame sampler (fake=False)
     "ext_media_phash_dedup",
     "ext_media_embed_topk",  # decode stage feeding the cosine top-k
     "ext_media_ppm_resize",  # the REAL netpbm codec path (fake=False)
