@@ -115,6 +115,11 @@ HEADLINE = [
     # real (netpbm) codec path
     "ext_quality_sampled_train",
     "ext_media_ppm_resize",
+    # round 9 additions: compressed-domain IVF×SQ8 search (no stored
+    # float touched on the corpus-proportional path) and the real
+    # RIFF/WAVE frame sampler (genuine PCM decode through mapInPandas)
+    "ext_sq8_ivf_topk",
+    "ext_media_frames",
     # the Delta-protocol gate queries run LAST as an isolated sink
     # group: they physically write the silver relation (×3 timed
     # runs) and the page-cache writeback stalls whichever query

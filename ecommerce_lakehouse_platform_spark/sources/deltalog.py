@@ -137,6 +137,14 @@ class Snapshot:
         return [os.path.join(base, p) for p in sorted(self.files)]
 
 
+def _all_match(conds: list[Column]) -> Column:
+    """AND-fold of the given predicates (TRUE when empty)."""
+    out = F.lit(True)
+    for c in conds:
+        out = out & c
+    return out
+
+
 def _atomic_publish(tmp: str, final: str) -> None:
     """Put-if-absent publish of a staged commit file.
 
@@ -524,14 +532,18 @@ class MiniDeltaTable:
 
     def version_at_timestamp(self, ts_ms: int) -> int:
         """TIMESTAMP AS OF resolution: the newest version whose commit
-        timestamp is ≤ ``ts_ms`` — the real command's rule. Raises if
+        timestamp is ≤ ``ts_ms`` — the real command's rule. Commit
+        timestamps are MONOTONIZED first (each effective timestamp is
+        at least its predecessor's), the same adjustment the real
+        resolver applies, so clock skew between writers can never make
+        an older version shadow the newest at-or-before one. Raises if
         the timestamp predates the table (version 0's commit)."""
         candidate: int | None = None
+        eff = 0
         for entry in reversed(self.history()):  # oldest → newest
-            if int(entry.get("timestamp", 0)) <= ts_ms:
+            eff = max(eff, int(entry.get("timestamp", 0)))
+            if eff <= ts_ms:
                 candidate = entry["version"]
-            else:
-                break
         if candidate is None:
             raise ValueError(
                 f"timestamp {ts_ms} predates the table's first commit"
@@ -598,6 +610,15 @@ class MiniDeltaTable:
         if snap.partition_columns and any(
             os.path.isabs(r) for r in snap.files
         ):
+            if dv_rels:
+                raise NotImplementedError(
+                    "reading a PARTITIONED shallow clone that still "
+                    "references source files carrying deletion "
+                    "vectors is not supported (partition-column "
+                    "recovery and the DV anti-join cannot compose "
+                    "across roots); OPTIMIZE the source before "
+                    "cloning, or clone an unpartitioned table"
+                )
             df = self._read_logged_partitions(snap)
         elif not dv_rels:
             df = self._reader(snap.files).parquet(*paths)
@@ -628,8 +649,14 @@ class MiniDeltaTable:
                 sub = self._reader(
                     {r: snap.files[r] for r in rels}
                 ).parquet(*(os.path.join(self.path, r) for r in rels))
+                # rel values in a sidecar are relative to the table
+                # that WROTE it — for a clone's absolute storagePath
+                # that is the source root, not ours
                 sub = sub.withColumn(
-                    "_rel", self._rel_from("_metadata.file_path")
+                    "_rel",
+                    self._rel_from(
+                        "_metadata.file_path", self._dv_root(sidecar)
+                    ),
                 ).withColumn("_pos", F.col("_metadata.row_index"))
                 dvp = self.spark.read.parquet(
                     os.path.join(self.path, sidecar)
@@ -703,6 +730,25 @@ class MiniDeltaTable:
             return None
         return self.snapshot().app_versions.get(app_id)
 
+    @staticmethod
+    def _matching_rels(
+        snap: Snapshot, replace_where: dict[str, Any]
+    ) -> set[str]:
+        """Active files whose partitionValues match the filter, in the
+        hive string domain (same rule as files_for)."""
+        wanted = {
+            k: (None if v is None else str(v))
+            for k, v in replace_where.items()
+        }
+        return {
+            rel
+            for rel, add in snap.files.items()
+            if all(
+                (add.get("partitionValues") or {}).get(k) == v
+                for k, v in wanted.items()
+            )
+        }
+
     def write(
         self,
         df: DataFrame,
@@ -710,6 +756,7 @@ class MiniDeltaTable:
         partition_by: list[str] | None = None,
         overwrite_schema: bool = False,
         txn: tuple[str, int] | None = None,
+        replace_where: dict[str, Any] | None = None,
     ) -> int:
         """Commit ``df`` as the next table version; returns it.
 
@@ -719,6 +766,16 @@ class MiniDeltaTable:
         Existing-table writes enforce the logged schema unless
         ``overwrite_schema=True`` (overwrite only), which commits a new
         ``metaData`` action — the ``overwriteSchema`` contract.
+
+        ``replace_where={col: value, ...}`` scopes an overwrite to the
+        matching PARTITIONS (the ``replaceWhere`` contract): only
+        active files whose ``partitionValues`` match are removed,
+        every incoming row must match the filter (validated before
+        staging — the real option rejects strays too), and a lost
+        put-if-absent race REBASES when the winner left the scoped
+        partitions untouched — two concurrent daily-partition
+        backfills over disjoint dates both land; overlapping ones
+        still raise ConcurrentWriteError.
 
         ``txn=(app_id, version)`` stamps the commit with the
         protocol's ``txn`` action, recording that this application has
@@ -731,7 +788,46 @@ class MiniDeltaTable:
             raise ValueError(f"unsupported mode: {mode}")
         tbl_exists = self.exists()
         prior = self.snapshot() if tbl_exists else None
-        if prior is not None:
+        if replace_where is not None:
+            if mode != "overwrite" or overwrite_schema:
+                raise ValueError(
+                    "replace_where requires mode='overwrite' without "
+                    "overwrite_schema"
+                )
+            if prior is None:
+                raise FileNotFoundError(
+                    f"replace_where needs an existing table: {self.path}"
+                )
+            missing = sorted(
+                set(replace_where) - set(prior.partition_columns)
+            )
+            if missing:
+                raise SchemaMismatchError(
+                    f"replace_where keys {missing} are not partition "
+                    f"columns {prior.partition_columns}"
+                )
+            stray = df.filter(
+                ~_all_match(
+                    [
+                        F.col(k).cast("string").eqNullSafe(
+                            F.lit(None if v is None else str(v))
+                        )
+                        for k, v in replace_where.items()
+                    ]
+                )
+            ).count()
+            if stray:
+                raise ConstraintViolationError(
+                    f"replace_where {replace_where}: {stray} incoming "
+                    "row(s) fall outside the replaced partitions"
+                )
+        # an explicit schema evolution REPLACES the metaData, so the
+        # prior schema's generated columns must not be injected into
+        # (or reordered onto) the evolved frame — a dropped or
+        # redefined generated column would otherwise silently
+        # resurrect, or fail on a stale expression whose inputs the
+        # evolution removed
+        if prior is not None and not (overwrite_schema and mode == "overwrite"):
             gen = self._generation_exprs(prior.schema)
             if gen:
                 types = {f.name: f.dataType for f in prior.schema}
@@ -774,8 +870,15 @@ class MiniDeltaTable:
                     )
         partition_by = partition_by or []
         if prior is not None:
+            # CHECK constraints live in the configuration, which
+            # SURVIVES a schema evolution (the new metaData restates
+            # it below) — always enforced. Generation expressions live
+            # in the prior schema's column metadata, which an explicit
+            # evolution REPLACES — skipped exactly when the injection
+            # block above is.
             self._enforce_constraints(df, prior.configuration)
-            self._enforce_generated(df, prior.schema)
+            if not (overwrite_schema and mode == "overwrite"):
+                self._enforce_generated(df, prior.schema)
 
         adds = self._stage_data_files(df, partition_by)
         version = (prior.version + 1) if prior is not None else 0
@@ -788,6 +891,19 @@ class MiniDeltaTable:
                     "operationParameters": {
                         "mode": mode.upper(),
                         "partitionBy": json.dumps(partition_by),
+                        **(
+                            {
+                                "replaceWhere": json.dumps(
+                                    {
+                                        k: None if v is None else str(v)
+                                        for k, v in replace_where.items()
+                                    },
+                                    sort_keys=True,
+                                )
+                            }
+                            if replace_where is not None
+                            else {}
+                        ),
                     },
                 }
             }
@@ -822,8 +938,14 @@ class MiniDeltaTable:
             actions.append(
                 {"txn": {"appId": str(txn[0]), "version": int(txn[1])}}
             )
+        victims: set[str] = set()
         if mode == "overwrite" and prior is not None:
-            for rel in sorted(prior.files):
+            victims = (
+                set(prior.files)
+                if replace_where is None
+                else self._matching_rels(prior, replace_where)
+            )
+            for rel in sorted(victims):
                 actions.append(
                     {
                         "remove": {
@@ -834,18 +956,24 @@ class MiniDeltaTable:
                     }
                 )
         actions.extend({"add": add} for add in adds)
-        # Blind appends to an existing table rebase onto the winner of
-        # a lost put-if-absent race instead of failing: an
-        # AddFile-only commit reads nothing, so per the Delta
-        # protocol's conflict-resolution rules it conflicts only with
-        # a concurrent metadata/protocol change — which we detect by
-        # re-checking schema and partition layout against the new
-        # latest snapshot before retrying at the next version.
-        # Overwrites (which logically read the files they remove) and
+        # Conflict resolution on a lost put-if-absent race, per the
+        # Delta protocol's read-set rules:
+        # - BLIND APPENDS read nothing, so they conflict only with a
+        #   concurrent metadata/protocol change — detected by
+        #   re-checking schema and partition layout against the new
+        #   latest snapshot before retrying at the next version.
+        # - PARTITION-SCOPED OVERWRITES (replace_where) read exactly
+        #   the scoped partitions: if the winner left the matching
+        #   file set untouched (a disjoint-partition backfill), the
+        #   commit rebases; if the set changed — the winner wrote
+        #   into or removed from our partitions — the conflict
+        #   surfaces.
+        # Full overwrites (which read every file they remove) and
         # table-creating writes still surface the conflict to the
-        # caller. Disjoint-partition overwrites are the next conflict
-        # class a fuller implementation would auto-resolve.
-        rebasable = mode == "append" and prior is not None
+        # caller.
+        rebasable = prior is not None and (
+            mode == "append" or replace_where is not None
+        )
         attempts = 0
         while True:
             try:
@@ -860,6 +988,10 @@ class MiniDeltaTable:
                     (f.name, f.dataType) for f in df.schema
                 ] or latest.partition_columns != list(partition_by):
                     raise  # winner changed the table's shape under us
+                if replace_where is not None and (
+                    self._matching_rels(latest, replace_where) != victims
+                ):
+                    raise  # winner touched the partitions we replace
                 version = latest.version + 1
 
     def _stage_data_files(
@@ -1316,27 +1448,38 @@ class MiniDeltaTable:
         self._commit(version, actions)
         return version
 
-    def _rel_from(self, uri_sql: str) -> Column:
-        """Logged-relative path decoded from a percent-encoded file
-        URI expression (``input_file_name()`` or
-        ``_metadata.file_path``), the same guarded way optimize() does
-        (literal '+' protected before url_decode; the raw table root
-        located inside the decoded string)."""
-        root = self.path.rstrip("/").replace("\\", "\\\\").replace(
-            "'", "\\'"
-        )
+    def _rel_from(self, uri_sql: str, root: str | None = None) -> Column:
+        """Path relative to ``root`` (default: the table root) decoded
+        from a percent-encoded file URI expression
+        (``input_file_name()`` or ``_metadata.file_path``), the same
+        guarded way optimize() does (literal '+' protected before
+        url_decode; the raw root located inside the decoded string).
+        A non-default root is how DV sidecar rel values — always
+        relative to the table that WROTE the sidecar — are matched
+        when a shallow clone reads its source's files."""
+        base = (root or self.path).rstrip("/")
+        esc = base.replace("\\", "\\\\").replace("'", "\\'")
         decoded = (
             f"url_decode(regexp_replace({uri_sql},"
             " '\\\\+', '%2B'))"
         )
         return F.expr(
             f"substring({decoded},"
-            f" instr({decoded}, '{root}')"
-            f" + {len(self.path.rstrip('/')) + 1})"
+            f" instr({decoded}, '{esc}')"
+            f" + {len(base) + 1})"
         )
 
     def _rel_file_col(self) -> Column:
         return self._rel_from("input_file_name()")
+
+    def _dv_root(self, sidecar: str) -> str:
+        """The table root a DV sidecar's rel values are relative to:
+        sidecars live at ``<their writer's root>/_dv/<id>``, so an
+        ABSOLUTE storagePath (a shallow clone referencing its source's
+        DVs) resolves to the source root; relative ones to ours."""
+        if os.path.isabs(sidecar):
+            return os.path.dirname(os.path.dirname(sidecar))
+        return self.path
 
     def _read_files_dv_aware(
         self, snap: Snapshot, rels, with_rel: bool = False
@@ -1348,6 +1491,18 @@ class MiniDeltaTable:
         (DML, OPTIMIZE) must read through this, or rows deleted by a
         DV would resurrect in the rewrite."""
         rels = sorted(rels)
+        if any(
+            os.path.isabs(r) and snap.files[r].get("deletionVector")
+            for r in rels
+        ):
+            # the anti-join's _rel must match the sidecar's rel domain
+            # per sidecar root; rewrite paths don't group by sidecar —
+            # OPTIMIZE the source (materializing its DVs) first
+            raise NotImplementedError(
+                "rewriting a shallow clone's absolute references that "
+                "carry deletion vectors is not supported; OPTIMIZE "
+                "the source table first"
+            )
         sub = self._reader({r: snap.files[r] for r in rels}).parquet(
             *(os.path.join(self.path, r) for r in rels)
         )
@@ -1399,6 +1554,16 @@ class MiniDeltaTable:
         snap = self.snapshot()
         if not snap.files:
             return None
+        if any(os.path.isabs(r) for r in snap.files):
+            # touched-file discovery keys on table-relative paths; a
+            # clone still referencing source files has none — and the
+            # rewrite would copy the source's data under the clone's
+            # root anyway, which read() + write() does explicitly
+            raise NotImplementedError(
+                "copy-on-write DML on a shallow clone that still "
+                "references its source's files is not supported; "
+                "rewrite the clone first (optimize() or read()+write())"
+            )
         scan = self._read_files_dv_aware(snap, snap.files, with_rel=True)
         touched_rels = sorted(
             r["_rel"]
@@ -1413,7 +1578,17 @@ class MiniDeltaTable:
                 for f in snap.schema
             ]
         )
-        adds = self._stage_data_files(rewrite(sub), snap.partition_columns)
+        replacement = rewrite(sub)
+        # DML commits hold the same invariant as write(): no committed
+        # version contains a row violating a CHECK constraint or a
+        # generated column's expression. An UPDATE that breaks either
+        # fails HERE, before any file is staged. (Real Delta
+        # recomputes generated columns on UPDATE; this subset enforces
+        # instead — the caller assigns consistent values or the commit
+        # refuses loudly.)
+        self._enforce_constraints(replacement, snap.configuration)
+        self._enforce_generated(replacement, snap.schema)
+        adds = self._stage_data_files(replacement, snap.partition_columns)
         now_ms = int(time.time() * 1000)
         actions: list[dict[str, Any]] = [
             {
@@ -1460,10 +1635,13 @@ class MiniDeltaTable:
         and each touched add is re-committed carrying a
         ``deletionVector`` descriptor — readers anti-join the sidecar
         against ``_metadata.row_index``, so a delete's cost is the
-        POSITION LIST, not even the touched files' bytes. OPTIMIZE
-        materializes DVs away (reading victims through the filter);
-        ``changes()`` and ``clone()`` reject DV-carrying ranges/tables
-        (documented subset)."""
+        POSITION LIST, not even the touched files' bytes. The sidecar
+        is hive-partitioned per touched file (the real protocol's
+        per-file-bitmap shape), so write cost scales with touched
+        files, not one funnel task. OPTIMIZE materializes DVs away
+        (reading victims through the filter); ``changes()`` emits a DV
+        commit as row-level delete events; ``clone()`` carries DV
+        references absolutely (unpartitioned sources)."""
         cond = F.coalesce(condition, F.lit(False))
         if use_dv:
             return self._delete_with_dv(cond)
@@ -1533,9 +1711,14 @@ class MiniDeltaTable:
                 existing.filter(F.col("rel").isin(*touched))
             )
         dv_rel = f"_dv/{uuid.uuid4().hex}"
-        positions.repartition(1).write.mode("overwrite").parquet(
-            os.path.join(self.path, dv_rel)
-        )
+        # per-file position lists, the real protocol's per-file-bitmap
+        # shape: hive-partitioned by the data file each DV belongs to,
+        # so a delete touching F files writes F position lists in
+        # parallel — no single task ever materializes the whole
+        # position set (the r8 repartition(1) funnel)
+        positions.repartition("rel").write.partitionBy("rel").mode(
+            "overwrite"
+        ).parquet(os.path.join(self.path, dv_rel))
         cardinality = {
             r["rel"]: r["n"]
             for r in self.spark.read.parquet(os.path.join(self.path, dv_rel))
@@ -1679,6 +1862,11 @@ class MiniDeltaTable:
         else:
             sub = self.spark.createDataFrame([], snap.schema)
         merged_sub = merge_upsert(sub, source.select(*sub.columns), keys)
+        # the pruned path bypasses write(), so it enforces the same
+        # commit invariant itself: CHECK constraints and generated
+        # columns hold on the replacement relation or nothing commits
+        self._enforce_constraints(merged_sub, snap.configuration)
+        self._enforce_generated(merged_sub, snap.schema)
         adds = self._stage_data_files(merged_sub, snap.partition_columns)
         now_ms = int(time.time() * 1000)
         actions: list[dict[str, Any]] = [
@@ -1724,6 +1912,13 @@ class MiniDeltaTable:
         incremental consumers. Requires the referenced data files to
         still exist (i.e. not vacuumed past ``starting_version``).
 
+        DELETION VECTORS compose: a DV commit (remove + re-add of the
+        same file carrying a new descriptor) surfaces as row-level
+        'delete' events for exactly the newly-deleted positions, and
+        a later rewrite's remove of a DV-carrying file emits only the
+        rows the DV had left alive — the change feed's fold over any
+        range equals the snapshot diff, DVs or not.
+
         The scan itself is ordinary distributed parquet reading of
         exactly the files each commit touched — at 100 TB an
         incremental consumer reads the delta, never the table."""
@@ -1739,19 +1934,104 @@ class MiniDeltaTable:
                 f"for table history 0..{latest}"
             )
 
-        def reconstruct(
-            rels: list[str], schema: T.StructType, change: str, v: int, ts: int
-        ) -> DataFrame:
-            paths = [os.path.join(self.path, rel) for rel in rels]
-            df = self._reader(rels).parquet(*paths)
-            return df.select(
-                *[
-                    F.col(f.name).cast(f.dataType).alias(f.name)
-                    for f in schema
-                ],
+        def change_cols(change: str, v: int, ts: int) -> list[Column]:
+            return [
                 F.lit(change).alias("_change_type"),
                 F.lit(v).alias("_commit_version"),
                 F.timestamp_millis(F.lit(ts)).alias("_commit_timestamp"),
+            ]
+
+        def reconstruct(
+            rel_dv: dict[str, dict | None],
+            schema: T.StructType,
+            change: str,
+            v: int,
+            ts: int,
+        ) -> list[DataFrame]:
+            """Rows of the given files as change events. ``rel_dv``
+            maps each file to the deletionVector descriptor ACTIVE on
+            it at event time (or None): DV'd positions are excluded —
+            those rows already got their delete events when the DV
+            committed, so replaying them here would double-count."""
+            casts = [
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in schema
+            ]
+            out: list[DataFrame] = []
+            plain = sorted(r for r, dv in rel_dv.items() if not dv)
+            if plain:
+                df = self._reader(plain).parquet(
+                    *[os.path.join(self.path, r) for r in plain]
+                )
+                out.append(df.select(*casts, *change_cols(change, v, ts)))
+            by_sidecar: dict[str, list[str]] = {}
+            for r, dv in rel_dv.items():
+                if dv:
+                    by_sidecar.setdefault(dv["storagePath"], []).append(r)
+            for sidecar in sorted(by_sidecar):
+                rels_g = sorted(by_sidecar[sidecar])
+                df = (
+                    self._reader(rels_g)
+                    .parquet(*[os.path.join(self.path, r) for r in rels_g])
+                    .withColumn(
+                        "_rel",
+                        self._rel_from(
+                            "_metadata.file_path", self._dv_root(sidecar)
+                        ),
+                    )
+                    .withColumn("_pos", F.col("_metadata.row_index"))
+                )
+                dvp = self.spark.read.parquet(
+                    os.path.join(self.path, sidecar)
+                ).select(
+                    F.col("rel").alias("_rel"), F.col("pos").alias("_pos")
+                )
+                out.append(
+                    df.join(dvp, ["_rel", "_pos"], "left_anti").select(
+                        *casts, *change_cols(change, v, ts)
+                    )
+                )
+            return out
+
+        def dv_delta_deletes(
+            rel: str,
+            new_dv: dict,
+            old_dv: dict | None,
+            schema: T.StructType,
+            v: int,
+            ts: int,
+        ) -> DataFrame:
+            """A DV commit on ``rel`` (remove + re-add carrying the
+            descriptor) is row-level deletes of exactly the NEW
+            sidecar's positions not already in the old one — the
+            anti-join of the old descriptor against the new."""
+            pos = (
+                self.spark.read.parquet(
+                    os.path.join(self.path, new_dv["storagePath"])
+                )
+                .filter(F.col("rel") == rel)
+                .select(F.col("pos").alias("_pos"))
+            )
+            if old_dv is not None:
+                old = (
+                    self.spark.read.parquet(
+                        os.path.join(self.path, old_dv["storagePath"])
+                    )
+                    .filter(F.col("rel") == rel)
+                    .select(F.col("pos").alias("_pos"))
+                )
+                pos = pos.join(old, ["_pos"], "left_anti")
+            casts = [
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in schema
+            ]
+            df = (
+                self._reader([rel])
+                .parquet(os.path.join(self.path, rel))
+                .withColumn("_pos", F.col("_metadata.row_index"))
+            )
+            return df.join(pos, ["_pos"], "left_semi").select(
+                *casts, *change_cols("delete", v, ts)
             )
 
         if starting_version < versions[0]:
@@ -1769,6 +2049,11 @@ class MiniDeltaTable:
         # range and mis-cast the commits before it.
         parts: list[DataFrame] = []
         schema: T.StructType | None = None
+        # dv_state: file path -> the deletionVector descriptor active
+        # on it at the CURRENT point of the replay — what makes a DV
+        # commit a row-level delete event and keeps a later rewrite's
+        # remove from re-emitting rows the DV already deleted
+        dv_state: dict[str, dict] = {}
         if versions[0] > 0:
             ckpt = self._best_checkpoint_at_or_before(versions[0])
             if ckpt is not None:
@@ -1777,6 +2062,12 @@ class MiniDeltaTable:
                         schema = T.StructType.fromJson(
                             json.loads(action["metaData"]["schemaString"])
                         )
+                    elif "add" in action and action["add"].get(
+                        "deletionVector"
+                    ):
+                        dv_state[action["add"]["path"]] = action["add"][
+                            "deletionVector"
+                        ]
         for v in versions:
             if v > ending_version:
                 break
@@ -1789,6 +2080,20 @@ class MiniDeltaTable:
             )
             if meta is not None:
                 schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+            # DV state tracks ALL add/remove actions (OPTIMIZE
+            # materializes DVs away with dataChange=false, which must
+            # still clear the state), captured BEFORE this commit for
+            # event reconstruction
+            dv_before = dict(dv_state)
+            all_adds = [a["add"] for a in actions if "add" in a]
+            all_removes = [a["remove"] for a in actions if "remove" in a]
+            for rm in all_removes:
+                dv_state.pop(rm["path"], None)
+            for ad in all_adds:
+                if ad.get("deletionVector"):
+                    dv_state[ad["path"]] = ad["deletionVector"]
+                else:
+                    dv_state.pop(ad["path"], None)
             if v < starting_version:
                 continue
             ts = next(
@@ -1799,32 +2104,67 @@ class MiniDeltaTable:
                 ),
                 0,
             )
-            if any(
-                "add" in a and a["add"].get("deletionVector")
-                for a in actions
-            ) and v >= starting_version:
-                raise NotImplementedError(
-                    f"version {v} carries deletion vectors; the change "
-                    "feed cannot reconstruct row-level changes from a "
-                    "DV commit (documented subset) — OPTIMIZE the "
-                    "table to materialize DVs before streaming changes"
-                )
-            adds = [
-                a["add"]["path"]
-                for a in actions
-                if "add" in a and a["add"].get("dataChange", True)
+            data_adds = [
+                ad for ad in all_adds if ad.get("dataChange", True)
             ]
-            removes = [
-                a["remove"]["path"]
-                for a in actions
-                if "remove" in a and a["remove"].get("dataChange", True)
+            data_removes = [
+                rm["path"]
+                for rm in all_removes
+                if rm.get("dataChange", True)
             ]
-            if removes and schema_before is not None:
-                parts.append(
-                    reconstruct(removes, schema_before, "delete", v, ts)
+            # a remove + re-add of the SAME path carrying a (new) DV
+            # descriptor is a deletion-vector commit: the row-level
+            # change is exactly the new sidecar positions not in the
+            # old one — never a delete-all/insert-all of the file
+            remove_set = set(data_removes)
+            dv_commits = {
+                ad["path"]: ad["deletionVector"]
+                for ad in data_adds
+                if ad.get("deletionVector")
+                and ad["path"] in remove_set
+                and ad["deletionVector"] != dv_before.get(ad["path"])
+            }
+            plain_removes = [
+                p for p in data_removes if p not in dv_commits
+            ]
+            plain_adds = [
+                ad for ad in data_adds if ad["path"] not in dv_commits
+            ]
+            if plain_removes and schema_before is not None:
+                parts.extend(
+                    reconstruct(
+                        {p: dv_before.get(p) for p in plain_removes},
+                        schema_before,
+                        "delete",
+                        v,
+                        ts,
+                    )
                 )
-            if adds:
-                parts.append(reconstruct(adds, schema, "insert", v, ts))
+            if schema_before is not None:
+                for path in sorted(dv_commits):
+                    parts.append(
+                        dv_delta_deletes(
+                            path,
+                            dv_commits[path],
+                            dv_before.get(path),
+                            schema_before,
+                            v,
+                            ts,
+                        )
+                    )
+            if plain_adds:
+                parts.extend(
+                    reconstruct(
+                        {
+                            ad["path"]: ad.get("deletionVector")
+                            for ad in plain_adds
+                        },
+                        schema,
+                        "insert",
+                        v,
+                        ts,
+                    )
+                )
 
         if not parts:
             empty = T.StructType(
@@ -2108,7 +2448,12 @@ class MiniDeltaTable:
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": target.schema.json(),
                     "partitionColumns": target.partition_columns,
-                    "configuration": {},
+                    # RESTORE rolls the table properties back with the
+                    # schema: CHECK constraints (and everything else
+                    # in the configuration) as of the target version
+                    # stay enforced — an empty map here would silently
+                    # disable them
+                    "configuration": dict(target.configuration),
                     "createdTime": now_ms,
                 }
             },
@@ -2145,11 +2490,13 @@ class MiniDeltaTable:
         source of truth) instead of hive path recovery, which cannot
         span mixed roots."""
         snap = self.snapshot()
-        if any(a.get("deletionVector") for a in snap.files.values()):
+        has_dv = any(a.get("deletionVector") for a in snap.files.values())
+        if has_dv and snap.partition_columns:
             raise NotImplementedError(
-                "shallow clone of a table with active deletion vectors "
-                "is not supported (the clone's absolute references "
-                "cannot span the source's DV sidecars); OPTIMIZE first"
+                "shallow clone of a PARTITIONED table with active "
+                "deletion vectors is not supported (partition-column "
+                "recovery and the DV anti-join cannot compose across "
+                "roots on the clone's read path); OPTIMIZE first"
             )
         target = MiniDeltaTable(
             self.spark, target_path, self.checkpoint_interval
@@ -2165,14 +2512,25 @@ class MiniDeltaTable:
                     "operationParameters": {"source": self.path},
                 }
             },
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            # a clone carrying DV references inherits the DV protocol
+            # gate: readers that would scan the files raw (and
+            # resurrect deleted rows) must refuse the table
+            {
+                "protocol": (
+                    {"minReaderVersion": 3, "minWriterVersion": 7}
+                    if has_dv
+                    else {"minReaderVersion": 1, "minWriterVersion": 2}
+                )
+            },
             {
                 "metaData": {
                     "id": str(uuid.uuid4()),
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": snap.schema.json(),
                     "partitionColumns": snap.partition_columns,
-                    "configuration": {},
+                    # CLONE copies the source's table properties —
+                    # CHECK constraints keep holding on the clone
+                    "configuration": dict(snap.configuration),
                     "createdTime": now_ms,
                 }
             },
@@ -2180,6 +2538,17 @@ class MiniDeltaTable:
         for rel in sorted(snap.files):
             add = dict(snap.files[rel])
             add["path"] = os.path.abspath(os.path.join(self.path, rel))
+            if add.get("deletionVector"):
+                # DV sidecars become absolute references too: the
+                # clone reads the SOURCE's position lists (rel values
+                # stay source-relative — _dv_root resolves the root
+                # from the absolute storagePath). Vacuuming the source
+                # invalidates them exactly like its data files.
+                dv = dict(add["deletionVector"])
+                dv["storagePath"] = os.path.abspath(
+                    os.path.join(self.path, dv["storagePath"])
+                )
+                add["deletionVector"] = dv
             actions.append({"add": add})
         target._commit(0, actions)
         return target

@@ -1157,13 +1157,87 @@ def test_deletion_vectors_delete_without_rewrite(spark, tmp_table):
     }
     assert where_read == {i for i in ids[4:-1] if lo <= i <= hi}
 
-    # CDF and clone reject DV ranges/tables loudly (checked BEFORE
-    # vacuum: vacuum legitimately destroys time travel to rewritten
-    # files, which would mask the DV guard with a path error)
-    with pytest.raises(NotImplementedError):
-        tmp_table.changes(0)
-    with pytest.raises(NotImplementedError):
-        tmp_table.clone(tmp_table.path + "_clone")
+    # CDF spans the DV commits (checked BEFORE vacuum, which destroys
+    # time travel to the superseded sidecar): each DV commit surfaces
+    # as row-level delete events for exactly the newly-deleted
+    # positions — no delete-all/insert-all of the touched files — and
+    # the net fold over the whole feed equals the live relation
+    cdf = tmp_table.changes(0)
+    v1_events = dict(
+        (r["_change_type"], r["count"])
+        for r in cdf.filter(F.col("_commit_version") == v1)
+        .groupBy("_change_type")
+        .count()
+        .collect()
+    )
+    assert v1_events == {"delete": 3}
+    assert {
+        r["order_id"]
+        for r in cdf.filter(
+            (F.col("_commit_version") == v1)
+            & (F.col("_change_type") == "delete")
+        ).collect()
+    } == set(ids[:3])
+    v2_events = dict(
+        (r["_change_type"], r["count"])
+        for r in cdf.filter(F.col("_commit_version") == v2)
+        .groupBy("_change_type")
+        .count()
+        .collect()
+    )
+    assert v2_events == {"delete": 2}
+    cols = [c for c in cdf.columns if not c.startswith("_")]
+    net = (
+        cdf.groupBy(*cols)
+        .agg(
+            F.sum(
+                F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+            ).alias("_net")
+        )
+        .filter(F.col("_net") > 0)
+        .drop("_net")
+    )
+    assert _canon(net) == _canon(tmp_table.read())
+    # a later copy-on-write rewrite (the UPDATE above) removing a
+    # DV-carrying file must NOT re-emit the DV'd rows as deletes: each
+    # DV-deleted row gets exactly one insert (v0) and one delete (its
+    # DV commit) across the whole feed — never a second delete from
+    # the rewrite's file reconstruction
+    per_row = (
+        cdf.filter(F.col("order_id").isin(ids[:3] + [ids[3], ids[-1]]))
+        .groupBy("order_id", "_change_type")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] == 1 for r in per_row), per_row
+
+    # the sidecar is hive-partitioned per touched data file (the
+    # protocol's per-file-bitmap shape): no single-task position list
+    sidecar_dirs = {
+        a["deletionVector"]["storagePath"]
+        for a in tmp_table.snapshot().files.values()
+        if a.get("deletionVector")
+    }
+    for sc in sidecar_dirs:
+        parts_dirs = [
+            n
+            for n in os.listdir(os.path.join(tmp_table.path, sc))
+            if n.startswith("rel=")
+        ]
+        assert parts_dirs, f"sidecar {sc} is not per-file partitioned"
+
+    # shallow clone carries the DV references absolutely: the clone
+    # reads identically, zero data or sidecars copied, and inherits
+    # the DV protocol gate
+    clone = tmp_table.clone(tmp_table.path + "_clone")
+    assert {r["order_id"] for r in clone.read().collect()} == got
+    assert not [
+        name
+        for root, _dirs, names in os.walk(clone.path)
+        if "_delta_log" not in root
+        for name in names
+        if name.endswith(".parquet")
+    ]
 
     # the superseded first sidecar is vacuumable; the live ones are not
     reclaimed = tmp_table.vacuum()
@@ -1285,3 +1359,263 @@ def test_describe_detail(spark, tmp_table):
     assert d["numDeletionVectors"] == 1 and d["deletedRowCount"] == 1
     assert d["properties"] == {"delta.constraints.nonneg": "total_usd >= 0"}
     assert d["partitionColumns"] == []
+
+
+def test_replace_where_partition_scoped_overwrite(spark, tmp_table):
+    """replace_where: the overwrite removes only the matching
+    partition's files, incoming rows must all match the filter, keys
+    must be partition columns, and the change feed scopes to the
+    replaced partition."""
+    from ecommerce_lakehouse_platform_spark.sources.deltalog import (
+        ConstraintViolationError,
+    )
+
+    orders = _orders(spark).withColumn(
+        "order_month", F.date_format("order_date", "yyyy-MM")
+    ).localCheckpoint(eager=True)
+    months = sorted(
+        r["order_month"] for r in orders.select("order_month").distinct().collect()
+    )
+    assert len(months) >= 2
+    m0, m1 = months[0], months[1]
+    tmp_table.write(orders, partition_by=["order_month"])  # v0
+    files_v0 = dict(tmp_table.snapshot().files)
+    other_files = {
+        rel
+        for rel, add in files_v0.items()
+        if add["partitionValues"].get("order_month") != m0
+    }
+
+    patch = (
+        orders.filter(F.col("order_month") == m0)
+        .withColumn("status", F.lit("BACKFILLED"))
+        .localCheckpoint(eager=True)
+    )
+    v1 = tmp_table.write(
+        patch, replace_where={"order_month": m0}
+    )
+    assert v1 == 1
+    snap = tmp_table.snapshot()
+    # untouched partitions keep their exact v0 files
+    assert other_files <= set(snap.files)
+    # the scoped partition was fully replaced
+    got = tmp_table.read()
+    assert got.filter(
+        (F.col("order_month") == m0) & (F.col("status") != "BACKFILLED")
+    ).count() == 0
+    assert _canon(got.filter(F.col("order_month") != m0)) == _canon(
+        orders.filter(F.col("order_month") != m0)
+    )
+    # CDF: deletes only in the replaced partition
+    cdf = tmp_table.changes(v1, v1)
+    assert cdf.filter(
+        (F.col("_change_type") == "delete") & (F.col("order_month") != m0)
+    ).count() == 0
+
+    # stray rows (outside the replaced partition) are rejected
+    with pytest.raises(ConstraintViolationError):
+        tmp_table.write(
+            orders.filter(F.col("order_month") == m1),
+            replace_where={"order_month": m0},
+        )
+    # non-partition keys are rejected
+    with pytest.raises(SchemaMismatchError):
+        tmp_table.write(patch, replace_where={"status": "BACKFILLED"})
+    # append / overwrite_schema composition is rejected
+    with pytest.raises(ValueError):
+        tmp_table.write(patch, mode="append", replace_where={"order_month": m0})
+
+
+def test_replace_where_disjoint_race_rebases(spark, tmp_table):
+    """Two concurrent partition-scoped overwrites over DISJOINT
+    partitions both land (the loser rebases); overlapping partitions
+    still surface the conflict."""
+    orders = _orders(spark).withColumn(
+        "order_month", F.date_format("order_date", "yyyy-MM")
+    ).localCheckpoint(eager=True)
+    months = sorted(
+        r["order_month"] for r in orders.select("order_month").distinct().collect()
+    )
+    m0, m1 = months[0], months[1]
+    tmp_table.write(orders, partition_by=["order_month"])  # v0
+    rival = MiniDeltaTable(spark, tmp_table.path)
+    mine = (
+        orders.filter(F.col("order_month") == m0)
+        .withColumn("status", F.lit("MINE"))
+        .localCheckpoint(eager=True)
+    )
+    theirs = (
+        orders.filter(F.col("order_month") == m1)
+        .withColumn("status", F.lit("THEIRS"))
+        .localCheckpoint(eager=True)
+    )
+    original_stage = tmp_table._stage_data_files
+
+    def stage_then_lose_race(df, partition_by, **kw):
+        adds = original_stage(df, partition_by, **kw)
+        rival.write(theirs, replace_where={"order_month": m1})  # takes v1
+        return adds
+
+    tmp_table._stage_data_files = stage_then_lose_race
+    version = tmp_table.write(mine, replace_where={"order_month": m0})
+    assert version == 2  # rebased past the rival's disjoint v1
+    got = tmp_table.read()
+    assert got.filter(F.col("order_month") == m0).filter(
+        F.col("status") != "MINE"
+    ).count() == 0
+    assert got.filter(F.col("order_month") == m1).filter(
+        F.col("status") != "THEIRS"
+    ).count() == 0
+    assert got.count() == orders.count()
+
+    # overlapping: the rival replaces the SAME partition → conflict
+    tmp_table2 = MiniDeltaTable(spark, tmp_table.path)
+    original_stage2 = tmp_table2._stage_data_files
+
+    def stage_then_lose_overlap(df, partition_by, **kw):
+        adds = original_stage2(df, partition_by, **kw)
+        rival.write(mine, replace_where={"order_month": m0})
+        return adds
+
+    tmp_table2._stage_data_files = stage_then_lose_overlap
+    with pytest.raises(ConcurrentWriteError):
+        tmp_table2.write(
+            mine.withColumn("status", F.lit("LOSER")),
+            replace_where={"order_month": m0},
+        )
+
+
+def test_dml_enforces_constraints_and_generated(spark, tmp_table):
+    """UPDATE and pruned MERGE hold the write-path invariant: a
+    replacement relation violating a CHECK constraint or a generated
+    column's expression refuses to commit, and the table is unchanged."""
+    from ecommerce_lakehouse_platform_spark.sources.deltalog import (
+        ConstraintViolationError,
+    )
+
+    orders = _orders(spark).limit(20).localCheckpoint(eager=True)
+    tmp_table.write(orders)
+    tmp_table.set_constraint("nonneg", "total_usd >= 0")
+    ids = sorted(r["order_id"] for r in orders.collect())
+    before = _canon(tmp_table.read())
+
+    with pytest.raises(ConstraintViolationError):
+        tmp_table.update(
+            F.col("order_id") == ids[0], {"total_usd": F.lit(-5.0)}
+        )
+    assert _canon(tmp_table.read()) == before
+
+    # pruned MERGE: a source row violating the constraint refuses too
+    bad_source = (
+        tmp_table.read()
+        .filter(F.col("order_id") == ids[0])
+        .withColumn("total_usd", F.lit(-1.0))
+        .localCheckpoint(eager=True)
+    )
+    with pytest.raises(ConstraintViolationError):
+        tmp_table.merge(bad_source, ["order_id"], prune_files=True)
+    assert _canon(tmp_table.read()) == before
+
+    # generated column: an UPDATE breaking the expression refuses
+    tmp_table.drop_constraint("nonneg")
+    tbl2 = MiniDeltaTable(spark, tmp_table.path + "_gen")
+    tbl2.write(
+        orders.withColumn(
+            "order_month", F.date_format("order_date", "yyyy-MM")
+        )
+    )
+    tbl2.set_generated_column(
+        "order_month", "date_format(order_date, 'yyyy-MM')"
+    )
+    with pytest.raises(ConstraintViolationError):
+        tbl2.update(
+            F.col("order_id") == ids[0], {"order_month": F.lit("9999-99")}
+        )
+    shutil.rmtree(tbl2.path, ignore_errors=True)
+
+
+def test_restore_and_clone_preserve_configuration(spark, tmp_table):
+    """RESTORE rolls table properties back WITH the schema and CLONE
+    copies them — CHECK constraints stay enforced on both (r8 advice:
+    an empty configuration silently disabled them)."""
+    from ecommerce_lakehouse_platform_spark.sources.deltalog import (
+        ConstraintViolationError,
+    )
+
+    orders = _orders(spark).limit(20).localCheckpoint(eager=True)
+    tmp_table.write(orders)  # v0
+    tmp_table.set_constraint("nonneg", "total_usd >= 0")  # v1
+    tmp_table.write(orders.limit(5), mode="append")  # v2
+    bad = orders.withColumn("total_usd", F.lit(-1.0))
+
+    tmp_table.restore(2)  # v3: restore to a constrained version
+    assert (
+        tmp_table.snapshot().configuration.get("delta.constraints.nonneg")
+        == "total_usd >= 0"
+    )
+    with pytest.raises(ConstraintViolationError):
+        tmp_table.write(bad, mode="append")
+
+    clone = tmp_table.clone(tmp_table.path + "_clone")
+    assert (
+        clone.snapshot().configuration.get("delta.constraints.nonneg")
+        == "total_usd >= 0"
+    )
+    with pytest.raises(ConstraintViolationError):
+        clone.write(bad.localCheckpoint(eager=True), mode="append")
+
+    # restoring to the PRE-constraint version drops the property —
+    # the rollback is of the whole metadata, both directions
+    tmp_table.restore(0)
+    assert "delta.constraints.nonneg" not in tmp_table.snapshot().configuration
+    shutil.rmtree(clone.path, ignore_errors=True)
+
+
+def test_overwrite_schema_drops_generated_column(spark, tmp_table):
+    """An explicit overwrite_schema evolution that DROPS a generated
+    column must not silently re-add it (or fail on the stale
+    expression) — the evolution replaces the metaData (r8 advice)."""
+    orders = _orders(spark).limit(20).localCheckpoint(eager=True)
+    tmp_table.write(
+        orders.withColumn(
+            "order_month", F.date_format("order_date", "yyyy-MM")
+        )
+    )
+    tmp_table.set_generated_column(
+        "order_month", "date_format(order_date, 'yyyy-MM')"
+    )
+    evolved = orders.drop("order_date")  # generation inputs gone too
+    tmp_table.write(evolved, mode="overwrite", overwrite_schema=True)
+    assert "order_month" not in [f.name for f in tmp_table.snapshot().schema]
+    assert tmp_table._generation_exprs(tmp_table.snapshot().schema) == {}
+    assert _canon(tmp_table.read()) == _canon(evolved)
+
+
+def test_timestamp_as_of_monotonizes_clock_skew(spark, tmp_table):
+    """Clock skew between writers (a later version stamped EARLIER)
+    must not make TIMESTAMP AS OF return an older version than the
+    newest at-or-before: effective timestamps are monotonized like
+    the real resolver's adjustment."""
+    orders = _orders(spark).limit(10).localCheckpoint(eager=True)
+    tmp_table.write(orders)  # v0
+    tmp_table.write(orders.limit(5))  # v1
+    tmp_table.write(orders.limit(3))  # v2
+    hist = {h["version"]: int(h["timestamp"]) for h in tmp_table.history()}
+    # rewrite v1's commitInfo timestamp to BEFORE v0 (skewed writer)
+    path = tmp_table._version_file(1)
+    lines = open(path).read().splitlines()
+    out = []
+    for line in lines:
+        action = json.loads(line)
+        if "commitInfo" in action:
+            action["commitInfo"]["timestamp"] = hist[0] - 60_000
+        out.append(json.dumps(action, separators=(",", ":")))
+    os.chmod(path, 0o644)
+    with open(path, "w") as fh:
+        fh.write("\n".join(out) + "\n")
+    # at v0's instant the newest at-or-before is v1 (monotonized up
+    # to v0's timestamp), not v0
+    assert tmp_table.version_at_timestamp(hist[0]) == 1
+    assert tmp_table.version_at_timestamp(hist[2]) == 2
+    with pytest.raises(ValueError):
+        tmp_table.version_at_timestamp(hist[0] - 120_000)
