@@ -17,6 +17,77 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Library surface with NO external driver row — the registry sits at
+# its 150 = 50-slot × 3-round capacity (registry.py's capacity
+# invariant), so these operators are proven by the pytest anchors
+# below instead of a DuckDB oracle row in a CORRECTNESS_r*.json.
+# "Not externally gated" ≠ "not checked": every anchor runs in the
+# standard suite. Each entry: (capability, implementation module,
+# pytest anchor "file::test"). test_registry_inventory.py pins that
+# every anchor still exists.
+PYTEST_ONLY = [
+    (
+        "SQ8 scalar quantization (calibrate / encode / dequantize / "
+        "brute-force compressed top-k; the IVF×SQ8 composition is "
+        "externally gated as `ext_sq8_ivf_topk` since r9)",
+        "ecommerce_lakehouse_platform_spark/operators/quantize.py",
+        "tests/test_quantize.py::test_sq8_codes_and_dequant_match_reference",
+    ),
+    (
+        "Delta CHECK constraints (ADD/DROP CONSTRAINT, write-path and "
+        "DML-path enforcement)",
+        "ecommerce_lakehouse_platform_spark/sources/deltalog.py",
+        "tests/test_deltalog.py::test_check_constraints_enforced_on_write",
+    ),
+    (
+        "Delta generated columns (declare, compute-when-omitted, "
+        "enforce-when-provided, evolution drop)",
+        "ecommerce_lakehouse_platform_spark/sources/deltalog.py",
+        "tests/test_deltalog.py::test_generated_columns_computed_and_enforced",
+    ),
+    (
+        "Deletion vectors (position-sidecar DELETE, per-file sidecar "
+        "layout, DV-aware CDF, DV clone, protocol gate)",
+        "ecommerce_lakehouse_platform_spark/sources/deltalog.py",
+        "tests/test_deltalog.py::test_deletion_vectors_delete_without_rewrite",
+    ),
+    (
+        "DESCRIBE DETAIL (metadata-only table profile)",
+        "ecommerce_lakehouse_platform_spark/sources/deltalog.py",
+        "tests/test_deltalog.py::test_describe_detail",
+    ),
+    (
+        "TIMESTAMP AS OF time travel (+ clock-skew monotonizing)",
+        "ecommerce_lakehouse_platform_spark/sources/deltalog.py",
+        "tests/test_deltalog.py::test_timestamp_as_of_monotonizes_clock_skew",
+    ),
+    (
+        "replaceWhere partition-scoped overwrite with "
+        "disjoint-partition conflict rebase",
+        "ecommerce_lakehouse_platform_spark/sources/deltalog.py",
+        "tests/test_deltalog.py::test_replace_where_disjoint_race_rebases",
+    ),
+    (
+        "Exactly-once streaming sink (txn-stamped foreachBatch into "
+        "the mini Delta log)",
+        "ecommerce_lakehouse_platform_spark/streaming/delta_sink.py",
+        "tests/test_streaming_ingest.py::"
+        "test_stream_ingest_into_minidelta_exactly_once",
+    ),
+    (
+        "OPTIMIZE ZORDER BY (Morton-curve clustering + stats "
+        "tightening for data skipping)",
+        "ecommerce_lakehouse_platform_spark/sources/deltalog.py",
+        "tests/test_deltalog.py::test_optimize_zorder_clusters_both_dimensions",
+    ),
+    (
+        "Real raster codecs (netpbm P5/P6 + BMP decode/resample/"
+        "re-encode beyond the externally-gated PGM path)",
+        "ecommerce_lakehouse_platform_spark/multimodal/binary.py",
+        "tests/test_multimodal.py::test_real_resize_bmp_payloads",
+    ),
+]
+
 FAMILIES = [
     ("op_", "Reference core operators"),
     ("dq_", "Data-quality gates"),
@@ -73,6 +144,23 @@ def main() -> None:
         print("|---|---|---|", file=out)
         for row in rows:
             print(row, file=out)
+    print(
+        f"\n## Pytest-only library surface ({len(PYTEST_ONLY)})\n",
+        file=out,
+    )
+    print(
+        "The registry sits at its 150 = 50-slot × 3-round staleness "
+        "capacity (see the capacity invariant in registry.py), so "
+        "these operators carry NO external driver row by design — "
+        "each is proven by the pytest anchor listed, which runs in "
+        "the standard suite. Not externally gated ≠ not checked.",
+        file=out,
+    )
+    print(file=out)
+    print("| capability | implementation | pytest anchor |", file=out)
+    print("|---|---|---|", file=out)
+    for cap, mod, anchor in PYTEST_ONLY:
+        print(f"| {cap} | `{mod}` | `{anchor}` |", file=out)
 
 
 if __name__ == "__main__":
