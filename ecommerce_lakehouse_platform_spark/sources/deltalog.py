@@ -130,8 +130,11 @@ class Snapshot:
     # ledger that gives foreachBatch sinks exactly-once)
     app_versions: dict[str, int] = field(default_factory=dict)
     # configuration: the metaData's key/value table properties —
-    # carries `delta.constraints.<name>` CHECK constraints
+    # carries `delta.constraints.<name>` CHECK constraints and
+    # `delta.columnMapping.mode`
     configuration: dict[str, str] = field(default_factory=dict)
+    # the protocol's reader gate as replayed (1 unless raised)
+    min_reader: int = 1
 
     def file_paths(self, base: str) -> list[str]:
         return [os.path.join(base, p) for p in sorted(self.files)]
@@ -447,7 +450,7 @@ class MiniDeltaTable:
             )
         return Snapshot(
             version, schema, partition_columns, files, app_versions,
-            configuration,
+            configuration, min_reader,
         )
 
     def history(self) -> list[dict[str, Any]]:
@@ -497,9 +500,19 @@ class MiniDeltaTable:
         parts = []
         for key in sorted(groups, key=lambda k: tuple(v or "" for v in k)):
             df = self.spark.read.parquet(*groups[key])
-            for col, val in zip(snap.partition_columns, key):
-                df = df.withColumn(col, F.lit(val).cast(types[col]))
-            parts.append(df.select(*[f.name for f in snap.schema]))
+            pvals = dict(zip(snap.partition_columns, key))
+            parts.append(
+                df.select(
+                    *[
+                        F.lit(pvals[f.name]).cast(types[f.name]).alias(f.name)
+                        if f.name in pvals
+                        else F.col(self._phys(f))
+                        .cast(f.dataType)
+                        .alias(f.name)
+                        for f in snap.schema
+                    ]
+                )
+            )
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -583,10 +596,12 @@ class MiniDeltaTable:
         residual = None
         if where is not None:
             col, lo, hi = where
+            # stats live under the PHYSICAL names the writer saw
+            pcol = self._phys_column(snap.schema, col)
             kept = {
                 rel: add
                 for rel, add in snap.files.items()
-                if _stats_overlap(add, col, lo, hi)
+                if _stats_overlap(add, pcol, lo, hi)
             }
             snap = Snapshot(
                 snap.version, snap.schema, snap.partition_columns, kept
@@ -599,9 +614,7 @@ class MiniDeltaTable:
         paths = snap.file_paths(self.path)
         if not paths:
             return self.spark.createDataFrame([], snap.schema)
-        casts = [
-            F.col(f.name).cast(f.dataType).alias(f.name) for f in snap.schema
-        ]
+        casts = self._logical_casts(snap.schema)
         dv_rels = {
             rel: add
             for rel, add in snap.files.items()
@@ -621,7 +634,7 @@ class MiniDeltaTable:
                 )
             df = self._read_logged_partitions(snap)
         elif not dv_rels:
-            df = self._reader(snap.files).parquet(*paths)
+            df = self._reader(snap.files).parquet(*paths).select(*casts)
         else:
             # deletion-vector files: anti-join each DV's (rel, pos)
             # sidecar against the rows' file-metadata positions — the
@@ -669,7 +682,7 @@ class MiniDeltaTable:
             df = parts[0]
             for part in parts[1:]:
                 df = df.unionByName(part)
-        df = df.select(*casts)
+        # every branch already projected to the logical schema
         return df.filter(residual) if residual is not None else df
 
     def files_for(
@@ -713,10 +726,11 @@ class MiniDeltaTable:
         subset without touching storage — at 100 TB, the scan you
         skip is the scan that matters."""
         snap = self.snapshot(version)
+        pcol = self._phys_column(snap.schema, column)
         return [
             os.path.join(self.path, rel)
             for rel in sorted(snap.files)
-            if _stats_overlap(snap.files[rel], column, lo, hi)
+            if _stats_overlap(snap.files[rel], pcol, lo, hi)
         ]
 
     # -- write ----------------------------------------------------------
@@ -788,6 +802,16 @@ class MiniDeltaTable:
             raise ValueError(f"unsupported mode: {mode}")
         tbl_exists = self.exists()
         prior = self.snapshot() if tbl_exists else None
+        if (
+            prior is not None
+            and overwrite_schema
+            and self._mapping_enabled(prior)
+        ):
+            raise NotImplementedError(
+                "overwrite_schema on a column-mapped table is not "
+                "supported (new fields would need physical-name "
+                "assignment); evolve with rename_column/drop_column"
+            )
         if replace_where is not None:
             if mode != "overwrite" or overwrite_schema:
                 raise ValueError(
@@ -880,7 +904,10 @@ class MiniDeltaTable:
             if not (overwrite_schema and mode == "overwrite"):
                 self._enforce_generated(df, prior.schema)
 
-        adds = self._stage_data_files(df, partition_by)
+        adds = self._stage_for_schema(
+            df, prior.schema if prior is not None else df.schema,
+            partition_by,
+        )
         version = (prior.version + 1) if prior is not None else 0
         now_ms = int(time.time() * 1000)
         actions: list[dict[str, Any]] = [
@@ -1448,6 +1475,220 @@ class MiniDeltaTable:
         self._commit(version, actions)
         return version
 
+    # -- column mapping ---------------------------------------------------
+
+    @staticmethod
+    def _phys(f: T.StructField) -> str:
+        """The column's PHYSICAL (on-disk parquet) name: the
+        ``delta.columnMapping.physicalName`` field metadata when
+        column mapping is active, else the logical name itself."""
+        return (f.metadata or {}).get(
+            "delta.columnMapping.physicalName", f.name
+        )
+
+    @staticmethod
+    def _logical_casts(schema: T.StructType) -> list[Column]:
+        """Projection from a raw (physical-name) parquet scan to the
+        logical schema: one cast+alias per field. The identity when
+        column mapping is off (physical == logical)."""
+        return [
+            F.col(MiniDeltaTable._phys(f)).cast(f.dataType).alias(f.name)
+            for f in schema
+        ]
+
+    def _phys_column(self, schema: T.StructType, column: str) -> str:
+        """Logical -> physical column-name translation for stats
+        lookups (per-file stats are recorded under the names the
+        parquet writer saw)."""
+        for f in schema:
+            if f.name == column:
+                return self._phys(f)
+        return column
+
+    def _stage_for_schema(
+        self, df: DataFrame, schema: T.StructType, partition_by: list[str],
+        **kw,
+    ) -> list[dict[str, Any]]:
+        """Stage ``df`` (logical column names) as data files under the
+        schema's PHYSICAL names — every write path goes through this
+        so renamed columns keep their stable on-disk identity.
+        Partition columns are guarded physical == logical
+        (rename_column refuses them), so hive paths stay consistent."""
+        mapping = {f.name: self._phys(f) for f in schema}
+        if any(k != v for k, v in mapping.items()):
+            df = df.select(
+                *[
+                    F.col(f.name).alias(mapping[f.name])
+                    for f in schema
+                ]
+            )
+        return self._stage_data_files(df, partition_by, **kw)
+
+    def _mapping_enabled(self, snap: Snapshot) -> bool:
+        return snap.configuration.get("delta.columnMapping.mode") == "name"
+
+    def _guard_not_referenced(self, snap: Snapshot, name: str, op: str):
+        """Refuse renaming/dropping a column referenced by a CHECK
+        constraint or a generation expression (the real commands
+        refuse too — the stored SQL text would silently go stale)."""
+        import re as _re
+
+        pat = _re.compile(rf"\b{_re.escape(name)}\b")
+        for key, sql in snap.configuration.items():
+            if key.startswith("delta.constraints.") and pat.search(sql):
+                raise SchemaMismatchError(
+                    f"cannot {op} column {name!r}: referenced by CHECK "
+                    f"constraint {key.removeprefix('delta.constraints.')!r}"
+                    f" ({sql})"
+                )
+        for gname, gsql in self._generation_exprs(snap.schema).items():
+            if gname != name and pat.search(gsql):
+                raise SchemaMismatchError(
+                    f"cannot {op} column {name!r}: generation expression "
+                    f"of {gname!r} references it ({gsql})"
+                )
+
+    def _commit_schema(
+        self,
+        snap: Snapshot,
+        schema: T.StructType,
+        configuration: dict[str, str],
+        operation: str,
+        parameters: dict[str, Any],
+        protocol: dict[str, int] | None = None,
+    ) -> int:
+        """Metadata-only commit of a new schema/configuration (and
+        optionally a protocol bump) — zero data files touched."""
+        now_ms = int(time.time() * 1000)
+        actions: list[dict[str, Any]] = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": operation,
+                    "operationParameters": parameters,
+                }
+            }
+        ]
+        if protocol is not None:
+            actions.append({"protocol": protocol})
+        actions.append(
+            {
+                "metaData": {
+                    "id": str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema.json(),
+                    "partitionColumns": snap.partition_columns,
+                    "configuration": configuration,
+                    "createdTime": now_ms,
+                }
+            }
+        )
+        version = snap.version + 1
+        self._commit(version, actions)
+        return version
+
+    def enable_column_mapping(self) -> int:
+        """ALTER TABLE ... SET TBLPROPERTIES
+        ('delta.columnMapping.mode' = 'name'): annotate every field
+        with its stable physical name (its CURRENT name — the
+        protocol's upgrade rule, so existing files read unchanged) and
+        a column id, raise the protocol gate (reader 2 / writer 5;
+        kept at 3/7 if deletion vectors already require it), and from
+        then on RENAME/DROP COLUMN are metadata-only — zero files
+        rewritten. Idempotent."""
+        snap = self.snapshot()
+        if self._mapping_enabled(snap):
+            return snap.version
+        fields = []
+        for i, f in enumerate(snap.schema, 1):
+            meta = dict(f.metadata or {})
+            meta.setdefault("delta.columnMapping.id", i)
+            meta.setdefault("delta.columnMapping.physicalName", f.name)
+            fields.append(
+                T.StructField(f.name, f.dataType, f.nullable, meta)
+            )
+        config = dict(snap.configuration)
+        config["delta.columnMapping.mode"] = "name"
+        protocol = (
+            {"minReaderVersion": 3, "minWriterVersion": 7}
+            if snap.min_reader >= 3
+            else {"minReaderVersion": 2, "minWriterVersion": 5}
+        )
+        return self._commit_schema(
+            snap,
+            T.StructType(fields),
+            config,
+            "SET TBLPROPERTIES",
+            {"delta.columnMapping.mode": "name"},
+            protocol=protocol,
+        )
+
+    def rename_column(self, old: str, new: str) -> int:
+        """ALTER TABLE ... RENAME COLUMN: metadata-only under column
+        mapping — the field keeps its physical name, so not a single
+        data file is rewritten and old snapshots time-travel under
+        their old logical names. Partition columns and columns
+        referenced by constraints/generation expressions refuse (their
+        stored text would go stale)."""
+        snap = self.snapshot()
+        if not self._mapping_enabled(snap):
+            raise SchemaMismatchError(
+                "RENAME COLUMN requires column mapping; call "
+                "enable_column_mapping() first"
+            )
+        names = {f.name for f in snap.schema}
+        if old not in names:
+            raise SchemaMismatchError(f"no such column: {old!r}")
+        if new in names:
+            raise SchemaMismatchError(f"column already exists: {new!r}")
+        if old in snap.partition_columns:
+            raise SchemaMismatchError(
+                f"cannot rename partition column {old!r} (hive paths "
+                "carry its name)"
+            )
+        self._guard_not_referenced(snap, old, "rename")
+        fields = [
+            T.StructField(new if f.name == old else f.name, f.dataType,
+                          f.nullable, dict(f.metadata or {}))
+            for f in snap.schema
+        ]
+        return self._commit_schema(
+            snap,
+            T.StructType(fields),
+            dict(snap.configuration),
+            "RENAME COLUMN",
+            {"from": old, "to": new},
+        )
+
+    def drop_column(self, name: str) -> int:
+        """ALTER TABLE ... DROP COLUMN: metadata-only under column
+        mapping — the physical column stays in the files, readers
+        prune it, and old snapshots still surface it. Partition
+        columns and constraint/generation-referenced columns refuse."""
+        snap = self.snapshot()
+        if not self._mapping_enabled(snap):
+            raise SchemaMismatchError(
+                "DROP COLUMN requires column mapping; call "
+                "enable_column_mapping() first"
+            )
+        if name not in {f.name for f in snap.schema}:
+            raise SchemaMismatchError(f"no such column: {name!r}")
+        if name in snap.partition_columns:
+            raise SchemaMismatchError(
+                f"cannot drop partition column {name!r}"
+            )
+        self._guard_not_referenced(snap, name, "drop")
+        fields = [f for f in snap.schema if f.name != name]
+        if not fields:
+            raise SchemaMismatchError("cannot drop the only column")
+        return self._commit_schema(
+            snap,
+            T.StructType(fields),
+            dict(snap.configuration),
+            "DROP COLUMN",
+            {"name": name},
+        )
+
     def _rel_from(self, uri_sql: str, root: str | None = None) -> Column:
         """Path relative to ``root`` (default: the table root) decoded
         from a percent-encoded file URI expression
@@ -1565,6 +1806,8 @@ class MiniDeltaTable:
                 "rewrite the clone first (optimize() or read()+write())"
             )
         scan = self._read_files_dv_aware(snap, snap.files, with_rel=True)
+        # predicates are over LOGICAL names; the raw scan is physical
+        scan = scan.select("_rel", *self._logical_casts(snap.schema))
         touched_rels = sorted(
             r["_rel"]
             for r in scan.filter(condition).select("_rel").distinct().collect()
@@ -1572,12 +1815,7 @@ class MiniDeltaTable:
         if not touched_rels:
             return None
         sub = self._read_files_dv_aware(snap, touched_rels)
-        sub = sub.select(
-            *[
-                F.col(f.name).cast(f.dataType).alias(f.name)
-                for f in snap.schema
-            ]
-        )
+        sub = sub.select(*self._logical_casts(snap.schema))
         replacement = rewrite(sub)
         # DML commits hold the same invariant as write(): no committed
         # version contains a row violating a CHECK constraint or a
@@ -1588,7 +1826,9 @@ class MiniDeltaTable:
         # refuses loudly.)
         self._enforce_constraints(replacement, snap.configuration)
         self._enforce_generated(replacement, snap.schema)
-        adds = self._stage_data_files(replacement, snap.partition_columns)
+        adds = self._stage_for_schema(
+            replacement, snap.schema, snap.partition_columns
+        )
         now_ms = int(time.time() * 1000)
         actions: list[dict[str, Any]] = [
             {
@@ -1685,6 +1925,7 @@ class MiniDeltaTable:
             .parquet(*paths)
             .withColumn("_rel", self._rel_from("_metadata.file_path"))
             .withColumn("_pos", F.col("_metadata.row_index"))
+            .select("_rel", "_pos", *self._logical_casts(snap.schema))
         )
         matches = scan.filter(cond).select(
             F.col("_rel").alias("rel"), F.col("_pos").alias("pos")
@@ -1853,12 +2094,7 @@ class MiniDeltaTable:
         )
         if touched_rels:
             sub = self._read_files_dv_aware(snap, touched_rels)
-            sub = sub.select(
-                *[
-                    F.col(f.name).cast(f.dataType).alias(f.name)
-                    for f in snap.schema
-                ]
-            )
+            sub = sub.select(*self._logical_casts(snap.schema))
         else:
             sub = self.spark.createDataFrame([], snap.schema)
         merged_sub = merge_upsert(sub, source.select(*sub.columns), keys)
@@ -1867,7 +2103,9 @@ class MiniDeltaTable:
         # columns hold on the replacement relation or nothing commits
         self._enforce_constraints(merged_sub, snap.configuration)
         self._enforce_generated(merged_sub, snap.schema)
-        adds = self._stage_data_files(merged_sub, snap.partition_columns)
+        adds = self._stage_for_schema(
+            merged_sub, snap.schema, snap.partition_columns
+        )
         now_ms = int(time.time() * 1000)
         actions: list[dict[str, Any]] = [
             {
@@ -1953,10 +2191,7 @@ class MiniDeltaTable:
             it at event time (or None): DV'd positions are excluded —
             those rows already got their delete events when the DV
             committed, so replaying them here would double-count."""
-            casts = [
-                F.col(f.name).cast(f.dataType).alias(f.name)
-                for f in schema
-            ]
+            casts = self._logical_casts(schema)
             out: list[DataFrame] = []
             plain = sorted(r for r, dv in rel_dv.items() if not dv)
             if plain:
@@ -2021,10 +2256,7 @@ class MiniDeltaTable:
                     .select(F.col("pos").alias("_pos"))
                 )
                 pos = pos.join(old, ["_pos"], "left_anti")
-            casts = [
-                F.col(f.name).cast(f.dataType).alias(f.name)
-                for f in schema
-            ]
+            casts = self._logical_casts(schema)
             df = (
                 self._reader([rel])
                 .parquet(os.path.join(self.path, rel))
@@ -2229,9 +2461,10 @@ class MiniDeltaTable:
         # from file metadata (pre-join: input_file_name cannot span
         # the DV anti-join's sources) and doubles as _fname below.
         df = self._read_files_dv_aware(snap, victim_rels, with_rel=True)
-        cast_cols = [
-            F.col(f.name).cast(f.dataType).alias(f.name) for f in snap.schema
-        ]
+        # project physical -> logical up front (column mapping), _rel
+        # kept for the bin join below; downstream stays logical
+        df = df.select("_rel", *self._logical_casts(snap.schema))
+        cast_cols = [f.name for f in snap.schema]
         if zorder_by:
             df, nrows = self._zorder_layout(
                 df.select(*cast_cols),
@@ -2306,8 +2539,9 @@ class MiniDeltaTable:
         # writer-level record cap enforces the size target regardless
         # of task boundaries
         avg_row = max(1, total // max(1, nrows))
-        adds = self._stage_data_files(
+        adds = self._stage_for_schema(
             df,
+            snap.schema,
             snap.partition_columns,
             max_records_per_file=max(1, max_file_bytes // avg_row),
         )

@@ -1619,3 +1619,115 @@ def test_timestamp_as_of_monotonizes_clock_skew(spark, tmp_table):
     assert tmp_table.version_at_timestamp(hist[2]) == 2
     with pytest.raises(ValueError):
         tmp_table.version_at_timestamp(hist[0] - 120_000)
+
+
+def test_column_mapping_rename_and_drop_without_rewrite(spark, tmp_table):
+    """Column mapping (mode=name): RENAME/DROP COLUMN are
+    metadata-only — zero data files rewritten, reads map physical →
+    logical, writes land under the stable physical names, time travel
+    surfaces the old logical names, data skipping keys stats by
+    physical name, and DML works over the renamed schema."""
+    orders = _orders(spark).limit(30).localCheckpoint(eager=True)
+    tmp_table.write(orders.repartition(2))  # v0
+    files_v0 = set(tmp_table.snapshot().files)
+
+    with pytest.raises(SchemaMismatchError):
+        tmp_table.rename_column("status", "order_status")  # mapping off
+
+    v1 = tmp_table.enable_column_mapping()
+    assert v1 == 1
+    assert tmp_table.enable_column_mapping() == 1  # idempotent
+    v2 = tmp_table.rename_column("status", "order_status")
+    assert v2 == 2
+    snap = tmp_table.snapshot()
+    assert set(snap.files) == files_v0, "rename must rewrite nothing"
+    names = [f.name for f in snap.schema]
+    assert "order_status" in names and "status" not in names
+    got = tmp_table.read()
+    assert _canon(got.withColumnRenamed("order_status", "status")) == _canon(
+        orders
+    )
+    # time travel surfaces the OLD logical name
+    assert "status" in tmp_table.read(version=0).columns
+
+    # writes after the rename land under the stable PHYSICAL name and
+    # read back logically — across both write() and DML
+    extra = (
+        orders.limit(5)
+        .withColumnRenamed("status", "order_status")
+        .withColumn("order_id", F.concat(F.lit("N"), F.col("order_id")))
+        .localCheckpoint(eager=True)
+    )
+    tmp_table.write(extra, mode="append")
+    assert tmp_table.read().count() == 35
+    ids = sorted(r["order_id"] for r in orders.collect())
+    tmp_table.update(
+        F.col("order_id") == ids[0], {"order_status": F.lit("MAPPED")}
+    )
+    assert (
+        tmp_table.read()
+        .filter(F.col("order_id") == ids[0])
+        .collect()[0]["order_status"]
+        == "MAPPED"
+    )
+    # data skipping on the renamed column still prunes (stats live
+    # under the physical name)
+    lo = sorted(
+        r["order_id"] for r in tmp_table.read().collect()
+    )[0]
+    assert tmp_table.read(where=("order_id", lo, lo)).count() == 1
+    # CDF across the rename: old events under the old name
+    feed = tmp_table.changes(0)
+    assert {"status", "order_status"} <= set(feed.columns)
+
+    # DROP COLUMN: metadata-only, the physical column stays on disk
+    files_before_drop = set(tmp_table.snapshot().files)
+    tmp_table.drop_column("order_status")
+    assert set(tmp_table.snapshot().files) == files_before_drop
+    assert "order_status" not in tmp_table.read().columns
+    assert "order_status" in tmp_table.read(version=2).columns
+
+    # guards: partition columns, referenced columns, evolution
+    with pytest.raises(SchemaMismatchError):
+        tmp_table.rename_column("missing", "x")
+    with pytest.raises(SchemaMismatchError):
+        tmp_table.rename_column("order_id", "total_usd")  # name taken
+    tmp_table.set_constraint("nonneg", "total_usd >= 0")
+    with pytest.raises(SchemaMismatchError):
+        tmp_table.rename_column("total_usd", "amount")
+    with pytest.raises(SchemaMismatchError):
+        tmp_table.drop_column("total_usd")
+    with pytest.raises(NotImplementedError):
+        tmp_table.write(
+            orders.limit(3).withColumn("flag", F.lit(True)),
+            overwrite_schema=True,
+        )
+
+
+def test_column_mapping_partitioned_and_optimize(spark, tmp_table):
+    """Mapping over a partitioned table: partition columns refuse to
+    rename, non-partition renames read back correctly through hive
+    partition recovery, and OPTIMIZE compacts a renamed table writing
+    PHYSICAL columns (reads stay logical)."""
+    orders = _orders(spark).withColumn(
+        "order_month", F.date_format("order_date", "yyyy-MM")
+    ).localCheckpoint(eager=True)
+    tmp_table.write(orders, partition_by=["order_month"])
+    tmp_table.write(orders, mode="append")  # 2 files/partition
+    tmp_table.enable_column_mapping()
+    with pytest.raises(SchemaMismatchError):
+        tmp_table.rename_column("order_month", "month")
+    tmp_table.rename_column("status", "order_status")
+    want = _canon(
+        orders.unionByName(orders).withColumnRenamed(
+            "status", "order_status"
+        )
+    )
+    assert _canon(tmp_table.read()) == want
+    assert tmp_table.optimize() is not None
+    assert _canon(tmp_table.read()) == want
+    # the compacted files carry the PHYSICAL name on disk
+    snap = tmp_table.snapshot()
+    rel = sorted(snap.files)[0]
+    raw = spark.read.parquet(os.path.join(tmp_table.path, rel))
+    assert "status" in raw.columns and "order_status" not in raw.columns

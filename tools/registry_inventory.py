@@ -86,6 +86,13 @@ PYTEST_ONLY = [
         "ecommerce_lakehouse_platform_spark/multimodal/binary.py",
         "tests/test_multimodal.py::test_real_resize_bmp_payloads",
     ),
+    (
+        "Column mapping mode=name (metadata-only RENAME/DROP COLUMN, "
+        "physical-name staging, stats translation, mapped DML)",
+        "ecommerce_lakehouse_platform_spark/sources/deltalog.py",
+        "tests/test_deltalog.py::"
+        "test_column_mapping_rename_and_drop_without_rewrite",
+    ),
 ]
 
 FAMILIES = [
