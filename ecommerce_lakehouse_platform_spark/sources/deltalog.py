@@ -2806,23 +2806,67 @@ class MiniDeltaTable:
                 expired.append(v)
         return expired
 
-    def vacuum(self) -> list[str]:
-        """Delete data files not referenced by the LATEST snapshot and
-        return their relative paths. Like the real command once the
-        retention window has lapsed, this destroys time travel to the
-        versions that referenced those files; the log itself is kept
-        (history stays auditable)."""
+    def _remove_timestamps(self) -> dict[str, int]:
+        """file path -> its NEWEST remove action's deletionTimestamp
+        across the retained log (a re-added path's stale removes don't
+        matter: the caller only consults paths that are inactive in
+        the latest snapshot, so the newest remove is the one that made
+        them inactive). O(history) metadata reads, no data touched."""
+        out: dict[str, int] = {}
+        for v in self.versions():
+            for a in self._read_actions(v):
+                if "remove" in a:
+                    out[a["remove"]["path"]] = max(
+                        out.get(a["remove"]["path"], 0),
+                        int(a["remove"].get("deletionTimestamp", 0)),
+                    )
+        return out
+
+    def vacuum(self, retention_ms: int = 0) -> list[str]:
+        """VACUUM [RETAIN]: delete data files not referenced by the
+        LATEST snapshot and return their relative paths.
+
+        ``retention_ms`` is the real command's retention window: only
+        files whose newest ``remove`` action is older than ``now −
+        retention_ms`` are reclaimed, so time travel and CDF over the
+        window stay intact while older versions' storage is released
+        — the default 0 reclaims everything unreferenced, the real
+        command's RETAIN 0 HOURS. Files on disk with NO remove action
+        at all (orphaned staging debris) are always reclaimable: no
+        retained version can reference them."""
         snap = self.snapshot()
         active = set(snap.files)
+        cutoff = int(time.time() * 1000) - max(0, retention_ms)
+        removed_at = self._remove_timestamps() if retention_ms > 0 else {}
+
+        def retained(rel: str) -> bool:
+            return (
+                retention_ms > 0
+                and rel in removed_at
+                and removed_at[rel] > cutoff
+            )
+
         live_sidecars = {
             a["deletionVector"]["storagePath"]
             for a in snap.files.values()
             if a.get("deletionVector")
         }
+        if retention_ms > 0:
+            # a sidecar referenced by any RETAINED version's adds must
+            # survive too: approximate by retaining sidecars referenced
+            # by adds of files whose remove is inside the window
+            for v in self.versions():
+                for a in self._read_actions(v):
+                    dv = a.get("add", {}).get("deletionVector")
+                    if dv and (
+                        a["add"]["path"] in active
+                        or retained(a["add"]["path"])
+                    ):
+                        live_sidecars.add(dv["storagePath"])
         removed: list[str] = []
         # deletion-vector sidecars live under _dv/<id>; those the
-        # LATEST snapshot references are table state, superseded ones
-        # (a later delete folded their positions forward) reclaim here
+        # LATEST snapshot (or a retained version) references are table
+        # state, superseded ones reclaim here
         dv_root = os.path.join(self.path, "_dv")
         if os.path.isdir(dv_root):
             for name in sorted(os.listdir(dv_root)):
@@ -2841,7 +2885,7 @@ class MiniDeltaTable:
                 if name.startswith((".", "_")) or not name.endswith(".parquet"):
                     continue
                 rel = os.path.relpath(os.path.join(root, name), self.path)
-                if rel not in active:
+                if rel not in active and not retained(rel):
                     os.unlink(os.path.join(self.path, rel))
                     removed.append(rel)
         return sorted(removed)

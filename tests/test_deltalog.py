@@ -1731,3 +1731,30 @@ def test_column_mapping_partitioned_and_optimize(spark, tmp_table):
     rel = sorted(snap.files)[0]
     raw = spark.read.parquet(os.path.join(tmp_table.path, rel))
     assert "status" in raw.columns and "order_status" not in raw.columns
+
+
+def test_vacuum_retention_window(spark, tmp_table):
+    """vacuum(retention_ms): files removed INSIDE the window survive
+    (time travel to those versions stays intact); a second vacuum
+    with no retention reclaims them; orphaned never-logged debris is
+    always reclaimable."""
+    orders = _orders(spark).limit(20).localCheckpoint(eager=True)
+    tmp_table.write(orders)  # v0
+    tmp_table.write(orders.limit(5))  # v1: v0's files become inactive NOW
+
+    # plant never-logged debris (a crashed writer's leftover)
+    debris = os.path.join(tmp_table.path, "orphan-debris.parquet")
+    with open(debris, "wb") as fh:
+        fh.write(b"PAR1junkPAR1")
+
+    reclaimed = tmp_table.vacuum(retention_ms=3_600_000)  # 1h window
+    assert "orphan-debris.parquet" in reclaimed
+    assert all(r == "orphan-debris.parquet" for r in reclaimed), reclaimed
+    # time travel to v0 still works — its files were inside the window
+    assert tmp_table.read(version=0).count() == 20
+
+    reclaimed2 = tmp_table.vacuum()  # RETAIN 0: reclaims v0's files
+    assert reclaimed2, "expected the inactive v0 files to be reclaimed"
+    with pytest.raises(Exception):
+        tmp_table.read(version=0).count()
+    assert tmp_table.read().count() == 5
