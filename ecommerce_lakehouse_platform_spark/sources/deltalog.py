@@ -133,8 +133,9 @@ class Snapshot:
     # carries `delta.constraints.<name>` CHECK constraints and
     # `delta.columnMapping.mode`
     configuration: dict[str, str] = field(default_factory=dict)
-    # the protocol's reader gate as replayed (1 unless raised)
+    # the protocol's reader/writer gates as replayed
     min_reader: int = 1
+    min_writer: int = 1
 
     def file_paths(self, base: str) -> list[str]:
         return [os.path.join(base, p) for p in sorted(self.files)]
@@ -394,12 +395,17 @@ class MiniDeltaTable:
         app_versions: dict[str, int] = {}
         configuration: dict[str, str] = {}
         min_reader = 1
+        min_writer = 1
 
         def apply(action: dict[str, Any]) -> None:
-            nonlocal schema, partition_columns, configuration, min_reader
+            nonlocal schema, partition_columns, configuration
+            nonlocal min_reader, min_writer
             if "protocol" in action:
                 min_reader = int(
                     action["protocol"].get("minReaderVersion", 1)
+                )
+                min_writer = int(
+                    action["protocol"].get("minWriterVersion", 1)
                 )
             elif "metaData" in action:
                 meta = action["metaData"]
@@ -450,7 +456,7 @@ class MiniDeltaTable:
             )
         return Snapshot(
             version, schema, partition_columns, files, app_versions,
-            configuration, min_reader,
+            configuration, min_reader, min_writer,
         )
 
     def history(self) -> list[dict[str, Any]]:
@@ -541,6 +547,8 @@ class MiniDeltaTable:
             "deletedRowCount": sum(d["cardinality"] for d in dvs),
             "properties": dict(snap.configuration),
             "numTxnApps": len(snap.app_versions),
+            "minReaderVersion": snap.min_reader,
+            "minWriterVersion": snap.min_writer,
         }
 
     def version_at_timestamp(self, ts_ms: int) -> int:

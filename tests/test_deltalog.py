@@ -807,9 +807,15 @@ def test_zorder_tightens_stats_for_skipping(spark, tmp_table):
         (F.col("id") / F.lit(64)).cast("long").alias("b"),
     )
     tmp_table.write(df.repartition(8))  # row-order layout: wide ranges
-    assert tmp_table.optimize(zorder_by=["a", "b"], max_file_bytes=16_000) is not None
+    # small size target => ~8 curve segments: with 3 segments the
+    # minor-interleaved dimension's narrow cells span z-values right
+    # up to a segment boundary, and pruning success hinged on the
+    # range-sampler's quantile jitter (a real flake — observed both
+    # passing and failing on identical code); at 512-z granularity
+    # whole segments sit past the last a<4 cell structurally
+    assert tmp_table.optimize(zorder_by=["a", "b"], max_file_bytes=6_000) is not None
     files = tmp_table.snapshot().files
-    assert len(files) > 1
+    assert len(files) > 4
     for dim in ("a", "b"):
         pruned = tmp_table.files_for_range(dim, 0, 3)
         assert len(pruned) < len(files), (
