@@ -857,7 +857,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # --- Changed this round: re-check is mandatory, not rotation ---
     # real-WAVE decode path (fake=False) + new md5-chain oracle
     "ext_media_frames",
-    # changes() now reconstructs DV-delete commits as CDF events
+    # changes() now reconstructs DV-delete commits as CDF events, and
+    # the query grew a DV-delete stage (v4) + matching oracle so the
+    # composition is EXTERNALLY value-checked
     "ext_delta_cdf_fold",
     # --- Newest external row is r5: staleness bound forces all 9 ---
     "ext_text_fingerprint",

@@ -156,16 +156,22 @@ def ext_delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ext_delta_cdf_fold",
     # Expected fold: order_id%3==0 rows survive unchanged with 3 CDF
-    # events (insert v0, delete+insert v3); %3==1 rows net out and
-    # reappear RESTATED with 1 event; %3==2 rows (appended v1,
-    # deleted v3) net to zero. The OPTIMIZE between v1 and v3 must
-    # contribute NO events (dataChange=false) or every surviving
-    # row's n_row_events is off by 2.
+    # events (insert v0, delete+insert v3) EXCEPT the %9==3 subset,
+    # which a deletion-vector DELETE (v4) erases — the DV commit must
+    # surface as exactly ONE row-level delete event per erased row
+    # (netting it out) while the surviving rows SHARING its files
+    # keep n_row_events = 3: a delete-all/insert-all reconstruction
+    # of the DV commit would bump them to 5 and hash-mismatch. %3==1
+    # rows net out and reappear RESTATED with 1 event; %3==2 rows
+    # (appended v1, deleted v3) net to zero. The OPTIMIZE between v1
+    # and v3 must contribute NO events (dataChange=false) or every
+    # surviving row's n_row_events is off by 2.
     oracle=f"""
     WITH s AS ({_SILVER_ORDERS_SQL})
     SELECT order_id, customer_id, status, priority, total_usd,
            order_date, CAST(3 AS BIGINT) AS n_row_events
     FROM s WHERE CAST(order_id AS BIGINT) % 3 = 0
+      AND CAST(order_id AS BIGINT) % 9 != 3
     UNION ALL
     SELECT order_id, customer_id, status, 'RESTATED' AS priority,
            total_usd, order_date, CAST(1 AS BIGINT) AS n_row_events
@@ -173,18 +179,23 @@ def ext_delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ext_delta_cdf_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Change-data-feed fold == snapshot, with OPTIMIZE invisible:
-    write two-thirds of silver orders (v0), append the rest (v1),
-    compact (OPTIMIZE, ``dataChange=false``), then overwrite with a
-    partial restatement (v3). Folding ``changes(0)`` —
-    Σ(insert=+1, delete=−1) per row, keep net>0 — must reproduce the
-    final snapshot exactly, and the per-row CDF event count must show
-    the compaction contributed nothing (the property that makes
-    incremental consumers safe over a maintained table; Delta CDF's
-    ``table_changes`` contract). The oracle states the expected net
-    relation and event counts directly from the fixtures."""
+    """Change-data-feed fold == snapshot, with OPTIMIZE invisible and
+    DELETION VECTORS composing: write two-thirds of silver orders
+    (v0), append the rest (v1), compact (OPTIMIZE,
+    ``dataChange=false``), overwrite with a partial restatement (v3),
+    then erase a slice with a DELETION-VECTOR delete (v4 — zero files
+    rewritten, positions in a per-file sidecar). Folding
+    ``changes(0)`` — Σ(insert=+1, delete=−1) per row, keep net>0 —
+    must reproduce the final snapshot exactly; the per-row CDF event
+    count must show the compaction contributed nothing AND the DV
+    commit contributed exactly one delete per erased row (rows
+    sharing the DV'd files keep their count — the r9 DV-aware feed;
+    Delta CDF's ``table_changes`` contract). The oracle states the
+    expected net relation and event counts directly from the
+    fixtures."""
     base = _silver_orders(spark, sf_dir)
-    key_mod = F.col("order_id").cast("long") % 3
+    key = F.col("order_id").cast("long")
+    key_mod = key % 3
     path = _fresh_dir("minidelta_cdf_") + "/orders"
     tbl = MiniDeltaTable(spark, path)
     tbl.write(base.filter(key_mod.isin(0, 1)))  # v0
@@ -199,6 +210,9 @@ def ext_delta_cdf_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.filter(key_mod == 1).withColumn("priority", F.lit("RESTATED"))
     )
     tbl.write(restated)  # v3: overwrite = delete-all + insert-all
+    # v4: deletion-vector erase of the %9==3 slice — zero rewrites
+    if tbl.delete(key % 9 == 3, use_dv=True) is None:
+        raise RuntimeError("DV delete matched nothing")
     cdf = tbl.changes(0)
     cols = [c for c in cdf.columns if not c.startswith("_")]
     return (
