@@ -315,6 +315,7 @@ def _checkpoint_arrow_schema():
                         ("modificationTime", pa.int64()),
                         ("dataChange", pa.bool_()),
                         ("stats", pa.string()),
+                        ("tags", pa.map_(pa.string(), pa.string())),
                         (
                             "deletionVector",
                             pa.struct(
@@ -610,6 +611,11 @@ class MiniDeltaTable:
                 rel: add
                 for rel, add in snap.files.items()
                 if _stats_overlap(add, pcol, lo, hi)
+                and (
+                    lo is None
+                    or lo != hi
+                    or self._bloom_may_contain(add, pcol, lo)
+                )
             }
             snap = Snapshot(
                 snap.version, snap.schema, snap.partition_columns, kept
@@ -1244,6 +1250,7 @@ class MiniDeltaTable:
                         # a checkpoint restates state, it is not a change
                         "dataChange": False,
                         "stats": add.get("stats"),
+                        "tags": list((add.get("tags") or {}).items()),
                         "deletionVector": add.get("deletionVector"),
                     },
                 }
@@ -1275,6 +1282,11 @@ class MiniDeltaTable:
             elif row.get("add") is not None:
                 add = dict(row["add"])
                 add["partitionValues"] = dict(add.get("partitionValues") or [])
+                tags = dict(add.get("tags") or [])
+                if tags:
+                    add["tags"] = tags
+                else:
+                    add.pop("tags", None)
                 if add.get("deletionVector") is None:
                     add.pop("deletionVector", None)
                 else:
@@ -1482,6 +1494,180 @@ class MiniDeltaTable:
         version = snap.version + 1
         self._commit(version, actions)
         return version
+
+    # -- bloom filter index -----------------------------------------------
+
+    @staticmethod
+    def _bloom_positions_py(value: str, bits: int, hashes: int) -> list[int]:
+        """The k bloom bit positions for a canonical value string —
+        md5-derived so the driver-side probe and the Spark-side build
+        (conv(substr(md5(...),1,15),16,10) % bits) agree bit-for-bit."""
+        import hashlib
+
+        return [
+            int(
+                hashlib.md5(
+                    f"bloom{i}:{value}".encode("utf-8")
+                ).hexdigest()[:15],
+                16,
+            )
+            % bits
+            for i in range(hashes)
+        ]
+
+    def build_bloom_index(
+        self, column: str, bits: int = 8192, hashes: int = 5
+    ) -> int:
+        """Per-file BLOOM FILTER INDEX on ``column`` (string / integral
+        / date — the types whose Spark string cast is canonical): one
+        distributed scan computes each active file's k md5-derived bit
+        positions, the ≤ bits-sized bitsets ride back as the add
+        actions' ``tags`` (the protocol's optional add field) in a
+        ``dataChange=false`` re-commit — history, time travel, and the
+        change feed all see a no-op, exactly like OPTIMIZE.
+
+        Why it matters at 100 TB: min/max stats prune RANGE predicates
+        on clustered columns, but a point lookup on a high-cardinality
+        UNORDERED column (an order id, a user id, a trace id) overlaps
+        every file's range — this is the needle-in-haystack access
+        real bloom file indexes exist for. ``files_for_point`` then
+        answers "which files can contain this value" from the log
+        alone; a false-positive rate of ~(1-e^(-kn/m))^k applies,
+        false negatives never. Files written AFTER the index build
+        carry no bitset and are conservatively kept — rebuild to
+        re-cover them (real bloom indexes have the same maintenance
+        contract). Driver traffic is O(files × bits/64), the size of
+        the index itself."""
+        snap = self.snapshot()
+        field = next((f for f in snap.schema if f.name == column), None)
+        if field is None:
+            raise SchemaMismatchError(f"no such column: {column!r}")
+        if not isinstance(
+            field.dataType,
+            (T.StringType, T.IntegerType, T.LongType, T.ShortType,
+             T.ByteType, T.DateType),
+        ):
+            raise SchemaMismatchError(
+                f"bloom index on {field.dataType.simpleString()} is not "
+                "supported (string cast is not canonical across "
+                "engines); index string/integral/date columns"
+            )
+        if not snap.files:
+            return snap.version
+        if any(os.path.isabs(r) for r in snap.files):
+            raise NotImplementedError(
+                "bloom index over a shallow clone's absolute "
+                "references is not supported; rewrite the clone first"
+            )
+        pcol = self._phys_column(snap.schema, column)
+        scan = (
+            self._reader(snap.files)
+            .parquet(*snap.file_paths(self.path))
+            .withColumn("_rel", self._rel_from("_metadata.file_path"))
+        )
+        val = F.col(pcol).cast("string")
+        positions = F.array(
+            *[
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"bloom{i}:"), val)), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % bits
+                for i in range(hashes)
+            ]
+        )
+        per_file = (
+            scan.filter(F.col(pcol).isNotNull())
+            .select("_rel", F.explode(positions).alias("_p"))
+            .groupBy("_rel")
+            .agg(F.collect_set("_p").alias("_ps"))
+            .collect()
+        )
+        import base64
+
+        bitsets: dict[str, str] = {}
+        for row in per_file:
+            bs = bytearray(bits // 8)
+            for p in row["_ps"]:
+                bs[p // 8] |= 1 << (p % 8)
+            bitsets[row["_rel"]] = base64.b64encode(bytes(bs)).decode()
+        now_ms = int(time.time() * 1000)
+        actions: list[dict[str, Any]] = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "BLOOM INDEX",
+                    "operationParameters": {
+                        "column": column,
+                        "bits": bits,
+                        "hashes": hashes,
+                    },
+                }
+            }
+        ]
+        for rel in sorted(snap.files):
+            actions.append(
+                {
+                    "remove": {
+                        "path": rel,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": False,
+                    }
+                }
+            )
+            add = dict(snap.files[rel])
+            tags = dict(add.get("tags") or {})
+            # an all-zero bitset (file has only NULLs) is still an
+            # index: it proves the file contains NO non-null value
+            payload = bitsets.get(
+                rel, base64.b64encode(bytes(bits // 8)).decode()
+            )
+            tags[f"bloom.{pcol}"] = f"{bits}:{hashes}:{payload}"
+            add["tags"] = tags
+            add["dataChange"] = False
+            actions.append({"add": add})
+        version = snap.version + 1
+        self._commit(version, actions)
+        return version
+
+    def _bloom_may_contain(
+        self, add: dict[str, Any], pcol: str, value
+    ) -> bool:
+        """May this add action's file contain ``value`` in ``pcol``?
+        Conservative: no bloom tag → True; any probed bit zero →
+        definitively False."""
+        tag = (add.get("tags") or {}).get(f"bloom.{pcol}")
+        if tag is None or value is None:
+            return True
+        import base64
+
+        bits_s, hashes_s, payload = tag.split(":", 2)
+        bits_n, hashes_n = int(bits_s), int(hashes_s)
+        bs = base64.b64decode(payload)
+        for p in self._bloom_positions_py(str(value), bits_n, hashes_n):
+            if not bs[p // 8] & (1 << (p % 8)):
+                return False
+        return True
+
+    def files_for_point(
+        self, column: str, value, version: int | None = None
+    ) -> list[str]:
+        """Point-lookup file pruning: active files that MAY contain
+        ``column == value``, consulting min/max stats AND the bloom
+        index (build_bloom_index). Conservative by construction —
+        bloom false positives keep a file, false negatives cannot
+        happen, unindexed files are always kept."""
+        snap = self.snapshot(version)
+        pcol = self._phys_column(snap.schema, column)
+        return [
+            os.path.join(self.path, rel)
+            for rel in sorted(snap.files)
+            if _stats_overlap(snap.files[rel], pcol, value, value)
+            and self._bloom_may_contain(snap.files[rel], pcol, value)
+        ]
 
     # -- column mapping ---------------------------------------------------
 

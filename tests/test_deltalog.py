@@ -1764,3 +1764,68 @@ def test_vacuum_retention_window(spark, tmp_table):
     with pytest.raises(Exception):
         tmp_table.read(version=0).count()
     assert tmp_table.read().count() == 5
+
+
+def test_bloom_index_point_lookup_pruning(spark, tmp_table):
+    """build_bloom_index: point lookups prune files min/max stats
+    cannot (high-cardinality UNORDERED column where every file's
+    range overlaps every value); zero false negatives across every
+    key; dataChange=false (CDF-invisible); bitsets survive
+    checkpoint replay; post-index writes are conservatively kept."""
+    orders = _orders(spark).limit(60).localCheckpoint(eager=True)
+    # random layout => every file's order_id [min,max] spans the space
+    tmp_table.write(orders.repartition(4))
+    ids = sorted(r["order_id"] for r in orders.collect())
+    files_before = set(tmp_table.snapshot().files)
+    assert len(files_before) == 4
+    # min/max alone barely prunes point lookups on this layout
+    stats_only = sum(
+        len(tmp_table.files_for_range("order_id", oid, oid)) for oid in ids
+    )
+    assert stats_only > len(ids) * 2, "fixture layout unexpectedly ordered"
+
+    v = tmp_table.build_bloom_index("order_id", bits=4096, hashes=5)
+    assert set(tmp_table.snapshot().files) == files_before  # no rewrite
+    assert tmp_table.changes(v, v).count() == 0  # dataChange=false
+
+    raw = {}  # ground truth: which file actually holds each id
+    for rel in files_before:
+        for r in spark.read.parquet(
+            os.path.join(tmp_table.path, rel)
+        ).collect():
+            raw.setdefault(r["order_id"], set()).add(rel)
+    pruned_any = False
+    for oid in ids:  # NO false negatives, ever
+        got = {
+            os.path.relpath(p, tmp_table.path)
+            for p in tmp_table.files_for_point("order_id", oid)
+        }
+        assert raw[oid] <= got, oid
+        if len(got) < 4:
+            pruned_any = True
+    assert pruned_any, "bloom never pruned anything"
+    # absent keys: usually pruned to fewer files (false-positive rate
+    # at 60 keys / 4096 bits is tiny); read(where=) composes
+    assert len(tmp_table.files_for_point("order_id", "absent-key")) < 4
+    probe = ids[13]
+    assert {
+        r["order_id"]
+        for r in tmp_table.read(where=("order_id", probe, probe)).collect()
+    } == {probe}
+
+    # checkpoint round-trips the tags
+    tmp_table.checkpoint()
+    reopened = MiniDeltaTable(spark, tmp_table.path)
+    assert len(reopened.files_for_point("order_id", "absent-key")) < 4
+
+    # files appended AFTER the index build are conservatively kept
+    extra = orders.limit(3).withColumn(
+        "order_id", F.concat(F.lit("Z"), F.col("order_id"))
+    )
+    tmp_table.write(extra.localCheckpoint(eager=True), mode="append")
+    got = tmp_table.files_for_point("order_id", "Z" + ids[0])
+    assert got, "the unindexed new file must be kept"
+
+    # unsupported type refuses loudly
+    with pytest.raises(SchemaMismatchError):
+        tmp_table.build_bloom_index("total_usd")

@@ -93,6 +93,18 @@ PYTEST_ONLY = [
         "tests/test_deltalog.py::"
         "test_column_mapping_rename_and_drop_without_rewrite",
     ),
+    (
+        "Bloom filter file index (point-lookup pruning on unordered "
+        "high-cardinality columns; add-action tags, CDF-invisible)",
+        "ecommerce_lakehouse_platform_spark/sources/deltalog.py",
+        "tests/test_deltalog.py::test_bloom_index_point_lookup_pruning",
+    ),
+    (
+        "VACUUM retention window (RETAIN N: time travel inside the "
+        "window survives reclamation)",
+        "ecommerce_lakehouse_platform_spark/sources/deltalog.py",
+        "tests/test_deltalog.py::test_vacuum_retention_window",
+    ),
 ]
 
 FAMILIES = [
