@@ -1,0 +1,305 @@
+"""Structured Streaming source for the mini Delta log's change feed.
+
+``spark.readStream.format("minidelta_cdf").load(path)`` streams the
+table's row-level change events — the same contract as
+``MiniDeltaTable.changes()`` (insert/delete rows plus
+``_change_type`` / ``_commit_version`` / ``_commit_timestamp``) — as
+commits land, with LOG VERSIONS as streaming offsets. Built on Spark
+4's Python DataSource API (``pyspark.sql.datasource``,
+SPARK-44076): offsets checkpoint/replay deterministically, so a
+restarted query resumes at exactly the next unprocessed commit —
+the incremental-consumer contract of Delta's own streaming CDF
+source (public docs: ``readStream.option("readChangeFeed",...)``).
+
+Execution shape, designed for the API's split:
+
+* DRIVER (``partitions``): pure log-metadata replay — JSON commits
+  are parsed into one InputPartition PER (file, change-kind), with
+  the deletion-vector state walked exactly like ``changes()`` so a DV
+  commit becomes a position-delta delete partition and a rewrite of a
+  DV-carrying file excludes the already-deleted rows. No data is
+  touched on the driver.
+* EXECUTORS (``read``): each partition reads ITS one parquet file
+  with pyarrow (Arrow-native, no Python row loop until emission),
+  applies its DV position mask by file row index, and yields rows in
+  the stream's logical column order — column mapping's
+  physical→logical rename included.
+
+Honest subset (all loudly guarded): unpartitioned tables only (hive
+partition-column recovery from paths is not replayed here); the
+stream's schema is fixed at query start — a schema-changing commit
+inside the range raises, which is the real Delta streaming source's
+behavior too; expired-log ranges must start at a retained version.
+
+Register once per session with :func:`register_cdf_source`; the
+format name is ``minidelta_cdf``.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+from typing import Any
+from collections.abc import Iterator
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+_CDF_COLS = [
+    T.StructField("_change_type", T.StringType()),
+    T.StructField("_commit_version", T.IntegerType(), False),
+    T.StructField("_commit_timestamp", T.TimestampType()),
+]
+
+
+def _log_table(path: str):
+    """Log-metadata-only handle: every method used here (versions,
+    _read_actions, snapshot, _read_checkpoint) is pure file I/O —
+    no SparkSession is ever touched, so None is safe."""
+    from ..sources.deltalog import MiniDeltaTable
+
+    return MiniDeltaTable(None, path)
+
+
+class _CDFPartition(InputPartition):
+    def __init__(self, spec: dict[str, Any]):
+        self.spec = spec
+
+
+class MiniDeltaCDFStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict[str, str], schema: T.StructType):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("minidelta_cdf requires a path (load(path))")
+        self._starting = int(options.get("startingVersion", 0))
+        self._schema = schema
+        tbl = _log_table(self._path)
+        snap = tbl.snapshot()
+        if snap.partition_columns:
+            raise NotImplementedError(
+                "minidelta_cdf streams unpartitioned tables only "
+                "(hive partition recovery is not replayed per file)"
+            )
+        versions = tbl.versions()
+        if self._starting < versions[0]:
+            raise ValueError(
+                f"startingVersion {self._starting} predates the retained "
+                f"log (oldest retained: {versions[0]})"
+            )
+        # the stream's schema is pinned at query start
+        self._schema_string = snap.schema.json()
+        # physical read names in logical column order
+        from ..sources.deltalog import MiniDeltaTable
+
+        self._cols = [
+            (MiniDeltaTable._phys(f), f.name) for f in snap.schema
+        ]
+
+    # -- offsets ----------------------------------------------------------
+
+    def initialOffset(self) -> dict:
+        return {"version": self._starting - 1}
+
+    def latestOffset(self) -> dict:
+        return {"version": _log_table(self._path).versions()[-1]}
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are the durable state; nothing to release
+
+    # -- planning (driver) --------------------------------------------------
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        lo, hi = int(start["version"]), int(end["version"])
+        tbl = _log_table(self._path)
+        versions = tbl.versions()
+        specs: list[dict[str, Any]] = []
+        # replay ALL retained commits up to hi so the DV state at each
+        # in-range version is exact (metadata-only, O(history))
+        dv_state: dict[str, dict] = {}
+        if versions[0] > 0:
+            ckpt = tbl._best_checkpoint_at_or_before(versions[0])
+            if ckpt is not None:
+                for action in tbl._read_checkpoint(ckpt):
+                    add = action.get("add")
+                    if add and add.get("deletionVector"):
+                        dv_state[add["path"]] = add["deletionVector"]
+        for v in versions:
+            if v > hi:
+                break
+            actions = tbl._read_actions(v)
+            meta = next(
+                (a["metaData"] for a in actions if "metaData" in a), None
+            )
+            if (
+                meta is not None
+                and v > lo
+                and meta["schemaString"] != self._schema_string
+            ):
+                raise RuntimeError(
+                    f"version {v} changes the table schema mid-stream; "
+                    "restart the query to pick up the new schema (the "
+                    "real Delta streaming source stops here too)"
+                )
+            dv_before = dict(dv_state)
+            all_adds = [a["add"] for a in actions if "add" in a]
+            all_removes = [a["remove"] for a in actions if "remove" in a]
+            for rm in all_removes:
+                dv_state.pop(rm["path"], None)
+            for ad in all_adds:
+                if ad.get("deletionVector"):
+                    dv_state[ad["path"]] = ad["deletionVector"]
+                else:
+                    dv_state.pop(ad["path"], None)
+            if v <= lo:
+                continue
+            ts = next(
+                (
+                    int(a["commitInfo"].get("timestamp", 0))
+                    for a in actions
+                    if "commitInfo" in a
+                ),
+                0,
+            )
+            data_adds = [a for a in all_adds if a.get("dataChange", True)]
+            data_removes = [
+                rm["path"]
+                for rm in all_removes
+                if rm.get("dataChange", True)
+            ]
+            remove_set = set(data_removes)
+            dv_commits = {
+                ad["path"]: ad["deletionVector"]
+                for ad in data_adds
+                if ad.get("deletionVector")
+                and ad["path"] in remove_set
+                and ad["deletionVector"] != dv_before.get(ad["path"])
+            }
+
+            def spec(path, change, mode, dv=None, dv_old=None):
+                specs.append(
+                    {
+                        "file": os.path.join(self._path, path),
+                        "rel": path,
+                        "change": change,
+                        "version": v,
+                        "ts_ms": ts,
+                        "mode": mode,
+                        "dv": (
+                            os.path.join(self._path, dv["storagePath"])
+                            if dv
+                            else None
+                        ),
+                        "dv_old": (
+                            os.path.join(self._path, dv_old["storagePath"])
+                            if dv_old
+                            else None
+                        ),
+                        "cols": self._cols,
+                    }
+                )
+
+            for path in data_removes:
+                if path in dv_commits:
+                    continue
+                spec(path, "delete", "anti", dv=dv_before.get(path))
+            for path in sorted(dv_commits):
+                spec(
+                    path,
+                    "delete",
+                    "semi",
+                    dv=dv_commits[path],
+                    dv_old=dv_before.get(path),
+                )
+            for ad in data_adds:
+                if ad["path"] in dv_commits:
+                    continue
+                spec(
+                    ad["path"],
+                    "insert",
+                    "anti",
+                    dv=ad.get("deletionVector"),
+                )
+        return [_CDFPartition(s) for s in specs]
+
+    # -- execution (executors) ---------------------------------------------
+
+    def read(self, partition: _CDFPartition) -> Iterator[tuple]:
+        import pyarrow.dataset as pds
+        import pyarrow.parquet as pq
+
+        spec = partition.spec
+
+        def positions(sidecar: str) -> set[int]:
+            ds = pds.dataset(sidecar, format="parquet", partitioning="hive")
+            t = ds.to_table(
+                columns=["pos"], filter=pds.field("rel") == spec["rel"]
+            )
+            return set(t.column("pos").to_pylist())
+
+        table = pq.read_table(
+            spec["file"], columns=[p for p, _l in spec["cols"]]
+        )
+        keep = None  # None = all rows
+        if spec["mode"] == "anti" and spec["dv"]:
+            dead = positions(spec["dv"])
+            keep = [i for i in range(table.num_rows) if i not in dead]
+        elif spec["mode"] == "semi":
+            delta = positions(spec["dv"])
+            if spec["dv_old"]:
+                delta -= positions(spec["dv_old"])
+            keep = sorted(i for i in delta if i < table.num_rows)
+        if keep is not None:
+            table = table.take(keep)
+        change = spec["change"]
+        version = spec["version"]
+        ts = datetime.fromtimestamp(
+            spec["ts_ms"] / 1000.0, tz=timezone.utc
+        )
+        cols = [
+            table.column(p).to_pylist() for p, _l in spec["cols"]
+        ]
+        for row in zip(*cols) if cols else []:
+            yield (*row, change, version, ts)
+
+
+class MiniDeltaCDFDataSource(DataSource):
+    """``format("minidelta_cdf")``: streaming change-data-feed source
+    over a MiniDeltaTable path. Schema = the table's logical schema at
+    query start plus the three CDF columns."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "minidelta_cdf"
+
+    def schema(self) -> T.StructType:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("minidelta_cdf requires a path (load(path))")
+        snap = _log_table(path).snapshot()
+        return T.StructType(list(snap.schema) + _CDF_COLS)
+
+    def streamReader(self, schema: T.StructType):
+        return MiniDeltaCDFStreamReader(dict(self.options), schema)
+
+
+def register_cdf_source(spark: SparkSession) -> None:
+    """Idempotently register the ``minidelta_cdf`` streaming format on
+    this session."""
+    spark.dataSource.register(MiniDeltaCDFDataSource)
+
+
+def read_cdf_stream(
+    spark: SparkSession, path: str, starting_version: int = 0
+):
+    """``readStream`` handle over the table's change feed."""
+    register_cdf_source(spark)
+    return (
+        spark.readStream.format("minidelta_cdf")
+        .option("startingVersion", str(starting_version))
+        .load(path)
+    )

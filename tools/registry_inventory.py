@@ -105,6 +105,14 @@ PYTEST_ONLY = [
         "ecommerce_lakehouse_platform_spark/sources/deltalog.py",
         "tests/test_deltalog.py::test_vacuum_retention_window",
     ),
+    (
+        "Streaming CDF source: format('minidelta_cdf') via Spark 4's "
+        "Python DataSource API — log versions as offsets, "
+        "checkpointed restart resumes at the next commit, DV-aware",
+        "ecommerce_lakehouse_platform_spark/streaming/cdf_source.py",
+        "tests/test_cdf_stream_source.py::"
+        "test_cdf_stream_equals_batch_changes_with_dvs",
+    ),
 ]
 
 FAMILIES = [
