@@ -1516,7 +1516,11 @@ class MiniDeltaTable:
         ]
 
     def build_bloom_index(
-        self, column: str, bits: int = 8192, hashes: int = 5
+        self,
+        column: str,
+        bits: int | None = None,
+        hashes: int | None = None,
+        fpp: float = 0.01,
     ) -> int:
         """Per-file BLOOM FILTER INDEX on ``column`` (string / integral
         / date — the types whose Spark string cast is canonical): one
@@ -1537,7 +1541,18 @@ class MiniDeltaTable:
         carry no bitset and are conservatively kept — rebuild to
         re-cover them (real bloom indexes have the same maintenance
         contract). Driver traffic is O(files × bits/64), the size of
-        the index itself."""
+        the index itself.
+
+        SIZING: like the real option pair (``fpp`` + ``numItems``),
+        the default auto-sizes from the data — one
+        approx_count_distinct per file picks the bitset for the
+        DENSEST file at the requested false-positive rate
+        (m = −n·ln p ∕ ln²2, k = (m/n)·ln 2, both rounded; m rounded
+        up to a power of two, byte-aligned). An explicitly passed
+        ``bits``/``hashes`` overrides. An undersized bitset silently
+        degrades to keep-everything (false positives, never false
+        negatives) — which is why the default measures instead of
+        guessing."""
         snap = self.snapshot()
         field = next((f for f in snap.schema if f.name == column), None)
         if field is None:
@@ -1566,6 +1581,21 @@ class MiniDeltaTable:
             .withColumn("_rel", self._rel_from("_metadata.file_path"))
         )
         val = F.col(pcol).cast("string")
+        if bits is None or hashes is None:
+            import math
+
+            densest = (
+                scan.filter(F.col(pcol).isNotNull())
+                .groupBy("_rel")
+                .agg(F.approx_count_distinct(pcol).alias("_n"))
+                .agg(F.max("_n"))
+                .collect()[0][0]
+            ) or 1
+            m = max(64, -densest * math.log(fpp) / (math.log(2) ** 2))
+            if bits is None:
+                bits = 1 << math.ceil(math.log2(m))  # pow2, byte-aligned
+            if hashes is None:
+                hashes = max(1, round(bits / densest * math.log(2)))
         positions = F.array(
             *[
                 F.conv(
