@@ -25,11 +25,16 @@ Execution shape, designed for the API's split:
   the stream's logical column order — column mapping's
   physical→logical rename included.
 
-Honest subset (all loudly guarded): unpartitioned tables only (hive
-partition-column recovery from paths is not replayed here); the
-stream's schema is fixed at query start — a schema-changing commit
-inside the range raises, which is the real Delta streaming source's
-behavior too; expired-log ranges must start at a retained version.
+Partitioned tables stream too: each partition's values come from
+the LOG (the add action's ``partitionValues``; removes recover them
+from the hive path) and are re-typed executor-side — string /
+integral / date partition columns, the canonically-string-cast types.
+
+Honest subset (all loudly guarded): the stream's schema is fixed at
+query start — a schema-changing commit inside the range raises, which
+is the real Delta streaming source's behavior too; expired-log ranges
+must start at a retained version; exotic partition-column types
+refuse at query start.
 
 Register once per session with :func:`register_cdf_source`; the
 format name is ``minidelta_cdf``.
@@ -80,11 +85,21 @@ class MiniDeltaCDFStreamReader(DataSourceStreamReader):
         self._schema = schema
         tbl = _log_table(self._path)
         snap = tbl.snapshot()
-        if snap.partition_columns:
-            raise NotImplementedError(
-                "minidelta_cdf streams unpartitioned tables only "
-                "(hive partition recovery is not replayed per file)"
-            )
+        _SUPPORTED_PART = (
+            T.StringType, T.IntegerType, T.LongType, T.ShortType,
+            T.ByteType, T.DateType,
+        )
+        for f in snap.schema:
+            if f.name in snap.partition_columns and not isinstance(
+                f.dataType, _SUPPORTED_PART
+            ):
+                raise NotImplementedError(
+                    f"partition column {f.name!r} has type "
+                    f"{f.dataType.simpleString()}; minidelta_cdf "
+                    "re-types partition values from their hive "
+                    "strings and supports string/integral/date only"
+                )
+        self._pcols = set(snap.partition_columns)
         versions = tbl.versions()
         if self._starting < versions[0]:
             raise ValueError(
@@ -93,11 +108,19 @@ class MiniDeltaCDFStreamReader(DataSourceStreamReader):
             )
         # the stream's schema is pinned at query start
         self._schema_string = snap.schema.json()
-        # physical read names in logical column order
+        # (physical, logical, type, is_partition) in logical order —
+        # partition columns are absent from the data files; their
+        # values ride in each partition's spec and re-type on emission
         from ..sources.deltalog import MiniDeltaTable
 
         self._cols = [
-            (MiniDeltaTable._phys(f), f.name) for f in snap.schema
+            (
+                MiniDeltaTable._phys(f),
+                f.name,
+                f.dataType.simpleString(),
+                f.name in self._pcols,
+            )
+            for f in snap.schema
         ]
 
     # -- offsets ----------------------------------------------------------
@@ -180,7 +203,9 @@ class MiniDeltaCDFStreamReader(DataSourceStreamReader):
                 and ad["deletionVector"] != dv_before.get(ad["path"])
             }
 
-            def spec(path, change, mode, dv=None, dv_old=None):
+            def spec(path, change, mode, dv=None, dv_old=None, pv=None):
+                from ..sources.deltalog import _parse_partition_values
+
                 specs.append(
                     {
                         "file": os.path.join(self._path, path),
@@ -200,6 +225,14 @@ class MiniDeltaCDFStreamReader(DataSourceStreamReader):
                             else None
                         ),
                         "cols": self._cols,
+                        # partition values in the hive string domain:
+                        # adds carry them in the log; removes recover
+                        # them from the hive path
+                        "pv": (
+                            pv
+                            if pv is not None
+                            else _parse_partition_values(path)
+                        ),
                     }
                 )
 
@@ -223,6 +256,7 @@ class MiniDeltaCDFStreamReader(DataSourceStreamReader):
                     "insert",
                     "anti",
                     dv=ad.get("deletionVector"),
+                    pv=ad.get("partitionValues"),
                 )
         return [_CDFPartition(s) for s in specs]
 
@@ -241,8 +275,21 @@ class MiniDeltaCDFStreamReader(DataSourceStreamReader):
             )
             return set(t.column("pos").to_pylist())
 
+        def retype(value, typename):
+            if value is None:
+                return None
+            if typename in ("int", "bigint", "smallint", "tinyint"):
+                return int(value)
+            if typename == "date":
+                from datetime import date
+
+                return date.fromisoformat(value)
+            return value
+
+        pv = spec.get("pv") or {}
         table = pq.read_table(
-            spec["file"], columns=[p for p, _l in spec["cols"]]
+            spec["file"],
+            columns=[p for p, _l, _t, part in spec["cols"] if not part],
         )
         keep = None  # None = all rows
         if spec["mode"] == "anti" and spec["dv"]:
@@ -260,8 +307,12 @@ class MiniDeltaCDFStreamReader(DataSourceStreamReader):
         ts = datetime.fromtimestamp(
             spec["ts_ms"] / 1000.0, tz=timezone.utc
         )
+        n = table.num_rows
         cols = [
-            table.column(p).to_pylist() for p, _l in spec["cols"]
+            [retype(pv.get(l), t)] * n
+            if part
+            else table.column(p).to_pylist()
+            for p, l, t, part in spec["cols"]
         ]
         for row in zip(*cols) if cols else []:
             yield (*row, change, version, ts)

@@ -94,14 +94,35 @@ def test_cdf_stream_equals_batch_changes_with_dvs(spark, base):
     assert _canon(net) == _canon(live)
 
 
-def test_cdf_stream_guards(spark, base):
+def test_cdf_stream_partitioned_table(spark, base):
+    """Partitioned tables stream: partition values come from the LOG
+    (adds) or the hive path (removes) and re-type on emission —
+    streamed events equal batch changes() across an overwrite."""
     t = MiniDeltaTable(spark, os.path.join(base, "p"))
+    df = spark.range(0, 40).select(
+        F.col("id").cast("string").alias("k"),
+        (F.col("id") % 3).alias("part"),
+        F.to_date(F.lit("2024-01-01")).alias("d"),
+    )
+    t.write(df, partition_by=["part"])  # v0
+    t.write(df.filter(F.col("part") == 1))  # v1: delete-all+insert
+    ckpt, out = os.path.join(base, "ckpt_p"), os.path.join(base, "ev_p")
+    _drain(read_cdf_stream(spark, t.path), ckpt, out)
+    got = spark.read.parquet(out)
+    assert _canon(got) == _canon(t.changes(0))
+    assert dict(got.dtypes)["part"] == "bigint"
+    assert dict(got.dtypes)["d"] == "date"
+
+
+def test_cdf_stream_guards(spark, base):
     df = spark.range(0, 20).select(
         F.col("id").cast("string").alias("k"),
-        (F.col("id") % 2).cast("string").alias("part"),
+        (F.col("id") % 2).cast("double").alias("part"),
     )
+    # exotic partition-column type refuses at query start
+    t = MiniDeltaTable(spark, os.path.join(base, "pd"))
     t.write(df, partition_by=["part"])
-    with pytest.raises(NotImplementedError, match="unpartitioned"):
+    with pytest.raises(NotImplementedError, match="string/integral/date"):
         MiniDeltaCDFStreamReader({"path": t.path}, None)
 
     t2 = MiniDeltaTable(spark, os.path.join(base, "u"))
