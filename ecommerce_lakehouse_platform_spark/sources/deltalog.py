@@ -2876,6 +2876,12 @@ class MiniDeltaTable:
         )
         return layout, nrows
 
+    def restore_to_timestamp(self, ts_ms: int) -> int:
+        """RESTORE TABLE ... TO TIMESTAMP AS OF: resolve the newest
+        version at-or-before the instant (clock-skew monotonized,
+        :meth:`version_at_timestamp`) and restore to it."""
+        return self.restore(self.version_at_timestamp(ts_ms))
+
     def restore(self, version: int) -> int:
         """RESTORE TABLE ... TO VERSION AS OF: commit the file set and
         schema of an older snapshot as a NEW version (history moves

@@ -1829,3 +1829,12 @@ def test_bloom_index_point_lookup_pruning(spark, tmp_table):
     # unsupported type refuses loudly
     with pytest.raises(SchemaMismatchError):
         tmp_table.build_bloom_index("total_usd")
+
+
+def test_restore_to_timestamp(spark, tmp_table):
+    orders = _orders(spark).limit(10).localCheckpoint(eager=True)
+    tmp_table.write(orders)  # v0
+    tmp_table.write(orders.limit(4))  # v1
+    hist = {h["version"]: int(h["timestamp"]) for h in tmp_table.history()}
+    tmp_table.restore_to_timestamp(hist[0])
+    assert tmp_table.read().count() == 10
