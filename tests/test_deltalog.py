@@ -1838,3 +1838,52 @@ def test_restore_to_timestamp(spark, tmp_table):
     hist = {h["version"]: int(h["timestamp"]) for h in tmp_table.history()}
     tmp_table.restore_to_timestamp(hist[0])
     assert tmp_table.read().count() == 10
+
+
+def test_changes_expired_log_seeds_dv_state_from_checkpoint(
+    spark, tmp_table
+):
+    """CDF over an expired log must seed the DELETION-VECTOR state
+    from the checkpoint too: a rewrite (in the retained range) of a
+    file whose DV committed BEFORE the expiry horizon must not
+    re-emit the DV'd rows as deletes — the checkpoint's add actions
+    carry the descriptors."""
+    tmp_table.checkpoint_interval = 3
+    orders = _orders(spark).limit(30).localCheckpoint(eager=True)
+    ids = sorted(r["order_id"] for r in orders.collect())
+    tmp_table.write(orders)  # v0
+    tmp_table.delete(F.col("order_id").isin(ids[:5]), use_dv=True)  # v1
+    tmp_table.write(orders.limit(3), mode="append")  # v2
+    tmp_table.write(orders.limit(2), mode="append")  # v3 -> checkpoint
+    assert tmp_table._checkpoint_versions() == [3]
+    assert tmp_table.expire_log() == [0, 1, 2]
+
+    # v4: UPDATE rewrites the DV-carrying file copy-on-write
+    tmp_table.update(
+        F.col("order_id") == ids[10], {"status": F.lit("TOUCHED")}
+    )
+    cdf = tmp_table.changes(4, 4)
+    deleted = {
+        r["order_id"]
+        for r in cdf.filter(F.col("_change_type") == "delete").collect()
+    }
+    # the five DV'd rows must NOT resurface as v4 delete events
+    assert not (deleted & set(ids[:5])), sorted(deleted & set(ids[:5]))
+    assert ids[10] in deleted
+    # and the fold equals the live relation (multiset)
+    cols = [c for c in cdf.columns if not c.startswith("_")]
+    full = tmp_table.changes(4)
+    net = (
+        full.groupBy(*cols)
+        .agg(
+            F.sum(
+                F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+            ).alias("_n")
+        )
+    )
+    # v4 is delete+reinsert of surviving rows in the touched file:
+    # every row nets to 0 except the updated one (+1 new, -1 old form)
+    assert (
+        net.filter(F.col("_n") > 0).count() == 1
+        and net.filter(F.col("_n") < 0).count() == 1
+    )
