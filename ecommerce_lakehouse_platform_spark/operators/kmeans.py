@@ -370,6 +370,67 @@ def pq_encode(
     )
 
 
+def _pq_adc_tables(
+    q: DataFrame,
+    codebooks: list[list[tuple[int, list[int]]]],
+    dim: int,
+    id_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """The fused single-stage ADC lookup-table build shared by
+    :func:`pq_adc_topk` and :func:`pq_adc_topk_ivf`: both codebooks'
+    constants ride the plan as one block-indexed nested array literal
+    each, an outer ``transform`` over the block sequence slices each
+    (already-quantized) query and folds per-code distances, and ONE
+    ``flatten`` + ``explode`` emits every (query, block, code, pdist)
+    row from a single projection."""
+    n_blocks = len(codebooks)
+    sub = dim // n_blocks
+    cids_all = F.lit(
+        [[int(cid) for cid, _ in cb] for cb in codebooks]
+    ).cast("array<array<bigint>>")
+    vecs_all = F.lit(
+        [[[int(x) for x in vec] for _, vec in cb] for cb in codebooks]
+    ).cast("array<array<array<bigint>>>")
+
+    def block_table(b):  # b: 0-based block index Column
+        cid_arr = F.element_at(cids_all, b + 1)
+        vec_arr = F.element_at(vecs_all, b + 1)
+        q_sub = F.slice(F.col("q"), b * F.lit(sub) + 1, F.lit(sub))
+        return F.transform(
+            F.sequence(F.lit(1), F.size(cid_arr)),
+            lambda i: F.struct(
+                b.cast("long").alias("block"),
+                F.element_at(cid_arr, i).alias("code"),
+                F.aggregate(
+                    F.zip_with(
+                        q_sub,
+                        F.element_at(vec_arr, i),
+                        lambda a, c: (a - c) * (a - c),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("pdist"),
+            ),
+        )
+
+    return q.select(
+        F.col(id_col).alias(query_id_col),
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_blocks - 1)), block_table
+                )
+            )
+        ).alias("_pc"),
+    ).select(
+        query_id_col,
+        F.col("_pc.block").alias("block"),
+        F.col("_pc.code").alias("code"),
+        F.col("_pc.pdist").alias("pdist"),
+    )
+
+
 def pq_adc_topk(
     codes: DataFrame,
     codebooks: list[list[tuple[int, list[int]]]],
@@ -408,53 +469,12 @@ def pq_adc_topk(
     arithmetic stays on the quantized BIGINT grid, so the results are
     bit-identical to the former per-block (and the original
     driver-side) build."""
-    n_blocks = len(codebooks)
-    sub = dim // n_blocks
-    q = quantize_vectors(queries, id_col, vec_col)
-    # One nested literal per constant kind, indexed [block][code_pos]:
-    # the whole table build becomes a single expression tree.
-    cids_all = F.lit(
-        [[int(cid) for cid, _ in cb] for cb in codebooks]
-    ).cast("array<array<bigint>>")
-    vecs_all = F.lit(
-        [[[int(x) for x in vec] for _, vec in cb] for cb in codebooks]
-    ).cast("array<array<array<bigint>>>")
-
-    def block_table(b):  # b: 0-based block index Column
-        cid_arr = F.element_at(cids_all, b + 1)
-        vec_arr = F.element_at(vecs_all, b + 1)
-        q_sub = F.slice(F.col("q"), b * F.lit(sub) + 1, F.lit(sub))
-        return F.transform(
-            F.sequence(F.lit(1), F.size(cid_arr)),
-            lambda i: F.struct(
-                b.cast("long").alias("block"),
-                F.element_at(cid_arr, i).alias("code"),
-                F.aggregate(
-                    F.zip_with(
-                        q_sub,
-                        F.element_at(vec_arr, i),
-                        lambda a, c: (a - c) * (a - c),
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                ).alias("pdist"),
-            ),
-        )
-
-    tables = q.select(
-        F.col(id_col).alias(query_id_col),
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(n_blocks - 1)), block_table
-                )
-            )
-        ).alias("_pc"),
-    ).select(
+    tables = _pq_adc_tables(
+        quantize_vectors(queries, id_col, vec_col),
+        codebooks,
+        dim,
+        id_col,
         query_id_col,
-        F.col("_pc.block").alias("block"),
-        F.col("_pc.code").alias("code"),
-        F.col("_pc.pdist").alias("pdist"),
     )
     scored = (
         codes.join(F.broadcast(tables), ["block", "code"])
@@ -464,6 +484,86 @@ def pq_adc_topk(
     )
     from pyspark.sql import Window
 
+    w = Window.partitionBy(query_id_col).orderBy("adc_dist", "neighbor_id")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def pq_adc_topk_ivf(
+    df: DataFrame,
+    codes: DataFrame,
+    codebooks: list[list[tuple[int, list[int]]]],
+    centroids: list[tuple[int, list[int]]],
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """The FAISS ``IVF,PQ`` composition: a trained coarse quantizer
+    buckets the corpus (zero-shuffle literal-centroid assignment of
+    the ORIGINAL vectors, exactly how the real index assigns at build
+    time), each query probes its ``nprobe`` nearest buckets, and
+    asymmetric-distance scoring touches ONLY the probed buckets' PQ
+    codes — IVF cuts the candidates to ~nprobe/C of the corpus and PQ
+    keeps the scoring in the compressed domain, so neither the full
+    code table nor any stored float is scanned per query.
+
+    Join order is the scale argument: codes pick up their bucket via
+    one id-equi join, the (query, bucket) probe pairs broadcast to
+    RESTRICT candidates FIRST, and only then do the per-query lookup
+    tables (broadcast, queries × blocks × k_codes rows) join on
+    (query, block, code) — the corpus-proportional row count is
+    candidates × n_blocks, never corpus × queries. At full probe
+    width the result is bit-identical to :func:`pq_adc_topk`
+    (tests pin it): IVF changes which candidates are scored, never
+    how."""
+    from pyspark.sql import Window
+
+    pts = quantize_vectors(df, id_col, vec_col)
+    assigned = _assign(pts, centroids).select(
+        id_col, F.col("cluster").alias("bucket_id")
+    )
+    codes_b = codes.join(assigned, [id_col])
+    qv = quantize_vectors(queries, id_col, vec_col)
+    cid_arr = F.lit([int(c) for c, _ in centroids]).cast("array<bigint>")
+    vec_arr = F.lit(
+        [[int(x) for x in v] for _, v in centroids]
+    ).cast("array<array<bigint>>")
+    per_centroid = F.transform(
+        F.sequence(F.lit(1), F.lit(len(centroids))),
+        lambda i: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col("q"),
+                    F.element_at(vec_arr, i),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            F.element_at(cid_arr, i).alias("c"),
+        ),
+    )
+    probes = qv.select(
+        F.col(id_col).alias(query_id_col),
+        F.explode(
+            F.slice(F.array_sort(per_centroid), 1, nprobe)
+        ).alias("_p"),
+    ).select(query_id_col, F.col("_p.c").alias("bucket_id"))
+    tables = _pq_adc_tables(qv, codebooks, dim, id_col, query_id_col)
+    cand = codes_b.join(F.broadcast(probes), ["bucket_id"])
+    scored = (
+        cand.join(F.broadcast(tables), [query_id_col, "block", "code"])
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .groupBy(query_id_col, F.col(id_col).alias("neighbor_id"))
+        .agg(F.sum("pdist").alias("adc_dist"))
+    )
     w = Window.partitionBy(query_id_col).orderBy("adc_dist", "neighbor_id")
     return (
         scored.withColumn("_rn", F.row_number().over(w))

@@ -106,6 +106,13 @@ PYTEST_ONLY = [
         "tests/test_deltalog.py::test_vacuum_retention_window",
     ),
     (
+        "IVF×PQ composition (pq_adc_topk_ivf: trained coarse buckets "
+        "restrict candidates, ADC scores the compressed domain; "
+        "bit-identical to plain ADC at full probe width)",
+        "ecommerce_lakehouse_platform_spark/operators/kmeans.py",
+        "tests/test_kmeans.py::test_pq_adc_topk_ivf_composition",
+    ),
+    (
         "Streaming CDF source: format('minidelta_cdf') via Spark 4's "
         "Python DataSource API — log versions as offsets, "
         "checkpointed restart resumes at the next commit, DV-aware",
