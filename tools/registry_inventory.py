@@ -113,6 +113,14 @@ PYTEST_ONLY = [
         "tests/test_kmeans.py::test_pq_adc_topk_ivf_composition",
     ),
     (
+        "Broadcast Bloom filter as a plan literal + zero-join "
+        "benchmark decontamination (no-false-negative guarantee, "
+        "shuffle-free and join-free corpus pass, plan-asserted)",
+        "ecommerce_lakehouse_platform_spark/operators/bloom_filter.py",
+        "tests/test_bloom_filter.py::"
+        "test_bloom_decontaminate_no_false_negatives",
+    ),
+    (
         "Streaming CDF source: format('minidelta_cdf') via Spark 4's "
         "Python DataSource API — log versions as offsets, "
         "checkpointed restart resumes at the next commit, DV-aware",
