@@ -36,8 +36,14 @@ is the real Delta streaming source's behavior too; expired-log ranges
 must start at a retained version; exotic partition-column types
 refuse at query start.
 
+Each micro-batch spans every commit since the last batch — the
+Python DataSource API exposes no admission-control hook yet, so there
+is no maxVersionsPerTrigger; a consumer resuming after long downtime
+gets one large (still fully distributed) batch.
+
 Register once per session with :func:`register_cdf_source`; the
-format name is ``minidelta_cdf``.
+format name is ``minidelta_cdf``. ``startingVersion`` accepts a
+version number or ``"latest"`` (only commits after query start).
 """
 
 from __future__ import annotations
@@ -78,10 +84,20 @@ class _CDFPartition(InputPartition):
 
 class MiniDeltaCDFStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict[str, str], schema: T.StructType):
-        self._path = options.get("path")
+        # the engine lower-cases DataSource option keys: accept both
+        # spellings (a camelCase-only lookup silently ignores the
+        # option set via .option("startingVersion", ...))
+        opts = {k.lower(): v for k, v in options.items()}
+        self._path = opts.get("path")
         if not self._path:
             raise ValueError("minidelta_cdf requires a path (load(path))")
-        self._starting = int(options.get("startingVersion", 0))
+        raw_start = opts.get("startingversion", "0")
+        # "latest": consume only commits AFTER query start — the
+        # tail-the-table mode an alerting/replication consumer wants
+        if str(raw_start) == "latest":
+            self._starting = _log_table(self._path).versions()[-1] + 1
+        else:
+            self._starting = int(raw_start)
         self._schema = schema
         tbl = _log_table(self._path)
         snap = tbl.snapshot()
@@ -101,7 +117,7 @@ class MiniDeltaCDFStreamReader(DataSourceStreamReader):
                 )
         self._pcols = set(snap.partition_columns)
         versions = tbl.versions()
-        if self._starting < versions[0]:
+        if self._starting <= versions[-1] and self._starting < versions[0]:
             raise ValueError(
                 f"startingVersion {self._starting} predates the retained "
                 f"log (oldest retained: {versions[0]})"
@@ -345,9 +361,10 @@ def register_cdf_source(spark: SparkSession) -> None:
 
 
 def read_cdf_stream(
-    spark: SparkSession, path: str, starting_version: int = 0
+    spark: SparkSession, path: str, starting_version: int | str = 0
 ):
-    """``readStream`` handle over the table's change feed."""
+    """``readStream`` handle over the table's change feed;
+    ``starting_version`` is a version number or ``"latest"``."""
     register_cdf_source(spark)
     return (
         spark.readStream.format("minidelta_cdf")

@@ -214,3 +214,38 @@ def test_cdf_stream_medallion_end_to_end(spark, base):
         .select("k", "v", (F.col("v") * 2).alias("v2"))
     )
     assert _canon(silver.read()) == _canon(want2)
+
+
+def test_cdf_stream_latest_and_schema_change_guard(spark, base):
+    """startingVersion='latest' tails only post-start commits, and a
+    schema-changing commit inside the stream range raises (the real
+    Delta streaming source's stop-the-stream behavior)."""
+    t = MiniDeltaTable(spark, os.path.join(base, "l"))
+    df = spark.range(0, 30).select(
+        F.col("id").cast("string").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t.write(df)  # v0
+    t.write(df.limit(5), mode="append")  # v1
+
+    stream = read_cdf_stream(spark, t.path, starting_version="latest")
+    ckpt, out = os.path.join(base, "ckpt_l"), os.path.join(base, "ev_l")
+    _drain(stream, ckpt, out)
+    try:
+        n0 = spark.read.parquet(out).count()
+    except Exception:
+        n0 = 0  # no batch at all: nothing new since query start
+    assert n0 == 0
+    t.write(df.limit(3), mode="append")  # v2: the only streamed commit
+    _drain(read_cdf_stream(spark, t.path, starting_version="latest"),
+           ckpt, out)
+    got = spark.read.parquet(out)
+    assert {r["_commit_version"] for r in got.collect()} == {2}
+    assert got.count() == 3
+
+    # schema evolution mid-range: the reader refuses loudly
+    t.write(
+        df.withColumn("flag", F.lit(True)), overwrite_schema=True
+    )  # v3
+    reader = MiniDeltaCDFStreamReader({"path": t.path}, None)
+    with pytest.raises(RuntimeError, match="schema"):
+        reader.partitions({"version": -1}, {"version": 3})
