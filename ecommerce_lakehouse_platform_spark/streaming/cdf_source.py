@@ -124,6 +124,14 @@ class MiniDeltaCDFStreamReader(DataSourceStreamReader):
             )
         # the stream's schema is pinned at query start
         self._schema_string = snap.schema.json()
+        # incremental planning cache: DV state as of a fully-planned
+        # version, so sequential micro-batches replay only THEIR
+        # range instead of the whole retained log each time (a
+        # long-lived stream over a long-lived table would otherwise
+        # go quadratic in commits). A retry of an older range — or a
+        # fresh reader after restart — rebuilds from the log.
+        self._state_version: int | None = None
+        self._state_dv: dict[str, dict] = {}
         # (physical, logical, type, is_partition) in logical order —
         # partition columns are absent from the data files; their
         # values ride in each partition's spec and re-type on emission
@@ -157,19 +165,31 @@ class MiniDeltaCDFStreamReader(DataSourceStreamReader):
         tbl = _log_table(self._path)
         versions = tbl.versions()
         specs: list[dict[str, Any]] = []
-        # replay ALL retained commits up to hi so the DV state at each
-        # in-range version is exact (metadata-only, O(history))
-        dv_state: dict[str, dict] = {}
-        if versions[0] > 0:
-            ckpt = tbl._best_checkpoint_at_or_before(versions[0])
-            if ckpt is not None:
-                for action in tbl._read_checkpoint(ckpt):
-                    add = action.get("add")
-                    if add and add.get("deletionVector"):
-                        dv_state[add["path"]] = add["deletionVector"]
+        # DV state as of ``lo``: fast-forward from the cache when this
+        # batch continues where the last one ended (the steady state —
+        # each micro-batch then reads only ITS versions' metadata);
+        # otherwise replay from the retained log / checkpoint seed
+        if (
+            self._state_version is not None
+            and lo >= self._state_version
+        ):
+            dv_state = dict(self._state_dv)
+            replay_from = self._state_version + 1
+        else:
+            dv_state = {}
+            replay_from = versions[0]
+            if versions[0] > 0:
+                ckpt = tbl._best_checkpoint_at_or_before(versions[0])
+                if ckpt is not None:
+                    for action in tbl._read_checkpoint(ckpt):
+                        add = action.get("add")
+                        if add and add.get("deletionVector"):
+                            dv_state[add["path"]] = add["deletionVector"]
         for v in versions:
             if v > hi:
                 break
+            if v < replay_from:
+                continue
             actions = tbl._read_actions(v)
             meta = next(
                 (a["metaData"] for a in actions if "metaData" in a), None
@@ -274,6 +294,8 @@ class MiniDeltaCDFStreamReader(DataSourceStreamReader):
                     dv=ad.get("deletionVector"),
                     pv=ad.get("partitionValues"),
                 )
+        self._state_version = hi
+        self._state_dv = dict(dv_state)
         return [_CDFPartition(s) for s in specs]
 
     # -- execution (executors) ---------------------------------------------

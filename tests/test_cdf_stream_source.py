@@ -249,3 +249,42 @@ def test_cdf_stream_latest_and_schema_change_guard(spark, base):
     reader = MiniDeltaCDFStreamReader({"path": t.path}, None)
     with pytest.raises(RuntimeError, match="schema"):
         reader.partitions({"version": -1}, {"version": 3})
+
+
+def test_cdf_partitions_incremental_cache_parity(spark, base):
+    """Sequential micro-batches fast-forward the planner's DV state
+    from the cache; the planned partitions must equal a cold reader's
+    for every range shape — continuation, gap, and out-of-order retry
+    (which rebuilds)."""
+    t = MiniDeltaTable(spark, os.path.join(base, "c"))
+    df = spark.range(0, 50).select(
+        F.col("id").cast("string").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t.write(df)  # v0
+    t.delete(F.col("v") < 20, use_dv=True)  # v1: DV
+    t.write(df.limit(5), mode="append")  # v2
+    t.delete(F.col("v") >= 80, use_dv=True)  # v3: second DV
+    t.update(F.col("k") == "25", {"v": F.lit(1).cast("bigint")})  # v4
+
+    def specs(reader, lo, hi):
+        return [
+            p.spec
+            for p in reader.partitions({"version": lo}, {"version": hi})
+        ]
+
+    warm = MiniDeltaCDFStreamReader({"path": t.path}, None)
+    seq = [(-1, 1), (1, 3), (3, 4)]  # sequential batches (warm cache)
+    warm_specs = [specs(warm, lo, hi) for lo, hi in seq]
+    for (lo, hi), got in zip(seq, warm_specs):
+        cold = MiniDeltaCDFStreamReader({"path": t.path}, None)
+        assert got == specs(cold, lo, hi), (lo, hi)
+    # out-of-order retry after the cache advanced: rebuilds, same plan
+    retry = specs(warm, 0, 2)
+    cold = MiniDeltaCDFStreamReader({"path": t.path}, None)
+    assert retry == specs(cold, 0, 2)
+    # gap continuation (skip a range, state must still replay it)
+    warm2 = MiniDeltaCDFStreamReader({"path": t.path}, None)
+    specs(warm2, -1, 1)
+    gap = specs(warm2, 2, 4)  # state for v2 replays v2 internally
+    cold = MiniDeltaCDFStreamReader({"path": t.path}, None)
+    assert gap == specs(cold, 2, 4)
