@@ -133,7 +133,9 @@ HEADLINE = [
     "ext_delta_time_travel",
     "ext_delta_cdf_fold",
     "ext_delta_merge_cdf",
-    "ext_delta_restore",
+    # round 10: ext_delta_restore retired for the streaming CDF
+    # source drain (writes v0–v3 then a real writeStream parquet sink)
+    "stream_cdf_source",
 ]
 
 # Queries that WRITE real files during their timed runs (everything
@@ -144,7 +146,7 @@ SINK_QUERIES = {
     "ext_delta_time_travel",
     "ext_delta_cdf_fold",
     "ext_delta_merge_cdf",
-    "ext_delta_restore",
+    "stream_cdf_source",
 }
 
 

@@ -837,79 +837,82 @@ resolve_deferred_oracles()
 # point should extend EXISTING queries' plans or live as
 # pytest-proven library surface (REGISTRY.md lists that tier).
 #
-# Round-9 rotation: 1 new-query slot (ext_sq8_ivf_topk, the
-# compressed-domain IVF×SQ8 search — swapped in for the retired
-# ext_media_resize), 2 changed-query slots (ext_media_frames flipped
-# to the real RIFF/WAVE decode path with a new oracle;
-# ext_delta_cdf_fold, whose changes() reader became DV-aware), the 9
-# queries whose newest external green row is r5 (the r8 slips — the
-# staleness tripwire tests/test_staleness_ledger.py made rotating
-# them mandatory this round), and 38 of the 44 r6-stale queries. The
-# 6 r6 queries that slip to r10 — ext_text_langid,
-# ext_text_repetition, ext_text_subword_stats, ext_text_unk_replace,
-# ext_doc_chunking, ext_quality_band_filter — are single-relation
-# map-side text transforms re-proven every session by the local
-# sf0.001+sf0.01 differential, and the −3 bound forces them into the
-# r10 window on pain of a red suite.
+# Round-10 rotation: 1 new-query slot (stream_cdf_source, the
+# Structured-Streaming change-feed source drained through a real
+# writeStream — swapped in for the retired ext_delta_restore, whose
+# RESTORE semantics stay pinned by three test_deltalog.py anchors), 3
+# changed-query slots (ext_media_embed_topk flipped to the real-codec
+# decode path with a new oracle; ext_dedup_clusters, whose pair-
+# generation/CC chain was restructured for the r10 perf cut;
+# ext_delta_cdf_fold, whose deltalog DML/changes() code grew DV-backed
+# UPDATE/MERGE this round), the 6 queries whose newest external green
+# row is r6 (the r9 slips — the staleness tripwire made rotating them
+# mandatory this round), and 40 of the 46 r7-stale queries. The 6 r7
+# queries that slip to r11 — ext_histogram_totals, ext_pivot_events,
+# ext_profile_orders, ext_setops_users, ext_stats_correlation,
+# ext_unpivot_lineitem — are simple relational plans re-proven every
+# session by the local sf0.001+sf0.01 differential, and the −3 bound
+# forces them into the r11 window on pain of a red suite (plan r11's
+# window around them FIRST).
 _DRIVER_WINDOW: tuple[str, ...] = (
     # --- New this round: first external row happens now or never ---
-    "ext_sq8_ivf_topk",
+    "stream_cdf_source",
     # --- Changed this round: re-check is mandatory, not rotation ---
-    # real-WAVE decode path (fake=False) + new md5-chain oracle
-    "ext_media_frames",
-    # changes() now reconstructs DV-delete commits as CDF events, and
-    # the query grew a DV-delete stage (v4) + matching oracle so the
-    # composition is EXTERNALLY value-checked
-    "ext_delta_cdf_fold",
-    # --- Newest external row is r5: staleness bound forces all 9 ---
-    "ext_text_fingerprint",
-    "ext_text_length_quantiles",
-    "ext_text_stats",
-    "ext_train_test_split",
-    "ext_weighted_sample",
-    "op_clean_id",
-    "op_filter_range",
-    "op_project_silver_customers",
-    "op_project_silver_orders",
-    # --- Newest external row is r6: 38 of 44 (slips named above) ---
-    "dash_product_performance",
-    "ext_bm25_topk",
-    "ext_decontamination",
-    "ext_dedup_clusters",
-    "ext_dedup_containment",
-    "ext_dedup_embedding",
-    "ext_dedup_ngram_jaccard",
-    "ext_dedup_prefix_filter",
-    "ext_dedup_semantic_clusters",
-    "ext_dup_span_coverage",
-    "ext_embedding_centroids",
-    "ext_embedding_covariance",
-    "ext_event_paths",
-    "ext_fuzzy_blocked_join",
-    "ext_incremental_rollup",
-    "ext_knn_label_predict",
-    "ext_lang_temperature_sample",
-    "ext_langid_confusion",
+    # real-codec decode path (fake=False) + new oracle
     "ext_media_embed_topk",
-    "ext_media_phash_dedup",
-    "ext_merge_upsert",
-    "ext_ordered_funnel",
-    "ext_outlier_iqr",
-    "ext_pii_pseudonymize",
-    "ext_sample_stratified",
-    "ext_scd2_user_state",
-    "ext_shard_packing",
-    "ext_similarity_lsh",
-    "ext_skew_salted_join",
-    "ext_snapshot_diff",
-    "gold_customer_360",
-    "op_agg_sales",
-    "op_dedupe_latest",
-    "op_sql_named_params",
-    "stream_interval_join",
-    "stream_session_stateful",
-    "stream_session_window",
-    "stream_time_window_rollup",
+    # pair-generation/connected-components chain restructured (perf)
+    "ext_dedup_clusters",
+    # deltalog DML grew DV-backed UPDATE/MERGE; changes() sits on the
+    # touched path, so the fold gets externally re-checked
+    "ext_delta_cdf_fold",
+    # --- Newest external row is r6: staleness bound forces all 6 ---
+    "ext_doc_chunking",
+    "ext_quality_band_filter",
+    "ext_text_langid",
+    "ext_text_repetition",
+    "ext_text_subword_stats",
+    "ext_text_unk_replace",
+    # --- Newest external row is r7: 40 of 46 (slips named above) ---
+    "ext_ann_recall",
+    "ext_bpe_apply_merge",
+    "ext_bpe_pair_counts",
+    "ext_compaction_bins",
+    "ext_corpus_mixture",
+    "ext_cube_returns",
+    "ext_dedup_incremental",
+    "ext_dedup_minhash_lsh",
+    "ext_dedup_simhash",
+    "ext_dedup_sorted_neighborhood",
+    "ext_delta_time_travel",
+    "ext_dup_span_islands",
+    "ext_event_transitions",
+    "ext_graph_khop",
+    "ext_hard_negative_mining",
+    "ext_heavy_hitters",
+    "ext_join_semi_anti",
+    "ext_kmeans_embedding",
+    "ext_label_propagation",
+    "ext_length_bucket_batching",
+    "ext_moving_revenue",
+    "ext_multitouch_attribution",
+    "ext_negative_edges",
+    "ext_pagerank_copurchase",
+    "ext_rollup_revenue",
+    "ext_running_gold_totals",
+    "ext_scalar_subquery",
+    "ext_similarity_ivf",
+    "ext_similarity_topk",
+    "ext_sketch_profile",
+    "ext_skew_diagnosis",
+    "ext_text_postings",
+    "ext_time_decayed_ltv",
+    "ext_topk_per_group",
+    "ext_triangle_count",
+    "ext_window_funcs",
+    "ext_zorder_layout",
+    "stream_dedup_exactly_once",
+    "stream_dedup_index_maintenance",
+    "stream_interval_join_outer",
 )
 
 

@@ -284,41 +284,96 @@ def ext_delta_merge_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ext_delta_restore RETIRED (r10) to free this capacity slot for
+# stream_cdf_source: its RESTORE semantics remain pinned by
+# tests/test_deltalog.py::test_restore_commits_old_snapshot_forward,
+# test_restore_and_clone_preserve_configuration and
+# test_restore_to_timestamp (see REGISTRY.md's pytest-only tier), and
+# ext_delta_time_travel keeps the as-of-version read on the external
+# gate.
+
+
 @query(
-    "ext_delta_restore",
-    # After RESTORE the LATEST snapshot is the v0 relation under the
-    # v0 schema, and history has moved FORWARD to v2 (restore commits
-    # a new version; it never truncates) — pinned by the constant
-    # latest_version column.
+    "stream_cdf_source",
+    # Identical expected fold to ext_delta_cdf_fold's (the relation is
+    # fully determined by the commit sequence below): %3==0 rows
+    # survive with 3 events (insert v0, delete+insert v3) except the
+    # %9==3 slice, erased by the DV delete (insert v0 + DV-delete v1 =
+    # net 0); %3==1 originals net out across the v3 overwrite and
+    # reappear RESTATED with 1 event; %3==2 rows (appended v2, deleted
+    # v3) net to zero.
     oracle=f"""
-    SELECT *, CAST(2 AS BIGINT) AS latest_version
-    FROM ({_SILVER_ORDERS_SQL})
+    WITH s AS ({_SILVER_ORDERS_SQL})
+    SELECT order_id, customer_id, status, priority, total_usd,
+           order_date, CAST(3 AS BIGINT) AS n_row_events
+    FROM s WHERE CAST(order_id AS BIGINT) % 3 = 0
+      AND CAST(order_id AS BIGINT) % 9 != 3
+    UNION ALL
+    SELECT order_id, customer_id, status, 'RESTATED' AS priority,
+           total_usd, order_date, CAST(1 AS BIGINT) AS n_row_events
+    FROM s WHERE CAST(order_id AS BIGINT) % 3 = 1
     """,
 )
-def ext_delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RESTORE TABLE ... TO VERSION AS OF, read back at latest: write
-    silver orders (v0), overwrite with a filtered relation under an
-    EVOLVED schema (v1 — the reference's overwriteSchema contract),
-    RESTORE to v0 (v2, metadata-only file-level removes/adds), then
-    read the LATEST snapshot with no version pin. The read must
-    surface the v0 rows under the v0 schema — proving restore rebinds
-    both the file set and the schema — and the returned
-    ``latest_version`` pins that history advanced to v2 instead of
-    being truncated. Oracle: the v0 relation straight from the
-    fixtures."""
+def stream_cdf_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING change-data-feed source == batch ``changes()``: build
+    a table whose history exercises every partition mode of the
+    ``minidelta_cdf`` Structured Streaming source
+    (streaming/cdf_source.py, Spark 4 Python DataSource API — the
+    streaming face of Delta's ``readChangeFeed``): a plain write (v0),
+    a deletion-vector DELETE (v1 — streams as a position-delta "semi"
+    partition), an append (v2), and an overwrite (v3 — whose removal
+    of the DV-carrying file must emit only the DV-SURVIVING rows, the
+    "anti" mode with a mask). The feed is drained through a real
+    ``writeStream`` (availableNow trigger, fault-tolerant parquet
+    sink), read back, and folded per row exactly like
+    ``ext_delta_cdf_fold``; the oracle states the expected net
+    relation and per-row event counts directly from the fixtures, so
+    the source's driver-side log planning, executor-side Arrow reads,
+    DV masks, and offset bookkeeping all sit on the value-checked
+    path."""
+    from .streaming.cdf_source import read_cdf_stream
+
     base = _silver_orders(spark, sf_dir)
-    path = _fresh_dir("minidelta_rst_") + "/orders"
+    key = F.col("order_id").cast("long")
+    key_mod = key % 3
+    root = _fresh_dir("minidelta_scdf_")
+    path = root + "/orders"
     tbl = MiniDeltaTable(spark, path)
-    tbl.write(base)  # v0
-    tbl.write(  # v1: filtered + evolved, the state restore must undo
-        base.filter(F.col("status") == "F").withColumn(
-            "restated", F.lit(True)
-        ),
-        overwrite_schema=True,
+    tbl.write(base.filter(key_mod.isin(0, 1)))  # v0
+    # v1: deletion-vector erase of the %9==3 slice — zero rewrites;
+    # the stream must surface it as row-level deletes of exactly the
+    # sidecar positions
+    if tbl.delete(key % 9 == 3, use_dv=True) is None:
+        raise RuntimeError("DV delete matched nothing")
+    tbl.write(base.filter(key_mod == 2), mode="append")  # v2
+    restated = base.filter((key_mod == 0) & (key % 9 != 3)).unionByName(
+        base.filter(key_mod == 1).withColumn("priority", F.lit("RESTATED"))
     )
-    restored_version = tbl.restore(0)
-    return tbl.read().withColumn(
-        "latest_version", F.lit(restored_version).cast("long")
+    tbl.write(restated)  # v3: overwrite = delete-all + insert-all
+    out = root + "/events"
+    q = (
+        read_cdf_stream(spark, path)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", root + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("CDF stream did not drain within 300s")
+    cdf = spark.read.parquet(out)
+    cols = [c for c in cdf.columns if not c.startswith("_")]
+    return (
+        cdf.groupBy(*cols)
+        .agg(
+            F.sum(
+                F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+            ).alias("_net"),
+            F.count(F.lit(1)).alias("n_row_events"),
+        )
+        .filter(F.col("_net") > 0)
+        .drop("_net")
     )
 
 

@@ -188,16 +188,18 @@ def test_changed_queries_sit_inside_driver_window():
     round's diff."""
     from ecommerce_lakehouse_platform_spark import registry
 
-    changed_r9 = {
+    changed_r10 = {
         # new this round — first external row must happen now
-        "ext_sq8_ivf_topk",
-        # flipped to the real RIFF/WAVE decode path, new oracle
-        "ext_media_frames",
-        # changes() became DV-aware (same oracle, changed reader code)
+        "stream_cdf_source",
+        # flipped to the real-codec decode path, new oracle
+        "ext_media_embed_topk",
+        # pair-generation/CC chain restructured for the perf cut
+        "ext_dedup_clusters",
+        # deltalog DML grew DV-backed UPDATE/MERGE (changes() path)
         "ext_delta_cdf_fold",
     }
     window = set(registry._DRIVER_WINDOW)
-    assert changed_r9 <= window, sorted(changed_r9 - window)
+    assert changed_r10 <= window, sorted(changed_r10 - window)
 
 
 def test_bench_headline_names_are_registered():

@@ -62,6 +62,14 @@ PYTEST_ONLY = [
         "tests/test_deltalog.py::test_timestamp_as_of_monotonizes_clock_skew",
     ),
     (
+        "RESTORE TABLE ... VERSION/TIMESTAMP AS OF (history-forward "
+        "restore, file-set + schema rebind, configuration carried; "
+        "externally gated r5–r8 as `ext_delta_restore`, retired r10 "
+        "for `stream_cdf_source`)",
+        "ecommerce_lakehouse_platform_spark/sources/deltalog.py",
+        "tests/test_deltalog.py::test_restore_commits_old_snapshot_forward",
+    ),
+    (
         "replaceWhere partition-scoped overwrite with "
         "disjoint-partition conflict rebase",
         "ecommerce_lakehouse_platform_spark/sources/deltalog.py",
