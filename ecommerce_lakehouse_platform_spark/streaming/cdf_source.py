@@ -31,15 +31,29 @@ from the hive path) and are re-typed executor-side — string /
 integral / date partition columns, the canonically-string-cast types.
 
 Honest subset (all loudly guarded): the stream's schema is fixed at
-query start — a schema-changing commit inside the range raises, which
-is the real Delta streaming source's behavior too; expired-log ranges
-must start at a retained version; exotic partition-column types
-refuse at query start.
+query start — a commit whose PARSED schema differs inside the range
+raises, which is the real Delta streaming source's behavior too;
+expired-log ranges refuse both at fresh start (``initialOffset``) and
+on a checkpointed resume whose next unprocessed commit has been
+vacuumed past (``partitions`` names the earliest retained version);
+exotic partition-column types refuse at query start.
 
-Each micro-batch spans every commit since the last batch — the
-Python DataSource API exposes no admission-control hook yet, so there
-is no maxVersionsPerTrigger; a consumer resuming after long downtime
-gets one large (still fully distributed) batch.
+Admission control: ``maxVersionsPerTrigger`` caps how many log
+versions a micro-batch may span, so a consumer resuming after long
+downtime (or starting at version 0 of a long-lived table) drains the
+backlog in bounded micro-batches instead of one giant one — the
+semantics of Delta's own ``maxFilesPerTrigger``-family options,
+implemented source-side: ``latestOffset`` simply advances at most N
+versions past the highest offset this reader has planned or
+committed (the anchor). The anchor seeds from ``startingVersion`` at
+construction; on a checkpointed restart Spark re-plans the logged
+batch BEFORE asking for a new latest offset (observed engine
+behavior, pinned by test), which re-anchors at the checkpoint, so
+the cap can never report an offset behind the committed one. Under
+``Trigger.AvailableNow`` (which the engine downgrades to a single
+batch for Python sources) a capped run processes only N versions and
+terminates; the remainder drains on the next run — the documented
+trade of pairing the two options.
 
 Register once per session with :func:`register_cdf_source`; the
 format name is ``minidelta_cdf``. ``startingVersion`` accepts a
@@ -98,6 +112,23 @@ class MiniDeltaCDFStreamReader(DataSourceStreamReader):
             self._starting = _log_table(self._path).versions()[-1] + 1
         else:
             self._starting = int(raw_start)
+        if self._starting < 0:
+            raise ValueError(
+                f"startingVersion must be >= 0, got {self._starting}"
+            )
+        raw_max = opts.get("maxversionspertrigger")
+        self._max_versions = None if raw_max is None else int(raw_max)
+        if self._max_versions is not None and self._max_versions < 1:
+            raise ValueError(
+                f"maxVersionsPerTrigger must be >= 1, got {raw_max}"
+            )
+        # admission-control anchor: the highest offset this reader has
+        # planned or committed. Seeds from startingVersion (fresh
+        # queries cap their FIRST batch too); a checkpointed restart
+        # re-plans the logged batch before the first latestOffset call
+        # (engine behavior, pinned by test), moving the anchor to the
+        # checkpoint before the cap is ever consulted.
+        self._anchor = self._starting - 1
         self._schema = schema
         tbl = _log_table(self._path)
         snap = tbl.snapshot()
@@ -116,14 +147,12 @@ class MiniDeltaCDFStreamReader(DataSourceStreamReader):
                     "strings and supports string/integral/date only"
                 )
         self._pcols = set(snap.partition_columns)
-        versions = tbl.versions()
-        if self._starting <= versions[-1] and self._starting < versions[0]:
-            raise ValueError(
-                f"startingVersion {self._starting} predates the retained "
-                f"log (oldest retained: {versions[0]})"
-            )
-        # the stream's schema is pinned at query start
-        self._schema_string = snap.schema.json()
+        # the stream's schema is pinned at query start — kept as a
+        # PARSED StructType so the mid-stream change check compares
+        # schemas semantically, not by JSON text (a semantically
+        # identical schema serialized with a different key order by
+        # another writer must not kill the stream)
+        self._pinned_schema = snap.schema
         # incremental planning cache: DV state as of a fully-planned
         # version, so sequential micro-batches replay only THEIR
         # range instead of the whole retained log each time (a
@@ -150,20 +179,63 @@ class MiniDeltaCDFStreamReader(DataSourceStreamReader):
     # -- offsets ----------------------------------------------------------
 
     def initialOffset(self) -> dict:
+        # called on FRESH starts only (a checkpointed restart resumes
+        # from the offset log), so this is where a startingVersion
+        # that predates the retained log refuses — a RESTARTED query
+        # with the same (now-expired) startingVersion but a
+        # later checkpoint must NOT refuse here
+        versions = _log_table(self._path).versions()
+        if self._starting <= versions[-1] and self._starting < versions[0]:
+            raise ValueError(
+                f"startingVersion {self._starting} predates the retained "
+                f"log (oldest retained: {versions[0]})"
+            )
         return {"version": self._starting - 1}
 
     def latestOffset(self) -> dict:
-        return {"version": _log_table(self._path).versions()[-1]}
+        versions = _log_table(self._path).versions()
+        latest = versions[-1]
+        if self._max_versions is None:
+            return {"version": latest}
+        # advance at most N RETAINED versions past the anchor — the
+        # admission-control contract; returning the anchor itself
+        # (offset unchanged) means "no new data this trigger"
+        pending = [v for v in versions if v > self._anchor]
+        if not pending:
+            return {"version": max(self._anchor, latest)}
+        return {"version": pending[: self._max_versions][-1]}
 
     def commit(self, end: dict) -> None:
-        pass  # offsets are the durable state; nothing to release
+        # offsets are the durable state; nothing to release — but the
+        # committed end is an admission-control anchor floor
+        self._anchor = max(self._anchor, int(end["version"]))
 
     # -- planning (driver) --------------------------------------------------
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         lo, hi = int(start["version"]), int(end["version"])
+        # anchor BOTH bounds: on a checkpointed restart the engine
+        # re-plans the logged batch before asking for a new latest
+        # offset, so this is what tells the admission-control cap
+        # where the checkpoint actually is
+        self._anchor = max(self._anchor, lo, hi)
+        if hi <= lo:
+            return []
         tbl = _log_table(self._path)
         versions = tbl.versions()
+        if lo + 1 < versions[0]:
+            # the checkpoint's next unprocessed commit predates the
+            # retained log (expire_log/VACUUM ran while the consumer
+            # was down): refusing with the earliest retained version
+            # beats silently resuming with a gap in the change feed
+            raise ValueError(
+                f"cannot resume the change feed at version {lo + 1}: "
+                f"the log has been expired up to version "
+                f"{versions[0]} (earliest retained). Restart the "
+                f"query from a fresh checkpoint with startingVersion "
+                f">= {versions[0]}, or re-seed the consumer from a "
+                "snapshot read."
+            )
         specs: list[dict[str, Any]] = []
         # DV state as of ``lo``: fast-forward from the cache when this
         # batch continues where the last one ended (the steady state —
@@ -194,16 +266,22 @@ class MiniDeltaCDFStreamReader(DataSourceStreamReader):
             meta = next(
                 (a["metaData"] for a in actions if "metaData" in a), None
             )
-            if (
-                meta is not None
-                and v > lo
-                and meta["schemaString"] != self._schema_string
-            ):
-                raise RuntimeError(
-                    f"version {v} changes the table schema mid-stream; "
-                    "restart the query to pick up the new schema (the "
-                    "real Delta streaming source stops here too)"
+            if meta is not None and v > lo:
+                import json as _json
+
+                committed = T.StructType.fromJson(
+                    _json.loads(meta["schemaString"])
                 )
+                # parsed comparison: JSON-text equality would falsely
+                # kill the stream on a semantically identical schema
+                # serialized with a different key order
+                if committed != self._pinned_schema:
+                    raise RuntimeError(
+                        f"version {v} changes the table schema "
+                        "mid-stream; restart the query to pick up the "
+                        "new schema (the real Delta streaming source "
+                        "stops here too)"
+                    )
             dv_before = dict(dv_state)
             all_adds = [a["add"] for a in actions if "add" in a]
             all_removes = [a["remove"] for a in actions if "remove" in a]
@@ -239,27 +317,38 @@ class MiniDeltaCDFStreamReader(DataSourceStreamReader):
                 and ad["deletionVector"] != dv_before.get(ad["path"])
             }
 
+            def dv_ref(path, dv):
+                """(absolute sidecar path, rel value to match in it).
+                A sidecar's ``rel`` values are relative to the table
+                that WROTE it: for a shallow clone's ABSOLUTE
+                storagePath that is the SOURCE root, not ours — the
+                same domain translation as ``deltalog._dv_root`` (a
+                filter in the wrong domain would match nothing and
+                silently resurrect DV-deleted rows)."""
+                if dv is None:
+                    return None
+                sp = dv["storagePath"]
+                if os.path.isabs(sp):
+                    sidecar, root = sp, os.path.dirname(os.path.dirname(sp))
+                else:
+                    sidecar, root = os.path.join(self._path, sp), self._path
+                return (
+                    sidecar,
+                    os.path.relpath(os.path.join(self._path, path), root),
+                )
+
             def spec(path, change, mode, dv=None, dv_old=None, pv=None):
                 from ..sources.deltalog import _parse_partition_values
 
                 specs.append(
                     {
                         "file": os.path.join(self._path, path),
-                        "rel": path,
                         "change": change,
                         "version": v,
                         "ts_ms": ts,
                         "mode": mode,
-                        "dv": (
-                            os.path.join(self._path, dv["storagePath"])
-                            if dv
-                            else None
-                        ),
-                        "dv_old": (
-                            os.path.join(self._path, dv_old["storagePath"])
-                            if dv_old
-                            else None
-                        ),
+                        "dv": dv_ref(path, dv),
+                        "dv_old": dv_ref(path, dv_old),
                         "cols": self._cols,
                         # partition values in the hive string domain:
                         # adds carry them in the log; removes recover
@@ -301,17 +390,20 @@ class MiniDeltaCDFStreamReader(DataSourceStreamReader):
     # -- execution (executors) ---------------------------------------------
 
     def read(self, partition: _CDFPartition) -> Iterator[tuple]:
+        import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.dataset as pds
         import pyarrow.parquet as pq
 
         spec = partition.spec
 
-        def positions(sidecar: str) -> set[int]:
+        def positions(dv: tuple[str, str]) -> "pa.Array":
+            sidecar, rel = dv
             ds = pds.dataset(sidecar, format="parquet", partitioning="hive")
             t = ds.to_table(
-                columns=["pos"], filter=pds.field("rel") == spec["rel"]
+                columns=["pos"], filter=pds.field("rel") == rel
             )
-            return set(t.column("pos").to_pylist())
+            return t.column("pos").combine_chunks().cast(pa.int64())
 
         def retype(value, typename):
             if value is None:
@@ -329,17 +421,21 @@ class MiniDeltaCDFStreamReader(DataSourceStreamReader):
             spec["file"],
             columns=[p for p, _l, _t, part in spec["cols"] if not part],
         )
-        keep = None  # None = all rows
         if spec["mode"] == "anti" and spec["dv"]:
-            dead = positions(spec["dv"])
-            keep = [i for i in range(table.num_rows) if i not in dead]
+            # Arrow-native mask — no Python row loop: row index NOT IN
+            # the sidecar's dead positions
+            idx = pa.array(range(table.num_rows), type=pa.int64())
+            mask = pc.invert(pc.is_in(idx, value_set=positions(spec["dv"])))
+            table = table.filter(mask)
         elif spec["mode"] == "semi":
-            delta = positions(spec["dv"])
+            # position DELTA of the DV commit: new minus old — both
+            # arrays are bounded by the commit's sidecar sizes
+            delta = set(positions(spec["dv"]).to_pylist())
             if spec["dv_old"]:
-                delta -= positions(spec["dv_old"])
-            keep = sorted(i for i in delta if i < table.num_rows)
-        if keep is not None:
-            table = table.take(keep)
+                delta -= set(positions(spec["dv_old"]).to_pylist())
+            table = table.take(
+                sorted(i for i in delta if i < table.num_rows)
+            )
         change = spec["change"]
         version = spec["version"]
         ts = datetime.fromtimestamp(
@@ -383,13 +479,21 @@ def register_cdf_source(spark: SparkSession) -> None:
 
 
 def read_cdf_stream(
-    spark: SparkSession, path: str, starting_version: int | str = 0
+    spark: SparkSession,
+    path: str,
+    starting_version: int | str = 0,
+    max_versions_per_trigger: int | None = None,
 ):
     """``readStream`` handle over the table's change feed;
-    ``starting_version`` is a version number or ``"latest"``."""
+    ``starting_version`` is a version number or ``"latest"``;
+    ``max_versions_per_trigger`` bounds how many log versions one
+    micro-batch may span (admission control for backlog drains)."""
     register_cdf_source(spark)
-    return (
-        spark.readStream.format("minidelta_cdf")
-        .option("startingVersion", str(starting_version))
-        .load(path)
+    reader = spark.readStream.format("minidelta_cdf").option(
+        "startingVersion", str(starting_version)
     )
+    if max_versions_per_trigger is not None:
+        reader = reader.option(
+            "maxVersionsPerTrigger", str(max_versions_per_trigger)
+        )
+    return reader.load(path)

@@ -288,3 +288,144 @@ def test_cdf_partitions_incremental_cache_parity(spark, base):
     gap = specs(warm2, 2, 4)  # state for v2 replays v2 internally
     cold = MiniDeltaCDFStreamReader({"path": t.path}, None)
     assert gap == specs(cold, 2, 4)
+
+
+def test_max_versions_per_trigger_bounds_batches(spark, base):
+    """Admission control: with maxVersionsPerTrigger=1, a backlog of K
+    commits drains in K single-version micro-batches (not one giant
+    batch), and the union of the batches equals batch ``changes(0)``
+    exactly — bounding admission must never drop or duplicate an
+    event."""
+    t = MiniDeltaTable(spark, os.path.join(base, "t"))
+    df = spark.range(0, 40).select(
+        F.col("id").cast("string").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t.write(df.limit(10))  # v0
+    t.write(df.limit(20), mode="append")  # v1
+    assert t.delete(F.col("v") < 4, use_dv=True)  # v2: DV positions
+    t.write(df.limit(5), mode="append")  # v3
+    batches: list[tuple[list[int], list[tuple]]] = []
+
+    def sink(bdf, _bid):
+        rows = bdf.select(*sorted(bdf.columns)).collect()
+        vs = sorted({r["_commit_version"] for r in rows})
+        batches.append((vs, [tuple(r) for r in rows]))
+
+    q = (
+        read_cdf_stream(spark, t.path, max_versions_per_trigger=1)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    nonempty = [vs for vs, _ in batches if vs]
+    assert all(len(vs) == 1 for vs in nonempty), nonempty
+    assert [vs[0] for vs in nonempty] == [0, 1, 2, 3]
+    got = sorted(row for _, rows in batches for row in rows)
+    assert got == _canon(t.changes(0))
+
+
+def test_resume_past_expired_log_refuses_actionably(spark, base):
+    """A checkpointed consumer resuming AFTER the log expired past its
+    next unprocessed commit must refuse with the earliest retained
+    version — not silently resume with a gap in the feed."""
+    t = MiniDeltaTable(spark, os.path.join(base, "t"), checkpoint_interval=4)
+    df = spark.range(0, 30).select(
+        F.col("id").cast("string").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t.write(df.limit(10))  # v0
+    t.write(df.limit(12), mode="append")  # v1
+    ckpt, out = os.path.join(base, "ckpt"), os.path.join(base, "events")
+    _drain(read_cdf_stream(spark, t.path), ckpt, out)  # consumed →v1
+    for i in range(3):  # v2..v4 land while the consumer is down
+        t.write(df.limit(3 + i), mode="append")
+    assert t.expire_log() == [0, 1, 2, 3]  # retained: [4]
+    with pytest.raises(Exception, match="earliest retained"):
+        _drain(read_cdf_stream(spark, t.path), ckpt, out)
+
+
+def test_restart_resumes_despite_expired_starting_version(spark, base):
+    """startingVersion validity is a FRESH-start concern: a restarted
+    query whose original startingVersion has since expired — but whose
+    checkpoint sits inside the retained log — must resume normally
+    (the guard lives in initialOffset, which the engine only calls
+    when there is no checkpoint). A genuinely fresh query at the
+    expired version still refuses."""
+    t = MiniDeltaTable(spark, os.path.join(base, "t"), checkpoint_interval=2)
+    df = spark.range(0, 30).select(
+        F.col("id").cast("string").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t.write(df.limit(10))  # v0
+    t.write(df.limit(12), mode="append")  # v1
+    t.write(df.limit(4), mode="append")  # v2 (auto-checkpoint here)
+    ckpt, out = os.path.join(base, "ckpt"), os.path.join(base, "events")
+    _drain(read_cdf_stream(spark, t.path, starting_version=0), ckpt, out)
+    assert t.expire_log() == [0, 1]  # retained: [2]
+    t.write(df.limit(6), mode="append")  # v3
+    # restart from the checkpoint: startingVersion=0 is expired but
+    # irrelevant — next unprocessed commit (3) is retained
+    _drain(read_cdf_stream(spark, t.path, starting_version=0), ckpt, out)
+    got = spark.read.parquet(out)
+    assert got.filter(F.col("_commit_version") == 3).count() == 6
+    # a FRESH query at the expired version refuses loudly
+    with pytest.raises(Exception, match="predates the retained"):
+        _drain(
+            read_cdf_stream(spark, t.path, starting_version=0),
+            os.path.join(base, "ckpt_fresh"),
+            os.path.join(base, "events_fresh"),
+        )
+
+
+def test_mid_stream_schema_reserialization_tolerated(spark, base):
+    """The mid-stream schema-change check compares PARSED schemas: a
+    commit restating the SAME schema with a different JSON key order
+    (another writer's serializer) must not kill the stream; a commit
+    that genuinely changes the schema still raises."""
+    import json
+
+    t = MiniDeltaTable(spark, os.path.join(base, "t"))
+    df = spark.range(0, 20).select(
+        F.col("id").cast("string").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t.write(df.limit(10))  # v0
+    t.write(df.limit(15), mode="append")  # v1
+    # inject into v1 a metaData action identical to v0's except the
+    # schemaString is re-serialized with sorted keys
+    v0 = os.path.join(t.path, "_delta_log", "00000000000000000000.json")
+    v1 = os.path.join(t.path, "_delta_log", "00000000000000000001.json")
+    meta = next(
+        json.loads(line)
+        for line in open(v0)
+        if "metaData" in json.loads(line)
+    )
+    meta["metaData"]["schemaString"] = json.dumps(
+        json.loads(meta["metaData"]["schemaString"]), sort_keys=True
+    )
+    body = open(v1).read()
+    with open(v1, "w") as fh:
+        fh.write(json.dumps(meta) + "\n" + body)
+    ckpt, out = os.path.join(base, "ckpt"), os.path.join(base, "events")
+    _drain(read_cdf_stream(spark, t.path), ckpt, out)  # must not raise
+    assert _canon(spark.read.parquet(out)) == _canon(t.changes(0))
+
+
+def test_clone_absolute_dv_refs_stream(spark, base):
+    """A shallow clone's v0 references the source's files ABSOLUTELY,
+    including DV-carrying ones whose sidecar rel values are
+    SOURCE-relative: the stream must translate the rel domain exactly
+    like batch ``changes()`` (``deltalog._dv_root``) or the DV-deleted
+    rows silently resurrect as inserts."""
+    src = MiniDeltaTable(spark, os.path.join(base, "src"))
+    df = spark.range(0, 100).select(
+        F.col("id").cast("string").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    src.write(df)  # v0
+    assert src.delete(F.col("v") < 20, use_dv=True)  # v1: DV on source
+    clone = src.clone(os.path.join(base, "clone"))
+    ckpt, out = os.path.join(base, "ckpt"), os.path.join(base, "events")
+    _drain(read_cdf_stream(spark, clone.path), ckpt, out)
+    got = spark.read.parquet(out)
+    # 90 surviving rows stream as inserts; the 10 DV-dead ones don't
+    assert got.filter(F.col("_change_type") == "insert").count() == 90
+    assert _canon(got) == _canon(clone.changes(0))
