@@ -562,10 +562,23 @@ class MiniDeltaTable:
         the timestamp predates the table (version 0's commit)."""
         candidate: int | None = None
         eff = 0
-        for entry in reversed(self.history()):  # oldest → newest
-            eff = max(eff, int(entry.get("timestamp", 0)))
+        for v in self.versions():  # oldest → newest, parsed lazily
+            info = next(
+                (
+                    a["commitInfo"]
+                    for a in self._read_actions(v)
+                    if "commitInfo" in a
+                ),
+                {},
+            )
+            eff = max(eff, int(info.get("timestamp", 0)))
             if eff <= ts_ms:
-                candidate = entry["version"]
+                candidate = v
+            else:
+                # monotonized eff never decreases: no later version
+                # can qualify — resolution stays O(answer position)
+                # instead of parsing every commit in the history
+                break
         if candidate is None:
             raise ValueError(
                 f"timestamp {ts_ms} predates the table's first commit"
@@ -1758,15 +1771,27 @@ class MiniDeltaTable:
         import re as _re
 
         pat = _re.compile(rf"\b{_re.escape(name)}\b")
+
+        def _sans_literals(sql: str) -> str:
+            # a column name INSIDE a string literal is not a
+            # reference — strip single-quoted literals ('' escapes
+            # included) before matching, so e.g. CHECK(status <>
+            # 'qty removed') doesn't block dropping a `qty` column.
+            # Identifier/function-name collisions remain over-strict
+            # in the SAFE direction (refuse, never silently stale).
+            return _re.sub(r"'(?:[^']|'')*'", "''", sql)
+
         for key, sql in snap.configuration.items():
-            if key.startswith("delta.constraints.") and pat.search(sql):
+            if key.startswith("delta.constraints.") and pat.search(
+                _sans_literals(sql)
+            ):
                 raise SchemaMismatchError(
                     f"cannot {op} column {name!r}: referenced by CHECK "
                     f"constraint {key.removeprefix('delta.constraints.')!r}"
                     f" ({sql})"
                 )
         for gname, gsql in self._generation_exprs(snap.schema).items():
-            if gname != name and pat.search(gsql):
+            if gname != name and pat.search(_sans_literals(gsql)):
                 raise SchemaMismatchError(
                     f"cannot {op} column {name!r}: generation expression "
                     f"of {gname!r} references it ({gsql})"

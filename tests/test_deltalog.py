@@ -1703,6 +1703,13 @@ def test_column_mapping_rename_and_drop_without_rewrite(spark, tmp_table):
         tmp_table.rename_column("total_usd", "amount")
     with pytest.raises(SchemaMismatchError):
         tmp_table.drop_column("total_usd")
+    # a column name appearing only INSIDE a string literal is not a
+    # reference: the guard must not refuse the rename for it
+    tmp_table.set_constraint(
+        "no_marker", "order_id <> 'priority removed'"
+    )
+    tmp_table.rename_column("priority", "prio")
+    tmp_table.rename_column("prio", "priority")  # restore for below
     with pytest.raises(NotImplementedError):
         tmp_table.write(
             orders.limit(3).withColumn("flag", F.lit(True)),
