@@ -2159,6 +2159,188 @@ class MiniDeltaTable:
             out = dvp if out is None else out.unionByName(dvp)
         return out
 
+    def _dv_scan(self, snap: Snapshot, rels=None) -> DataFrame:
+        """Discovery scan for DV DML: (``_rel``, ``_pos``, logical
+        columns) over the given files (default: all active)."""
+        rels = sorted(snap.files if rels is None else rels)
+        return (
+            self._reader({r: snap.files[r] for r in rels})
+            .parquet(*(os.path.join(self.path, r) for r in rels))
+            .withColumn("_rel", self._rel_from("_metadata.file_path"))
+            .withColumn("_pos", F.col("_metadata.row_index"))
+            .select("_rel", "_pos", *self._logical_casts(snap.schema))
+        )
+
+    def _dv_alive(
+        self, matched: DataFrame, existing: DataFrame | None
+    ) -> DataFrame:
+        """Drop rows already dead under an active deletion vector —
+        a DV DML must never re-delete (double-counted cardinality) or
+        resurrect-then-replace them."""
+        if existing is None:
+            return matched
+        return matched.join(
+            existing.select(
+                F.col("rel").alias("_rel"), F.col("pos").alias("_pos")
+            ),
+            ["_rel", "_pos"],
+            "left_anti",
+        )
+
+    def _dv_commit(
+        self,
+        snap: Snapshot,
+        matched: DataFrame,
+        existing: DataFrame | None,
+        operation: str,
+        parameters: dict[str, Any],
+        new_rows: DataFrame | None = None,
+    ) -> int | None:
+        """Deletion-vector DML commit core shared by DELETE, UPDATE
+        and MERGE: mark ``matched``'s (_rel, _pos) positions dead via
+        a fresh hive-partitioned sidecar (each touched file's OLD DV
+        positions folded in, so every add references exactly one
+        sidecar and superseded sidecars become vacuumable) and — for
+        UPDATE/MERGE — append ``new_rows`` as plain adds in the SAME
+        commit. Zero touched-file rewrites: the write cost is the
+        position lists plus the replacement rows, never the touched
+        files' bytes. The change feed reconstructs such a commit as
+        row-level deletes of exactly the position delta plus inserts
+        of the new files (documented delete+insert in place of
+        update_pre/postimage)."""
+        # the matched relation feeds up to THREE jobs (touched-file
+        # counts, the sidecar write, and — via new_rows — the
+        # replacement staging); persist it so the discovery scan runs
+        # ONCE, not three times. Storage is bounded by the matched
+        # rows — the data volume the DML inherently moves — and
+        # spills to disk.
+        from pyspark import StorageLevel
+
+        matched = matched.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            return self._dv_commit_inner(
+                snap, matched, existing, operation, parameters, new_rows
+            )
+        finally:
+            matched.unpersist()
+
+    def _dv_commit_inner(
+        self,
+        snap: Snapshot,
+        matched: DataFrame,
+        existing: DataFrame | None,
+        operation: str,
+        parameters: dict[str, Any],
+        new_rows: DataFrame | None = None,
+    ) -> int | None:
+        positions = matched.select(
+            F.col("_rel").alias("rel"), F.col("_pos").alias("pos")
+        )
+        touched = {
+            r["rel"]: r["n"]
+            for r in positions.groupBy("rel")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if not touched and new_rows is None:
+            return None
+        now_ms = int(time.time() * 1000)
+        actions: list[dict[str, Any]] = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": operation,
+                    "operationParameters": {
+                        **parameters,
+                        "mode": "deletion-vectors",
+                        "dvFiles": len(touched),
+                        "rewrittenFiles": 0,
+                    },
+                }
+            }
+        ]
+        if touched:
+            # DVs gate on reader 3 / writer 7 in the real protocol:
+            # older readers must refuse the table rather than
+            # resurrect deleted rows by scanning files directly
+            actions.append(
+                {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}}
+            )
+            pos_all = positions
+            if existing is not None:
+                pos_all = pos_all.unionByName(
+                    existing.filter(F.col("rel").isin(*touched))
+                )
+            dv_rel = f"_dv/{uuid.uuid4().hex}"
+            # per-file position lists, the real protocol's
+            # per-file-bitmap shape: hive-partitioned by the data file
+            # each DV belongs to, so a DML touching F files writes F
+            # position lists in parallel — no single task ever
+            # materializes the whole position set (the r8
+            # repartition(1) funnel)
+            pos_all.repartition("rel").write.partitionBy("rel").mode(
+                "overwrite"
+            ).parquet(os.path.join(self.path, dv_rel))
+            cardinality = {
+                r["rel"]: r["n"]
+                for r in self.spark.read.parquet(
+                    os.path.join(self.path, dv_rel)
+                )
+                .groupBy("rel")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            for rel in sorted(touched):
+                actions.append(
+                    {
+                        "remove": {
+                            "path": rel,
+                            "deletionTimestamp": now_ms,
+                            "dataChange": True,
+                        }
+                    }
+                )
+                add = {
+                    k: v
+                    for k, v in snap.files[rel].items()
+                    if k != "deletionVector"
+                }
+                add["dataChange"] = True
+                add["deletionVector"] = {
+                    "storagePath": dv_rel,
+                    "cardinality": int(cardinality[rel]),
+                }
+                actions.append({"add": add})
+        if new_rows is not None:
+            # same commit invariant as write()/_touched_rewrite: no
+            # committed version may violate a CHECK constraint or a
+            # generated column's expression
+            self._enforce_constraints(new_rows, snap.configuration)
+            self._enforce_generated(new_rows, snap.schema)
+            adds = self._stage_for_schema(
+                new_rows, snap.schema, snap.partition_columns
+            )
+            # an empty replacement relation can still stage one
+            # zero-row file — drop it rather than commit a pointless
+            # add (and let a no-match UPDATE resolve to a no-op)
+            adds = [
+                a
+                for a in adds
+                if not (
+                    a.get("stats")
+                    and json.loads(a["stats"]).get("numRecords") == 0
+                )
+            ]
+            if not adds and not touched:
+                return None
+            actions[0]["commitInfo"]["operationParameters"]["newFiles"] = (
+                len(adds)
+            )
+            actions.extend({"add": add} for add in adds)
+        version = snap.version + 1
+        self._commit(version, actions)
+        return version
+
     def _delete_with_dv(self, cond: Column) -> int | None:
         snap = self.snapshot()
         if not snap.files:
@@ -2168,113 +2350,70 @@ class MiniDeltaTable:
                 "deletion vectors on tables with absolute file "
                 "references (shallow clones) are not supported"
             )
-        paths = snap.file_paths(self.path)
-        scan = (
-            self._reader(snap.files)
-            .parquet(*paths)
-            .withColumn("_rel", self._rel_from("_metadata.file_path"))
-            .withColumn("_pos", F.col("_metadata.row_index"))
-            .select("_rel", "_pos", *self._logical_casts(snap.schema))
-        )
-        matches = scan.filter(cond).select(
-            F.col("_rel").alias("rel"), F.col("_pos").alias("pos")
-        )
         existing = self._dv_positions(snap)
-        if existing is not None:
-            # rows already deleted by an active DV cannot re-match
-            matches = matches.join(existing, ["rel", "pos"], "left_anti")
-        touched = {
-            r["rel"]: r["n"]
-            for r in matches.groupBy("rel")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-        if not touched:
-            return None
-        # the new sidecar carries the touched files' FULL position
-        # sets (old DV positions folded in), so each add references
-        # exactly one sidecar and superseded sidecars become
-        # vacuumable
-        positions = matches
-        if existing is not None:
-            positions = positions.unionByName(
-                existing.filter(F.col("rel").isin(*touched))
-            )
-        dv_rel = f"_dv/{uuid.uuid4().hex}"
-        # per-file position lists, the real protocol's per-file-bitmap
-        # shape: hive-partitioned by the data file each DV belongs to,
-        # so a delete touching F files writes F position lists in
-        # parallel — no single task ever materializes the whole
-        # position set (the r8 repartition(1) funnel)
-        positions.repartition("rel").write.partitionBy("rel").mode(
-            "overwrite"
-        ).parquet(os.path.join(self.path, dv_rel))
-        cardinality = {
-            r["rel"]: r["n"]
-            for r in self.spark.read.parquet(os.path.join(self.path, dv_rel))
-            .groupBy("rel")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-        now_ms = int(time.time() * 1000)
-        actions: list[dict[str, Any]] = [
-            {
-                "commitInfo": {
-                    "timestamp": now_ms,
-                    "operation": "DELETE",
-                    "operationParameters": {
-                        "mode": "deletion-vectors",
-                        "dvFiles": len(touched),
-                        "rewrittenFiles": 0,
-                    },
-                }
-            },
-            # DVs gate on reader 3 / writer 7 in the real protocol:
-            # older readers must refuse the table rather than
-            # resurrect deleted rows by scanning files directly
-            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}},
-        ]
-        for rel in sorted(touched):
-            actions.append(
-                {
-                    "remove": {
-                        "path": rel,
-                        "deletionTimestamp": now_ms,
-                        "dataChange": True,
-                    }
-                }
-            )
-            add = {
-                k: v
-                for k, v in snap.files[rel].items()
-                if k != "deletionVector"
-            }
-            add["dataChange"] = True
-            add["deletionVector"] = {
-                "storagePath": dv_rel,
-                "cardinality": int(cardinality[rel]),
-            }
-            actions.append({"add": add})
-        version = snap.version + 1
-        self._commit(version, actions)
-        return version
+        matched = self._dv_alive(
+            self._dv_scan(snap).filter(cond), existing
+        )
+        return self._dv_commit(snap, matched, existing, "DELETE", {})
 
     def update(
-        self, condition: Column, assignments: dict[str, Column]
+        self,
+        condition: Column,
+        assignments: dict[str, Column],
+        use_dv: bool = False,
     ) -> int | None:
         """UPDATE ... SET ... WHERE: apply ``assignments`` to rows
         where ``condition`` is TRUE, same touched-file copy-on-write
         shape as :meth:`delete`. Assigned expressions are cast to the
         column's logged type (schema enforcement: an UPDATE can change
         values, never the table's shape). Returns the new version or
-        None when nothing matched."""
-        snap_schema = {f.name: f.dataType for f in self.snapshot().schema}
+        None when nothing matched.
+
+        ``use_dv=True`` is the modern Delta writer's DV-based UPDATE:
+        instead of rewriting every touched file, the matched rows'
+        positions go dead in a deletion-vector sidecar and the
+        REWRITTEN rows alone are appended as new files in the same
+        commit — write cost scales with the MATCHED ROWS, never the
+        touched files' bytes (a 1-row update of a 1 GB file writes
+        one position and one row). The change feed surfaces it as
+        delete(old row) + insert(new row) — the documented stand-in
+        for update_pre/postimage. CHECK constraints and generated
+        columns are enforced on the rewritten rows before anything
+        commits."""
+        snap = self.snapshot()
+        snap_schema = {f.name: f.dataType for f in snap.schema}
         unknown = sorted(set(assignments) - set(snap_schema))
         if unknown:
             raise SchemaMismatchError(
                 f"UPDATE assigns columns not in the table: {unknown}"
             )
         cond = F.coalesce(condition, F.lit(False))
+        params = {"columns": json.dumps(sorted(assignments))}
+        if use_dv:
+            if not snap.files:
+                return None
+            if any(os.path.isabs(r) for r in snap.files):
+                raise NotImplementedError(
+                    "deletion vectors on tables with absolute file "
+                    "references (shallow clones) are not supported"
+                )
+            existing = self._dv_positions(snap)
+            matched = self._dv_alive(
+                self._dv_scan(snap).filter(cond), existing
+            )
+            new_rows = matched.select(
+                *[
+                    (
+                        assignments[f.name].cast(snap_schema[f.name])
+                        if f.name in assignments
+                        else F.col(f.name)
+                    ).alias(f.name)
+                    for f in snap.schema
+                ]
+            )
+            return self._dv_commit(
+                snap, matched, existing, "UPDATE", params, new_rows=new_rows
+            )
 
         def rewrite(sub: DataFrame) -> DataFrame:
             out = sub
@@ -2287,16 +2426,15 @@ class MiniDeltaTable:
                 )
             return out
 
-        return self._touched_rewrite(
-            cond,
-            rewrite,
-            "UPDATE",
-            {"columns": json.dumps(sorted(assignments))},
-        )
+        return self._touched_rewrite(cond, rewrite, "UPDATE", params)
 
     def merge(
-        self, source: DataFrame, keys: list[str], prune_files: bool = False
-    ) -> int:
+        self,
+        source: DataFrame,
+        keys: list[str],
+        prune_files: bool = False,
+        use_dv: bool = False,
+    ) -> int | None:
         """Copy-on-write MERGE (upsert): matched target rows are
         replaced by their source row, unmatched source rows are
         inserted — the semantic core of ``MERGE INTO``. Relational
@@ -2322,9 +2460,22 @@ class MiniDeltaTable:
 
         Single-key pruning only: multi-key ranges compose poorly with
         per-column min/max, so multi-key merges fall back to the full
-        overwrite."""
+        overwrite.
+
+        ``use_dv=True`` is the modern writer's DV-based MERGE: matched
+        target rows go dead under a deletion-vector sidecar and the
+        ENTIRE source relation (replacements + inserts) lands as new
+        files in the same commit — zero target files rewritten, write
+        cost ∝ |source| + matched positions. Rows merely SHARING a
+        file with a matched row contribute no change-feed events (the
+        copy-on-write paths' delete+reinsert of untouched neighbors
+        disappears). Single-key sources additionally prune the
+        match-discovery scan by file stats. Returns None when the
+        source is empty (a no-op)."""
         from ..operators.scd import merge_upsert
 
+        if use_dv:
+            return self._merge_with_dv(source, keys)
         target = self.read()
         if not prune_files or len(keys) != 1:
             merged = merge_upsert(target, source.select(*target.columns), keys)
@@ -2383,6 +2534,63 @@ class MiniDeltaTable:
         version = snap.version + 1
         self._commit(version, actions)
         return version
+
+    def _merge_with_dv(self, source: DataFrame, keys: list[str]) -> int | None:
+        snap = self.snapshot()
+        if snap.files and any(os.path.isabs(r) for r in snap.files):
+            raise NotImplementedError(
+                "deletion vectors on tables with absolute file "
+                "references (shallow clones) are not supported"
+            )
+        src = source.select(*[f.name for f in snap.schema])
+        if src.isEmpty():
+            return None  # nothing to match, nothing to insert
+        scan_rels = sorted(snap.files)
+        if len(keys) == 1 and scan_rels:
+            # single-key stats pruning of the DISCOVERY scan: only
+            # files whose min/max range can contain a source key need
+            # reading for matched positions (statless files stay in —
+            # conservative). NULL-keyed source rows match nothing per
+            # SQL join semantics, so the bounds may ignore them.
+            bounds = src.select(
+                F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
+            ).collect()[0]
+            if bounds["lo"] is None:
+                scan_rels = []
+            else:
+                in_range = set(
+                    self.files_for_range(keys[0], bounds["lo"], bounds["hi"])
+                )
+                scan_rels = sorted(
+                    rel
+                    for rel in snap.files
+                    if os.path.join(self.path, rel) in in_range
+                )
+        existing = self._dv_positions(snap)
+        if scan_rels:
+            matched = self._dv_alive(
+                # AQE picks broadcast for a small key set; an explicit
+                # hint would be wrong for a table-scale source
+                self._dv_scan(snap, scan_rels).join(
+                    src.select(*keys).distinct(), on=keys, how="left_semi"
+                ),
+                existing,
+            )
+        else:
+            matched = self.spark.createDataFrame(
+                [], "`_rel` string, `_pos` bigint"
+            )
+        return self._dv_commit(
+            snap,
+            matched,
+            existing,
+            "MERGE",
+            {
+                "keys": json.dumps(keys),
+                "prunedFiles": len(snap.files) - len(scan_rels),
+            },
+            new_rows=src,
+        )
 
     def changes(
         self, starting_version: int, ending_version: int | None = None

@@ -1894,3 +1894,195 @@ def test_changes_expired_log_seeds_dv_state_from_checkpoint(
         net.filter(F.col("_n") > 0).count() == 1
         and net.filter(F.col("_n") < 0).count() == 1
     )
+
+
+def test_dv_update_without_rewrite(spark, tmp_table):
+    """update(use_dv=True): the matched rows' positions go dead under
+    a deletion-vector sidecar and the REWRITTEN rows alone land as new
+    files in the same commit — zero touched-file rewrites. The change
+    feed shows delete(old)+insert(new) for exactly the matched rows
+    (file-sharing neighbors contribute nothing), its fold equals the
+    snapshot, constraints still gate, and a second DV update folds the
+    first's positions forward."""
+    orders = _orders(spark).limit(60).localCheckpoint(eager=True)
+    ids = sorted(r["order_id"] for r in orders.collect())
+    tmp_table.write(orders.repartitionByRange(4, "order_id"))
+    files_v0 = set(tmp_table.snapshot().files)
+
+    v1 = tmp_table.update(
+        F.col("order_id").isin(ids[:3]),
+        {"priority": F.lit("BUMPED")},
+        use_dv=True,
+    )
+    assert v1 == 1
+    info = next(h for h in tmp_table.history() if h["version"] == v1)
+    assert info["operationParameters"]["mode"] == "deletion-vectors"
+    assert int(info["operationParameters"]["rewrittenFiles"]) == 0
+    assert int(info["operationParameters"]["newFiles"]) >= 1
+    snap = tmp_table.snapshot()
+    # originals all still active (now DV-carrying), plus new files
+    assert files_v0 < set(snap.files)
+    dv_adds = [a for a in snap.files.values() if a.get("deletionVector")]
+    assert sum(a["deletionVector"]["cardinality"] for a in dv_adds) == 3
+    # relation: the three rows restated, everything else untouched
+    got = {r["order_id"]: r["priority"] for r in tmp_table.read().collect()}
+    assert len(got) == 60
+    assert all(got[i] == "BUMPED" for i in ids[:3])
+    expect = {
+        r["order_id"]: r["priority"]
+        for r in orders.filter(~F.col("order_id").isin(ids[:3])).collect()
+    }
+    assert all(got[i] == p for i, p in expect.items())
+    assert tmp_table.read(version=0).count() == 60  # time travel intact
+
+    # CDF: exactly 3 deletes (old rows) + 3 inserts (new rows) at v1;
+    # neighbors sharing the touched files emit NOTHING
+    ch = tmp_table.changes(v1, v1)
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in ch.groupBy("_change_type").agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert by_type == {"delete": 3, "insert": 3}
+    assert {
+        r["priority"]
+        for r in ch.filter(F.col("_change_type") == "insert").collect()
+    } == {"BUMPED"}
+    # fold(changes(0)) == snapshot
+    cols = [c for c in ch.columns if not c.startswith("_")]
+    fold = (
+        tmp_table.changes(0)
+        .groupBy(*cols)
+        .agg(
+            F.sum(
+                F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+            ).alias("net")
+        )
+        .filter(F.col("net") > 0)
+        .drop("net")
+    )
+    assert _canon(fold) == _canon(tmp_table.read())
+
+    # no-match UPDATE is a no-op
+    assert (
+        tmp_table.update(
+            F.col("order_id") == "no-such-id",
+            {"priority": F.lit("X")},
+            use_dv=True,
+        )
+        is None
+    )
+
+    # second DV update touching an already-DV'd file folds positions:
+    # previously-updated rows stay dead in the old files, and the
+    # NEW-file copy of ids[0] (priority BUMPED) gets updated this time
+    v2 = tmp_table.update(
+        F.col("order_id").isin([ids[0], ids[4]]),
+        {"priority": F.lit("BUMPED2")},
+        use_dv=True,
+    )
+    assert v2 == 2
+    got2 = {r["order_id"]: r["priority"] for r in tmp_table.read().collect()}
+    assert len(got2) == 60
+    assert got2[ids[0]] == "BUMPED2" and got2[ids[4]] == "BUMPED2"
+    assert got2[ids[1]] == "BUMPED"
+
+    # constraints gate the rewritten rows: a violating UPDATE refuses
+    # and commits nothing
+    tmp_table.set_constraint("prio_short", "length(priority) < 30")
+    before = tmp_table.snapshot().version
+    with pytest.raises(Exception, match="prio_short|constraint"):
+        tmp_table.update(
+            F.col("order_id") == ids[5],
+            {"priority": F.lit("X" * 40)},
+            use_dv=True,
+        )
+    assert tmp_table.snapshot().version == before
+
+
+def test_dv_merge_upsert_without_rewrite(spark, tmp_table):
+    """merge(use_dv=True): matched target rows die under a DV, the
+    whole source lands as new files, zero rewrites; single-key sources
+    prune the discovery scan by file stats; result == the
+    copy-on-write merge relation; CDF fold == snapshot; empty source
+    is a no-op."""
+    orders = _orders(spark).limit(60).localCheckpoint(eager=True)
+    ids = sorted(r["order_id"] for r in orders.collect())
+    tmp_table.write(orders.repartitionByRange(4, "order_id"))
+    files_v0 = set(tmp_table.snapshot().files)
+
+    # source: restate 3 existing keys + insert 2 new ones
+    source = (
+        orders.filter(F.col("order_id").isin(ids[:3]))
+        .withColumn("priority", F.lit("MERGED"))
+        .unionByName(
+            orders.limit(2)
+            .withColumn("order_id", F.concat(F.lit("new-"), "order_id"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    v1 = tmp_table.merge(source, keys=["order_id"], use_dv=True)
+    assert v1 == 1
+    info = next(h for h in tmp_table.history() if h["version"] == v1)
+    assert info["operationParameters"]["mode"] == "deletion-vectors"
+    assert int(info["operationParameters"]["rewrittenFiles"]) == 0
+    # stats pruning: ids[:3] sort lowest, so the range (min..max of
+    # source keys incl. "new-..." lexicographic) needn't cover every
+    # file — at minimum the parameter is recorded
+    assert "prunedFiles" in info["operationParameters"]
+    snap = tmp_table.snapshot()
+    assert files_v0 < set(snap.files), "originals stay; new files added"
+    dv_adds = [a for a in snap.files.values() if a.get("deletionVector")]
+    assert sum(a["deletionVector"]["cardinality"] for a in dv_adds) == 3
+
+    # relation == the copy-on-write merge of the same inputs
+    from ecommerce_lakehouse_platform_spark.operators.scd import merge_upsert
+
+    expect = merge_upsert(orders, source, ["order_id"])
+    assert _canon(tmp_table.read()) == _canon(expect)
+
+    # CDF at v1: 3 deletes (matched originals) + 5 inserts (source);
+    # the 57 neighbors emit nothing. Fold == snapshot.
+    ch = tmp_table.changes(v1, v1)
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in ch.groupBy("_change_type").agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert by_type == {"delete": 3, "insert": 5}
+    cols = [c for c in ch.columns if not c.startswith("_")]
+    fold = (
+        tmp_table.changes(0)
+        .groupBy(*cols)
+        .agg(
+            F.sum(
+                F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+            ).alias("net")
+        )
+        .filter(F.col("net") > 0)
+        .drop("net")
+    )
+    assert _canon(fold) == _canon(tmp_table.read())
+
+    # empty source: no-op, no commit
+    empty = source.filter(F.lit(False))
+    assert tmp_table.merge(empty, keys=["order_id"], use_dv=True) is None
+    assert tmp_table.snapshot().version == v1
+
+    # the streamed feed agrees with the batch feed across DV DML
+    from ecommerce_lakehouse_platform_spark.streaming.cdf_source import (
+        read_cdf_stream,
+    )
+
+    base = os.path.dirname(tmp_table.path)
+    q = (
+        read_cdf_stream(spark, tmp_table.path)
+        .writeStream.format("parquet")
+        .option("path", os.path.join(base, "events"))
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(os.path.join(base, "events"))
+    assert _canon(got) == _canon(tmp_table.changes(0))

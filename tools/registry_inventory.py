@@ -52,6 +52,27 @@ PYTEST_ONLY = [
         "tests/test_deltalog.py::test_deletion_vectors_delete_without_rewrite",
     ),
     (
+        "DV-backed UPDATE (matched positions die under a sidecar, "
+        "rewritten rows append in the same commit — zero file "
+        "rewrites; CDF delete+insert; constraints gate)",
+        "ecommerce_lakehouse_platform_spark/sources/deltalog.py",
+        "tests/test_deltalog.py::test_dv_update_without_rewrite",
+    ),
+    (
+        "DV-backed MERGE (stats-pruned match discovery, source lands "
+        "as new files, neighbors emit no CDF events; streamed feed "
+        "== batch feed)",
+        "ecommerce_lakehouse_platform_spark/sources/deltalog.py",
+        "tests/test_deltalog.py::test_dv_merge_upsert_without_rewrite",
+    ),
+    (
+        "CDF streaming admission control (maxVersionsPerTrigger "
+        "bounded micro-batch drains) + expiry-safe resume guards",
+        "ecommerce_lakehouse_platform_spark/streaming/cdf_source.py",
+        "tests/test_cdf_stream_source.py::"
+        "test_max_versions_per_trigger_bounds_batches",
+    ),
+    (
         "DESCRIBE DETAIL (metadata-only table profile)",
         "ecommerce_lakehouse_platform_spark/sources/deltalog.py",
         "tests/test_deltalog.py::test_describe_detail",
