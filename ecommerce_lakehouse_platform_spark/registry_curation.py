@@ -660,21 +660,37 @@ def ext_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Multimodal → vector bridge: decode payloads, then similarity search
 # ---------------------------------------------------------------------------
 
+# md5-chain pixel hex for the real-PGM embed query: a 12×8 raster is
+# 96 pixel bytes = 6 md5 blocks per document, mirrored verbatim in the
+# oracle (duckdb md5() emits lowercase hex).
+_PGM_EMBED_BLOCKS = " || ".join(
+    f"md5(CAST(doc_id AS VARCHAR) || ':pgm{i}')" for i in range(6)
+)
+
+
 @query(
     "ext_media_embed_topk",
     oracle=f"""
-    WITH pay AS (SELECT doc_id AS media_id, encode(text) AS p FROM documents),
-    bl AS (
+    WITH m AS (
+      SELECT doc_id AS media_id, {_PGM_EMBED_BLOCKS} AS pix
+      FROM documents
+    ),
+    px AS (
       SELECT media_id,
-        list_transform(range(1, octet_length(p)+1),
-                       i -> CAST(('0x' || substr(hex(p), 2*i-1, 2)) AS BIGINT)) AS bytes
-      FROM pay
+        list_transform(range(0, 96), i ->
+          (strpos('0123456789abcdef',
+                  substring(pix, CAST(i AS BIGINT) * 2 + 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef',
+                    substring(pix, CAST(i AS BIGINT) * 2 + 2, 1)) - 1)
+        ) AS vals
+      FROM m
     ),
     feat AS (
       SELECT media_id,
         list_transform(range(0, 8), j ->
-          CAST(len(list_filter(bytes, b -> b % 8 = j)) AS DOUBLE) / len(bytes)) AS f
-      FROM bl
+          CAST(len(list_filter(vals, v -> v // 32 = j)) AS DOUBLE) / 96.0
+        ) AS f
+      FROM px
     ),
     scored AS (
       SELECT q.media_id AS query_id, c.media_id AS neighbor_id,
@@ -690,18 +706,22 @@ def ext_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ext_media_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end multimodal pipeline: opaque binary payloads →
-    Arrow-batched mapInPandas decode (the stubbed codec's byte-
-    histogram feature head) → exact cosine top-5 over the decoded
-    feature vectors. Proves the full plumbing — binary column, Pandas
-    UDF batch shape, array<double> feature handoff, broadcast top-k —
-    under the oracle: the fake decode is integer byte counts + one
-    IEEE division, so the Python-side features are bit-identical to
-    the SQL reconstruction (hex-domain byte extraction in DuckDB)."""
-    from .multimodal.binary import attach_binary_payload, decode_media
+    """End-to-end multimodal pipeline on the REAL codec path
+    (``fake=False``, r10 — previously the byte-histogram stand-in):
+    build a genuine 12×8 binary PGM per document JVM-side (md5-chain
+    pixel bytes under the canonical netpbm header —
+    attach_pgm_payload), decode it with the real netpbm codec through
+    Arrow mapInPandas into pixel-value histogram features (bin =
+    value // 32, density = count/96 — one IEEE division), then exact
+    cosine top-5 over the decoded features. The oracle replays the
+    SAME pixels from the md5 chain in the hex domain (like
+    ext_media_frames), so the header parse, raster decode, feature
+    head, and broadcast top-k all sit on the value-checked path —
+    bit-exact across engines."""
+    from .multimodal.binary import attach_pgm_payload, decode_media
 
     docs = _t(spark, sf_dir, "documents")
-    decoded = decode_media(attach_binary_payload(docs), fake=True).select(
+    decoded = decode_media(attach_pgm_payload(docs), fake=False).select(
         "media_id", "feature"
     )
     queries_df = decoded.filter(F.col("media_id") < 10)
