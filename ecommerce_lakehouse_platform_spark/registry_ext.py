@@ -1243,9 +1243,15 @@ def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.cluster import dedup_clusters
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = neardup.ngram_jaccard_pairs(docs, threshold=0.2).select(
-        "doc_a", "doc_b"
-    )
+    # materialize=True: the pair relation is consumed TWICE by the
+    # component step (the symmetrizing union references it in both
+    # branches) — an eager checkpoint runs the capped-shingle joins
+    # once instead of twice, and releases the shingle-group cache
+    # before the join-heavy CC stage (r10: 6.8s → 4.4s at sf0.1
+    # together with the bounded union-find fast path)
+    pairs = neardup.ngram_jaccard_pairs(
+        docs, threshold=0.2, materialize=True
+    ).select("doc_a", "doc_b")
     return dedup_clusters(
         docs.select("doc_id"), pairs, id_col="doc_id"
     ).select("doc_id", "cluster_id", "is_canonical")

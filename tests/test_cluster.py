@@ -17,21 +17,29 @@ def _cc_dict(df):
     return {r["node"]: r["component"] for r in df.collect()}
 
 
+# both execution paths must give the identical relation: 0 forces the
+# distributed pointer-jumping loop, the default takes the bounded
+# driver union-find fast path on graphs this small
+_PATHS = [0, 1 << 20]
+
+
 def test_chain_collapses_to_min(spark):
     # 10-node path 0-1-2-...-9: diameter 9, one component
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(9)], "src long, dst long"
     )
-    got = _cc_dict(connected_components(edges))
-    assert got == {i: 0 for i in range(10)}
+    for limit in _PATHS:
+        got = _cc_dict(connected_components(edges, small_graph_limit=limit))
+        assert got == {i: 0 for i in range(10)}, limit
 
 
 def test_multiple_components_and_unordered_edges(spark):
     edges = spark.createDataFrame(
         [(7, 3), (3, 9), (20, 11), (5, 5)], "src long, dst long"
     )
-    got = _cc_dict(connected_components(edges))
-    assert got == {3: 3, 7: 3, 9: 3, 11: 11, 20: 11, 5: 5}
+    for limit in _PATHS:
+        got = _cc_dict(connected_components(edges, small_graph_limit=limit))
+        assert got == {3: 3, 7: 3, 9: 3, 11: 11, 20: 11, 5: 5}, limit
 
 
 def test_pointer_jumping_converges_fast(spark):
@@ -40,7 +48,9 @@ def test_pointer_jumping_converges_fast(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(39)], "src long, dst long"
     )
-    got = _cc_dict(connected_components(edges, max_iter=8))
+    got = _cc_dict(
+        connected_components(edges, max_iter=8, small_graph_limit=0)
+    )
     assert set(got.values()) == {0}
 
 
@@ -88,12 +98,14 @@ def test_random_graphs_match_union_find(spark):
             for _ in range(n_edges)
         ]
         want = _union_find_components(edges)
-        got = _cc_dict(
-            connected_components(
-                spark.createDataFrame(edges, "src long, dst long")
+        for limit in _PATHS:
+            got = _cc_dict(
+                connected_components(
+                    spark.createDataFrame(edges, "src long, dst long"),
+                    small_graph_limit=limit,
+                )
             )
-        )
-        assert got == want, (seed, got, want)
+            assert got == want, (seed, limit, got, want)
 
 
 def test_dedup_clusters_singletons_and_canonical(spark):
