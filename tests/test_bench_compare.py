@@ -73,3 +73,49 @@ def test_per_query_sentinels_nearest_sample():
 
 def test_per_query_sentinels_absent_series():
     assert per_query_sentinels({"queries": {"a": 1.0}}) is None
+
+
+def test_flag_for_requeue_synthetic_contamination():
+    """bench.py's auto-requeue decision: a query 2x slower RAW under a
+    2x-higher ambient sentinel normalizes to ~1.0 and must NOT flag
+    (uniform weather); a query 2x slower under a FLAT sentinel is a
+    genuine outlier and must flag — the exact r9 false-positive /
+    true-positive split, decided from the artifacts alone."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(ROOT, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    prior = {
+        "sf": 0.1,
+        "sentinel_sec": 0.4,
+        "sentinel_series": [{"pos": 0, "sec": 0.4}],
+        "queries": {"q_noise": 1.0, "q_slow": 1.0, "q_ok": 2.0},
+    }
+    # current run: ambient doubled at the start (sentinel 0.8 covers
+    # q_noise), back to 0.4 for the rest
+    series = [{"pos": 0, "sec": 0.8}, {"pos": 1, "sec": 0.4}]
+    timings = {"q_noise": 2.0, "q_slow": 2.0, "q_ok": 2.1}
+    flagged = bench.flag_for_requeue(prior, timings, series, sf=0.1)
+    assert [n for n, _ in flagged] == ["q_slow"]
+    assert flagged[0][1] == pytest.approx(2.0, abs=0.01)
+
+    # no comparable prior: different sf, or missing → nothing flags
+    assert bench.flag_for_requeue(None, timings, series, sf=0.1) == []
+    assert (
+        bench.flag_for_requeue(
+            {**prior, "sf": 1.0}, timings, series, sf=0.1
+        )
+        == []
+    )
+
+    # no series on either side: raw-ratio fallback still catches the
+    # outlier (and the tool cannot mistake weather for regression —
+    # it just retries more, which is the safe direction)
+    flagged_raw = bench.flag_for_requeue(
+        {"sf": 0.1, "queries": {"q": 1.0}}, {"q": 1.8}, [], sf=0.1
+    )
+    assert flagged_raw == [("q", 1.8)]
