@@ -153,6 +153,12 @@ class MiniDeltaCDFStreamReader(DataSourceStreamReader):
         # identical schema serialized with a different key order by
         # another writer must not kill the stream)
         self._pinned_schema = snap.schema
+        # full OUTPUT schema (table + CDF columns) shipped with each
+        # partition spec: executors rebuild the exact Arrow schema the
+        # engine expects and emit RecordBatches directly
+        self._out_schema_json = T.StructType(
+            list(snap.schema) + _CDF_COLS
+        ).json()
         # incremental planning cache: DV state as of a fully-planned
         # version, so sequential micro-batches replay only THEIR
         # range instead of the whole retained log each time (a
@@ -350,6 +356,7 @@ class MiniDeltaCDFStreamReader(DataSourceStreamReader):
                         "dv": dv_ref(path, dv),
                         "dv_old": dv_ref(path, dv_old),
                         "cols": self._cols,
+                        "schema": self._out_schema_json,
                         # partition values in the hive string domain:
                         # adds carry them in the log; removes recover
                         # them from the hive path
@@ -436,20 +443,65 @@ class MiniDeltaCDFStreamReader(DataSourceStreamReader):
             table = table.take(
                 sorted(i for i in delta if i < table.num_rows)
             )
-        change = spec["change"]
-        version = spec["version"]
+        # emit Arrow RecordBatches directly (the DataSource API's
+        # batch path, SPARK-48493): the whole partition stays
+        # columnar from the parquet read to the engine — NO Python
+        # row loop at any point, ~row-count-independent Python cost
+        import json as _json
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(
+            T.StructType.fromJson(_json.loads(spec["schema"]))
+        )
         ts = datetime.fromtimestamp(
             spec["ts_ms"] / 1000.0, tz=timezone.utc
         )
         n = table.num_rows
-        cols = [
-            [retype(pv.get(l), t)] * n
-            if part
-            else table.column(p).to_pylist()
-            for p, l, t, part in spec["cols"]
-        ]
-        for row in zip(*cols) if cols else []:
-            yield (*row, change, version, ts)
+        arrays, names = [], []
+        for p, l, t, part in spec["cols"]:
+            ftype = target.field(l).type
+            if part:
+                value = retype(pv.get(l), t)
+                arrays.append(
+                    pa.nulls(n, type=ftype)
+                    if value is None
+                    else pa.repeat(pa.scalar(value, type=ftype), n)
+                )
+            else:
+                # physical→logical rename + cast to the engine's
+                # expected arrow type (parquet may differ, e.g.
+                # timestamp units)
+                arrays.append(table.column(p).cast(ftype))
+            names.append(l)
+        arrays.append(
+            pa.repeat(
+                pa.scalar(
+                    spec["change"], type=target.field("_change_type").type
+                ),
+                n,
+            )
+        )
+        arrays.append(
+            pa.repeat(
+                pa.scalar(
+                    spec["version"],
+                    type=target.field("_commit_version").type,
+                ),
+                n,
+            )
+        )
+        arrays.append(
+            pa.repeat(
+                pa.scalar(
+                    ts, type=target.field("_commit_timestamp").type
+                ),
+                n,
+            )
+        )
+        names += ["_change_type", "_commit_version", "_commit_timestamp"]
+        out = pa.table(arrays, names=names).cast(target)
+        yield from out.to_batches(max_chunksize=1 << 16)
 
 
 class MiniDeltaCDFDataSource(DataSource):
