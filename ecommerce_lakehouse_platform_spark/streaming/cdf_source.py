@@ -20,10 +20,11 @@ Execution shape, designed for the API's split:
   DV-carrying file excludes the already-deleted rows. No data is
   touched on the driver.
 * EXECUTORS (``read``): each partition reads ITS one parquet file
-  with pyarrow (Arrow-native, no Python row loop until emission),
-  applies its DV position mask by file row index, and yields rows in
-  the stream's logical column order — column mapping's
-  physical→logical rename included.
+  with pyarrow, applies its DV position mask by file row index, and
+  emits Arrow RecordBatches directly (the DataSource API's batch
+  path) in the stream's logical column order — column mapping's
+  physical→logical rename included. The partition stays columnar
+  from file to engine: NO Python row loop at any point.
 
 Partitioned tables stream too: each partition's values come from
 the LOG (the add action's ``partitionValues``; removes recover them
