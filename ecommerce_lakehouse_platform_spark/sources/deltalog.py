@@ -2898,17 +2898,89 @@ class MiniDeltaTable:
         only; nulls cluster at bucket 0). Still ``dataChange=false`` —
         a re-clustered table is the same table."""
         snap = self.snapshot()
-        groups: dict[tuple, list[dict[str, Any]]] = {}
-        for rel in sorted(snap.files):
-            add = snap.files[rel]
-            key = tuple(sorted((add.get("partitionValues") or {}).items()))
-            groups.setdefault(key, []).append(add)
+        groups = self._partition_file_groups(snap)
         if zorder_by:
             targets = [adds for adds in groups.values() if adds]
         else:
             targets = [adds for adds in groups.values() if len(adds) > 1]
         if not targets:
             return None
+        return self._compact_rewrite(
+            snap,
+            targets,
+            max_file_bytes,
+            zorder_by,
+            operation="OPTIMIZE",
+            parameters={
+                "targetSize": str(max_file_bytes),
+                "zOrderBy": json.dumps(list(zorder_by or [])),
+            },
+        )
+
+    def reorg_purge(self, max_file_bytes: int = 128 << 20) -> int | None:
+        """``REORG TABLE ... APPLY (PURGE)``: rewrite ONLY the active
+        files that carry deletion vectors, physically materializing
+        the soft deletes — the rewritten files have no ``deletionVector``
+        descriptor and the dead rows are gone from disk (the real
+        command's contract; delta-io PROTOCOL.md "Deletion Vectors").
+        Files without a DV are untouched, so the cost is proportional
+        to the DV-carrying byte volume, not the table. Committed as
+        paired remove/add with ``dataChange=false`` — DV'd rows were
+        already logically deleted, so history, time travel, and the
+        change feed all see a no-op — and the superseded ``_dv/``
+        sidecars become reclaimable by :meth:`vacuum`. Returns the
+        committed version, or None when no active file carries a DV.
+
+        Completes the DV lifecycle: DELETE/UPDATE/MERGE with
+        ``use_dv=True`` write positions cheaply at DML time; this
+        command amortizes the physical rewrite to a maintenance
+        window. (OPTIMIZE also materializes DVs, but rewrites every
+        multi-file partition; PURGE touches only what a DV taints.)
+        """
+        snap = self.snapshot()
+        groups = self._partition_file_groups(
+            snap, keep=lambda a: bool(a.get("deletionVector"))
+        )
+        targets = [adds for adds in groups.values() if adds]
+        if not targets:
+            return None
+        return self._compact_rewrite(
+            snap,
+            targets,
+            max_file_bytes,
+            None,
+            operation="REORG",
+            parameters={"applyPurge": "true"},
+        )
+
+    @staticmethod
+    def _partition_file_groups(
+        snap: Snapshot, keep=None
+    ) -> dict[tuple, list[dict[str, Any]]]:
+        """Active files grouped by partition values (deterministic
+        order), optionally filtered by ``keep(add)``."""
+        groups: dict[tuple, list[dict[str, Any]]] = {}
+        for rel in sorted(snap.files):
+            add = snap.files[rel]
+            if keep is not None and not keep(add):
+                continue
+            key = tuple(sorted((add.get("partitionValues") or {}).items()))
+            groups.setdefault(key, []).append(add)
+        return groups
+
+    def _compact_rewrite(
+        self,
+        snap: Snapshot,
+        targets: list[list[dict[str, Any]]],
+        max_file_bytes: int,
+        zorder_by: list[str] | None,
+        operation: str,
+        parameters: dict[str, Any],
+    ) -> int:
+        """Shared rewrite core for OPTIMIZE and REORG(PURGE): read the
+        victim files through their deletion vectors, re-bin to
+        ~``max_file_bytes`` (or the Z-order layout), and commit the
+        swap as ``dataChange=false`` remove/add pairs."""
         victim_rels = [a["path"] for adds in targets for a in adds]
         total = sum(a.get("size") or 0 for adds in targets for a in adds)
 
@@ -3008,11 +3080,8 @@ class MiniDeltaTable:
             {
                 "commitInfo": {
                     "timestamp": now_ms,
-                    "operation": "OPTIMIZE",
-                    "operationParameters": {
-                        "targetSize": str(max_file_bytes),
-                        "zOrderBy": json.dumps(list(zorder_by or [])),
-                    },
+                    "operation": operation,
+                    "operationParameters": parameters,
                 }
             }
         ]

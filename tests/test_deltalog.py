@@ -2086,3 +2086,118 @@ def test_dv_merge_upsert_without_rewrite(spark, tmp_table):
     q.awaitTermination(120)
     got = spark.read.parquet(os.path.join(base, "events"))
     assert _canon(got) == _canon(tmp_table.changes(0))
+
+
+def test_reorg_purge_materializes_dvs(spark, tmp_table):
+    """reorg_purge() — REORG TABLE ... APPLY (PURGE): only the
+    DV-carrying files are rewritten (clean neighbors keep their exact
+    add entries), the rewritten files carry no descriptor and the
+    dead rows are physically gone from disk, the commit is
+    dataChange=false (invisible to the change feed), time travel
+    still sees the pre-delete rows, a second purge is a no-op, and
+    vacuum reclaims both the superseded files and the _dv sidecars."""
+    orders = _orders(spark).limit(60).localCheckpoint(eager=True)
+    ids = sorted(r["order_id"] for r in orders.collect())
+    tmp_table.write(orders.repartitionByRange(4, "order_id"))
+    files_v0 = set(tmp_table.snapshot().files)
+
+    # ids[:5] sort lowest -> they land in ONE range file; the other
+    # three files stay DV-free
+    v1 = tmp_table.delete(F.col("order_id").isin(ids[:5]), use_dv=True)
+    snap1 = tmp_table.snapshot()
+    dv_files = {
+        rel for rel, a in snap1.files.items() if a.get("deletionVector")
+    }
+    clean_files = files_v0 - dv_files
+    assert dv_files and clean_files, "fixture must mix DV and clean files"
+    before = _canon(tmp_table.read())
+
+    v2 = tmp_table.reorg_purge()
+    assert v2 == v1 + 1
+    info = next(h for h in tmp_table.history() if h["version"] == v2)
+    assert info["operation"] == "REORG"
+    assert info["operationParameters"] == {"applyPurge": "true"}
+
+    snap2 = tmp_table.snapshot()
+    assert not any(
+        a.get("deletionVector") for a in snap2.files.values()
+    ), "purge must leave no deletion vectors"
+    assert clean_files <= set(snap2.files), "clean files must not be touched"
+    assert not dv_files & set(snap2.files), "tainted files must be replaced"
+    assert _canon(tmp_table.read()) == before
+
+    # physically gone: the RAW parquet of the new layout (no DV
+    # anti-join) already excludes the deleted rows
+    raw = spark.read.parquet(
+        *(os.path.join(tmp_table.path, r) for r in snap2.files)
+    )
+    assert raw.count() == 55
+
+    # dataChange=false: the feed sees nothing at v2; fold == snapshot
+    assert tmp_table.changes(v2, v2).count() == 0
+    cols = [c for c in tmp_table.read().columns]
+    fold = (
+        tmp_table.changes(0)
+        .groupBy(*cols)
+        .agg(
+            F.sum(
+                F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+            ).alias("net")
+        )
+        .filter(F.col("net") > 0)
+        .drop("net")
+    )
+    assert _canon(fold) == _canon(tmp_table.read())
+
+    # time travel: v0 still has all 60 rows, v1 the DV-masked 55
+    assert tmp_table.read(version=0).count() == 60
+    assert tmp_table.read(version=v1).count() == 55
+
+    # idempotent: nothing left to purge
+    assert tmp_table.reorg_purge() is None
+    assert tmp_table.snapshot().version == v2
+
+    # vacuum reclaims the replaced data files AND the orphaned sidecar
+    removed = set(tmp_table.vacuum())
+    assert dv_files <= removed
+    assert any(r.startswith("_dv/") for r in removed)
+    assert _canon(tmp_table.read()) == before
+
+
+def test_reorg_purge_partitioned_and_whole_file_dead(spark, tmp_table):
+    """Partitioned table: purge rewrites only the partitions whose
+    files carry DVs; a file whose EVERY row is dead disappears from
+    the layout (remove committed, nothing re-added for it)."""
+    orders = _orders(spark).limit(40).localCheckpoint(eager=True)
+    rows = orders.collect()
+    sts = sorted({r["status"] for r in rows})
+    assert len(sts) >= 2
+    kill_st = sts[0]
+    kill_n = sum(1 for r in rows if r["status"] == kill_st)
+    tmp_table.write(orders, partition_by=["status"])
+    files_v0 = set(tmp_table.snapshot().files)
+
+    # kill EVERY row of one partition's file(s) + nothing else
+    v1 = tmp_table.delete(F.col("status") == kill_st, use_dv=True)
+    assert v1 == 1
+    before = _canon(tmp_table.read())
+    assert tmp_table.read().count() == 40 - kill_n
+
+    v2 = tmp_table.reorg_purge()
+    snap2 = tmp_table.snapshot()
+    assert not any(a.get("deletionVector") for a in snap2.files.values())
+    # the fully-dead partition leaves the layout entirely
+    assert not any(
+        a.get("partitionValues", {}).get("status") == kill_st
+        for a in snap2.files.values()
+    )
+    # untouched partitions keep their original files verbatim
+    untouched_v0 = {
+        rel
+        for rel in files_v0
+        if f"status={kill_st}" not in rel
+    }
+    assert untouched_v0 <= set(snap2.files)
+    assert _canon(tmp_table.read()) == before
+    assert tmp_table.changes(v2, v2).count() == 0
+    assert tmp_table.read(version=0).count() == 40
