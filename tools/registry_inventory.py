@@ -73,6 +73,14 @@ PYTEST_ONLY = [
         "test_max_versions_per_trigger_bounds_batches",
     ),
     (
+        "REORG TABLE APPLY (PURGE) — materialize deletion vectors by "
+        "rewriting only the DV-carrying files (clean neighbors keep "
+        "their add entries verbatim, fully-dead files leave the "
+        "layout, dataChange=false, vacuum reclaims the sidecars)",
+        "ecommerce_lakehouse_platform_spark/sources/deltalog.py",
+        "tests/test_deltalog.py::test_reorg_purge_materializes_dvs",
+    ),
+    (
         "DESCRIBE DETAIL (metadata-only table profile)",
         "ecommerce_lakehouse_platform_spark/sources/deltalog.py",
         "tests/test_deltalog.py::test_describe_detail",
