@@ -370,12 +370,22 @@ def main() -> None:
     # readings are recorded, and the headline median takes the better
     # one (if the retry is faster, the first reading was weather, not
     # the plan — exactly the r9 dash_sales_overview false flag)
+    # subset runs (SPARK_GRAFT_QUERIES) write their detail to a side
+    # file: clobbering BENCH_DETAIL.json with a 3-query probe would
+    # silently disable the requeue comparison for every other query
+    # on the next full run (the prior would simply lack their keys)
+    detail_name = (
+        "BENCH_DETAIL_SUBSET.json" if subset else "BENCH_DETAIL.json"
+    )
     detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), detail_name
+    )
+    prior_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
     prior = None
     try:
-        with open(detail_path, encoding="utf-8") as fh:
+        with open(prior_path, encoding="utf-8") as fh:
             prior = json.load(fh)
     except (OSError, json.JSONDecodeError):
         pass
@@ -449,7 +459,7 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "sentinel_sec": sentinel_med,
-                "detail": "BENCH_DETAIL.json",
+                "detail": detail_name,
             }
         )
     )
