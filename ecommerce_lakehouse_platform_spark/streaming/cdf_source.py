@@ -54,7 +54,14 @@ the cap can never report an offset behind the committed one. Under
 ``Trigger.AvailableNow`` (which the engine downgrades to a single
 batch for Python sources) a capped run processes only N versions and
 terminates; the remainder drains on the next run — the documented
-trade of pairing the two options.
+trade of pairing the two options. ``maxBytesPerTrigger`` ('k'/'m'/'g'
+suffixes accepted) is the byte-denominated companion: the reported
+offset stops before the version that would push the admitted
+dataChange add-file bytes over the cap, always admitting at least
+one version so an oversized commit passes alone instead of wedging
+the stream. Both caps compose — the stricter wins per trigger. The
+accounting is driver-side log metadata only (commit JSON, no data
+files touched), mirroring Delta's own soft-max semantics.
 
 Register once per session with :func:`register_cdf_source`; the
 format name is ``minidelta_cdf``. ``startingVersion`` accepts a
@@ -97,6 +104,30 @@ class _CDFPartition(InputPartition):
         self.spec = spec
 
 
+def _parse_bytes(raw: str) -> int:
+    """'10485760' | '10k' | '50m' | '1g' → bytes (Delta's
+    maxBytesPerTrigger accepts the same suffixed forms)."""
+    s = str(raw).strip().lower()
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}.get(s[-1:], None)
+    if mult is not None:
+        s = s[:-1]
+    return int(s) * (mult or 1)
+
+
+def _version_add_bytes(tbl, version: int) -> int:
+    """One commit's admitted byte cost: the sum of its dataChange add
+    actions' file sizes — what the batch will actually scan for
+    insert events (delete events re-read removed files, but remove
+    actions don't log a size; counting add bytes mirrors Delta's own
+    streaming-source accounting and keeps the cap a soft maximum)."""
+    total = 0
+    for a in tbl._read_actions(version):
+        add = a.get("add")
+        if add and add.get("dataChange", True):
+            total += int(add.get("size") or 0)
+    return total
+
+
 class MiniDeltaCDFStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict[str, str], schema: T.StructType):
         # the engine lower-cases DataSource option keys: accept both
@@ -122,6 +153,14 @@ class MiniDeltaCDFStreamReader(DataSourceStreamReader):
         if self._max_versions is not None and self._max_versions < 1:
             raise ValueError(
                 f"maxVersionsPerTrigger must be >= 1, got {raw_max}"
+            )
+        raw_bytes = opts.get("maxbytespertrigger")
+        self._max_bytes = (
+            None if raw_bytes is None else _parse_bytes(raw_bytes)
+        )
+        if self._max_bytes is not None and self._max_bytes < 1:
+            raise ValueError(
+                f"maxBytesPerTrigger must be >= 1, got {raw_bytes!r}"
             )
         # admission-control anchor: the highest offset this reader has
         # planned or committed. Seeds from startingVersion (fresh
@@ -200,17 +239,37 @@ class MiniDeltaCDFStreamReader(DataSourceStreamReader):
         return {"version": self._starting - 1}
 
     def latestOffset(self) -> dict:
-        versions = _log_table(self._path).versions()
+        tbl = _log_table(self._path)
+        versions = tbl.versions()
         latest = versions[-1]
-        if self._max_versions is None:
+        if self._max_versions is None and self._max_bytes is None:
             return {"version": latest}
-        # advance at most N RETAINED versions past the anchor — the
-        # admission-control contract; returning the anchor itself
-        # (offset unchanged) means "no new data this trigger"
+        # advance at most N RETAINED versions / B added bytes past the
+        # anchor — the admission-control contract; returning the
+        # anchor itself (offset unchanged) means "no new data this
+        # trigger"
         pending = [v for v in versions if v > self._anchor]
         if not pending:
             return {"version": max(self._anchor, latest)}
-        return {"version": pending[: self._max_versions][-1]}
+        if self._max_versions is not None:
+            pending = pending[: self._max_versions]
+        if self._max_bytes is not None:
+            # SOFT byte cap, Delta's maxBytesPerTrigger semantics: the
+            # batch always admits at least one version (the stream
+            # must progress past an oversized commit), then stops
+            # BEFORE the version that would push the admitted
+            # dataChange add-file bytes over the cap. Driver-side log
+            # metadata only — commits' JSON is parsed, no data read.
+            admitted = 0
+            cut = 1
+            for i, v in enumerate(pending):
+                cost = _version_add_bytes(tbl, v)
+                if i > 0 and admitted + cost > self._max_bytes:
+                    break
+                admitted += cost
+                cut = i + 1
+            pending = pending[:cut]
+        return {"version": pending[-1]}
 
     def commit(self, end: dict) -> None:
         # offsets are the durable state; nothing to release — but the
@@ -536,11 +595,16 @@ def read_cdf_stream(
     path: str,
     starting_version: int | str = 0,
     max_versions_per_trigger: int | None = None,
+    max_bytes_per_trigger: int | str | None = None,
 ):
     """``readStream`` handle over the table's change feed;
     ``starting_version`` is a version number or ``"latest"``;
     ``max_versions_per_trigger`` bounds how many log versions one
-    micro-batch may span (admission control for backlog drains)."""
+    micro-batch may span; ``max_bytes_per_trigger`` (int or a
+    'k'/'m'/'g'-suffixed string) soft-caps the admitted dataChange
+    add-file bytes per micro-batch — at least one version always
+    admits, so an oversized commit passes alone rather than wedging
+    the stream. Both caps compose (the stricter wins per trigger)."""
     register_cdf_source(spark)
     reader = spark.readStream.format("minidelta_cdf").option(
         "startingVersion", str(starting_version)
@@ -548,5 +612,9 @@ def read_cdf_stream(
     if max_versions_per_trigger is not None:
         reader = reader.option(
             "maxVersionsPerTrigger", str(max_versions_per_trigger)
+        )
+    if max_bytes_per_trigger is not None:
+        reader = reader.option(
+            "maxBytesPerTrigger", str(max_bytes_per_trigger)
         )
     return reader.load(path)

@@ -429,3 +429,85 @@ def test_clone_absolute_dv_refs_stream(spark, base):
     # 90 surviving rows stream as inserts; the 10 DV-dead ones don't
     assert got.filter(F.col("_change_type") == "insert").count() == 90
     assert _canon(got) == _canon(clone.changes(0))
+
+
+def test_max_bytes_per_trigger_soft_caps_batches(spark, base):
+    """maxBytesPerTrigger: batches stop before the version that would
+    exceed the admitted add-byte cap, a tiny cap still admits one
+    version per batch (the >=1 floor — an oversized commit must pass
+    alone, not wedge the stream), both caps compose, and the union of
+    all batches equals batch ``changes(0)`` exactly."""
+    t = MiniDeltaTable(spark, os.path.join(base, "t"))
+    df = spark.range(0, 40).select(
+        F.col("id").cast("string").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    for i in range(4):  # v0..v3, one small file each
+        t.write(df.limit(10 + i), mode="append" if i else "overwrite")
+    sizes = [
+        sum(
+            int(a["add"]["size"])
+            for a in t._read_actions(v)
+            if "add" in a
+        )
+        for v in range(4)
+    ]
+    assert all(s > 0 for s in sizes)
+
+    def drain(reader, name):
+        batches: list[list[int]] = []
+
+        def sink(bdf, _bid):
+            vs = sorted(
+                {r["_commit_version"] for r in bdf.collect()}
+            )
+            if vs:
+                batches.append(vs)
+
+        q = (
+            reader.writeStream.foreachBatch(sink)
+            .option(
+                "checkpointLocation", os.path.join(base, f"ckpt_{name}")
+            )
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return batches
+
+    # cap = v0+v1 bytes: batch 1 admits {0,1} (v2 would exceed),
+    # batch 2 admits {2,3} iff they fit, else {2} then {3}
+    cap = sizes[0] + sizes[1]
+    got = drain(
+        read_cdf_stream(spark, t.path, max_bytes_per_trigger=cap), "two"
+    )
+    assert got[0] == [0, 1], got
+    assert [v for vs in got for v in vs] == [0, 1, 2, 3]
+
+    # 1-byte cap: every batch is exactly one version (the >=1 floor)
+    got1 = drain(
+        read_cdf_stream(spark, t.path, max_bytes_per_trigger=1), "one"
+    )
+    assert got1 == [[0], [1], [2], [3]], got1
+
+    # compose with maxVersionsPerTrigger: a huge byte cap but N=1
+    # still drains version-at-a-time (the stricter cap wins)
+    gotc = drain(
+        read_cdf_stream(
+            spark,
+            t.path,
+            max_versions_per_trigger=1,
+            max_bytes_per_trigger="1g",
+        ),
+        "both",
+    )
+    assert gotc == [[0], [1], [2], [3]], gotc
+
+    # suffix parsing (unit check, no stream)
+    from ecommerce_lakehouse_platform_spark.streaming.cdf_source import (
+        _parse_bytes,
+    )
+
+    assert _parse_bytes("10k") == 10 << 10
+    assert _parse_bytes("50m") == 50 << 20
+    assert _parse_bytes("1g") == 1 << 30
+    assert _parse_bytes("123") == 123

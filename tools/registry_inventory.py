@@ -66,8 +66,9 @@ PYTEST_ONLY = [
         "tests/test_deltalog.py::test_dv_merge_upsert_without_rewrite",
     ),
     (
-        "CDF streaming admission control (maxVersionsPerTrigger "
-        "bounded micro-batch drains) + expiry-safe resume guards",
+        "CDF streaming admission control (maxVersionsPerTrigger + "
+        "soft maxBytesPerTrigger with a >=1-version floor, composing) "
+        "+ expiry-safe resume guards",
         "ecommerce_lakehouse_platform_spark/streaming/cdf_source.py",
         "tests/test_cdf_stream_source.py::"
         "test_max_versions_per_trigger_bounds_batches",
