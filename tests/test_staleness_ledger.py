@@ -108,3 +108,37 @@ def test_ledger_statuses_parse(ledger):
     for name, (rnd, status) in ledger.items():
         assert isinstance(rnd, int) and rnd >= 1
         assert status in ("green", "rows-only")
+
+
+def test_plan_next_window_forced_and_fill():
+    """plan_next_window: the forced set is exactly the keys whose
+    projected newest green would sit BELOW the tripwire bound when
+    the next window is staged (never-green first), the fill takes the
+    oldest projected greens, and a key inside the current window is
+    projected green THIS round (so it is never forced next round)."""
+    from staleness_ledger import plan_next_window
+
+    queries = ["never", "old", "edge", "fresh", "windowed"]
+    window = ["windowed", "fresh"]
+    # latest recorded round = 9 → current window runs in r10, planning
+    # the r11 window: breach bound at r11 is newest < 8
+    newest = {
+        "old": (7, "green"),     # r7 → below bound at r11 → forced
+        "edge": (8, "green"),    # r8 → AT the bound at r11 → fill
+        "fresh": (9, "green"),
+        "windowed": (6, "green"),  # stale but in current window → r10
+    }
+    # "never" has no green row and sits OUTSIDE the current window →
+    # it leads the forced list
+    forced, fill = plan_next_window(newest, queries, window, 9)
+    assert forced == ["never", "old"]
+    # 2 slots, both consumed by the forced set → no fill
+    assert fill == []
+    # wider window (4 slots) that now CONTAINS "old": it projects
+    # green r10 and drops out of forced; fill is oldest-first (edge
+    # r8 before windowed/fresh/old at r10)
+    forced2, fill2 = plan_next_window(
+        newest, queries, window + ["old", "never"], 9
+    )
+    assert forced2 == []
+    assert fill2[0] == "edge"

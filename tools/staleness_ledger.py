@@ -18,7 +18,14 @@ A "green" row = rows+schema matched and the value hash matched when
 an oracle existed (``err: no_oracle`` rows are the driver's weaker
 rows-only check — counted separately, shown as ``rows-only``).
 
-Usage: python tools/staleness_ledger.py [--repo-root PATH]
+Usage: python tools/staleness_ledger.py [--repo-root PATH] [--plan]
+
+``--plan`` prints the NEXT round's forced window: assuming every key
+in the CURRENT window goes green this round, it lists the keys whose
+staleness would breach the round−3 bound next round if left out
+(they MUST occupy next-round slots), then fills the remainder
+oldest-first — the zero-slack schedule the 150 = 50×3 capacity
+invariant demands. Run it when rotating ``_DRIVER_WINDOW``.
 """
 
 from __future__ import annotations
@@ -76,12 +83,53 @@ def newest_green(rounds: dict[int, dict]) -> dict[str, tuple[int, str]]:
     return newest
 
 
+def plan_next_window(
+    newest: dict[str, tuple[int, str]],
+    queries: list[str],
+    window: list[str],
+    latest_round: int,
+) -> tuple[list[str], list[str]]:
+    """(forced, fill) for NEXT round's window, assuming the current
+    window goes green in round ``latest_round + 1`` (the round the
+    current window is staged for).
+
+    forced = keys whose projected newest-green would be ≤ next_round−3
+    when next round's window runs (breach if displaced again);
+    fill = the remaining slots, oldest projected green first, then
+    registry order for determinism.
+    """
+    this_round = latest_round + 1  # the round the current window runs in
+    next_round = this_round + 1
+    projected = {
+        n: (this_round if n in window else newest.get(n, (None,))[0])
+        for n in queries
+    }
+    cap = len(window)
+    never = [n for n in queries if projected[n] is None]
+    # the tripwire's breach condition: newest < current_round − 3 and
+    # not in the current window — so next round's MUST-carry set is
+    # exactly the keys whose projected newest would sit below that
+    # bound when next round's window is staged
+    forced = never + sorted(
+        (n for n in queries if projected[n] is not None
+         and projected[n] < next_round - 3),
+        key=lambda n: (projected[n], n),
+    )
+    rest = sorted(
+        (n for n in queries if n not in set(forced)),
+        key=lambda n: (projected[n], n),
+    )
+    fill = rest[: max(0, cap - len(forced))]
+    return forced, fill
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--repo-root",
         default=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
+    ap.add_argument("--plan", action="store_true")
     args = ap.parse_args()
 
     sys.path.insert(0, args.repo_root)
@@ -94,6 +142,47 @@ def main() -> int:
     newest = newest_green(rounds)
     latest_round = max(rounds)
     window = list(registry._DRIVER_WINDOW)
+
+    if args.plan:
+        forced, fill = plan_next_window(
+            newest, sorted(registry.QUERIES), window, latest_round
+        )
+        nxt = latest_round + 2
+        print(
+            f"planning the r{nxt} window ({len(window)} slots), assuming "
+            f"the current window goes green in r{latest_round + 1}:"
+        )
+        print(f"\nFORCED ({len(forced)}) — breach the round-3 bound if "
+              "displaced again:")
+        for n in forced:
+            rnd = newest.get(n, (None,))[0]
+            print(f"  {n} (newest green: "
+                  f"{'never' if rnd is None else f'r{rnd}'})")
+        print(f"\nFILL ({len(fill)}) — oldest projected green first:")
+        for n in fill:
+            rnd = (latest_round + 1) if n in window else newest.get(n, (None,))[0]
+            print(f"  {n} (projected newest green: r{rnd})")
+        chosen = set(forced) | set(fill)
+        edge = sorted(
+            n
+            for n in registry.QUERIES
+            if n not in chosen
+            and n not in window
+            and newest.get(n, (None,))[0] == latest_round - 1
+        )
+        if edge:
+            print(
+                f"\nDEFERRAL PRESSURE ({len(edge)}) — at the bound edge, "
+                f"FORCED the round after next:"
+            )
+            for n in edge:
+                print(f"  {n}")
+        over = len(forced) - len(window)
+        if over > 0:
+            print(f"\nVIOLATION — forced set exceeds the window by {over}: "
+                  "some keys WILL breach; re-plan the current round too")
+            return 2
+        return 0
 
     by_round: dict[object, list[str]] = {}
     for name in sorted(registry.QUERIES):
