@@ -66,6 +66,14 @@ files touched), mirroring Delta's own soft-max semantics.
 Register once per session with :func:`register_cdf_source`; the
 format name is ``minidelta_cdf``. ``startingVersion`` accepts a
 version number or ``"latest"`` (only commits after query start).
+
+A sibling format ``minidelta_stream`` (:class:`MiniDeltaTableStream
+Reader`) tails the TABLE's appended rows instead of its change feed —
+the contract of ``spark.readStream.format("delta")``: append commits
+stream, change commits raise unless ``skipChangeCommits`` /
+``ignoreDeletes``, housekeeping is invisible. It shares this module's
+offset, admission-control, expiry, schema-pin, and Arrow-emission
+machinery.
 """
 
 from __future__ import annotations
@@ -129,6 +137,8 @@ def _version_add_bytes(tbl, version: int) -> int:
 
 
 class MiniDeltaCDFStreamReader(DataSourceStreamReader):
+    _WITH_CDF_COLS = True
+
     def __init__(self, options: dict[str, str], schema: T.StructType):
         # the engine lower-cases DataSource option keys: accept both
         # spellings (a camelCase-only lookup silently ignores the
@@ -193,11 +203,13 @@ class MiniDeltaCDFStreamReader(DataSourceStreamReader):
         # identical schema serialized with a different key order by
         # another writer must not kill the stream)
         self._pinned_schema = snap.schema
-        # full OUTPUT schema (table + CDF columns) shipped with each
-        # partition spec: executors rebuild the exact Arrow schema the
-        # engine expects and emit RecordBatches directly
+        # full OUTPUT schema shipped with each partition spec:
+        # executors rebuild the exact Arrow schema the engine expects
+        # and emit RecordBatches directly. The CDF source appends the
+        # three CDF columns; the plain table source emits the table
+        # schema alone (read() keys off the fields' presence).
         self._out_schema_json = T.StructType(
-            list(snap.schema) + _CDF_COLS
+            list(snap.schema) + (_CDF_COLS if self._WITH_CDF_COLS else [])
         ).json()
         # incremental planning cache: DV state as of a fully-planned
         # version, so sequential micro-batches replay only THEIR
@@ -534,32 +546,38 @@ class MiniDeltaCDFStreamReader(DataSourceStreamReader):
                 # timestamp units)
                 arrays.append(table.column(p).cast(ftype))
             names.append(l)
-        arrays.append(
-            pa.repeat(
-                pa.scalar(
-                    spec["change"], type=target.field("_change_type").type
-                ),
-                n,
+        if target.get_field_index("_change_type") != -1:
+            # CDF mode — the plain table source's schema carries only
+            # the table columns, so these three never append there
+            arrays.append(
+                pa.repeat(
+                    pa.scalar(
+                        spec["change"],
+                        type=target.field("_change_type").type,
+                    ),
+                    n,
+                )
             )
-        )
-        arrays.append(
-            pa.repeat(
-                pa.scalar(
-                    spec["version"],
-                    type=target.field("_commit_version").type,
-                ),
-                n,
+            arrays.append(
+                pa.repeat(
+                    pa.scalar(
+                        spec["version"],
+                        type=target.field("_commit_version").type,
+                    ),
+                    n,
+                )
             )
-        )
-        arrays.append(
-            pa.repeat(
-                pa.scalar(
-                    ts, type=target.field("_commit_timestamp").type
-                ),
-                n,
+            arrays.append(
+                pa.repeat(
+                    pa.scalar(
+                        ts, type=target.field("_commit_timestamp").type
+                    ),
+                    n,
+                )
             )
-        )
-        names += ["_change_type", "_commit_version", "_commit_timestamp"]
+            names += [
+                "_change_type", "_commit_version", "_commit_timestamp",
+            ]
         out = pa.table(arrays, names=names).cast(target)
         yield from out.to_batches(max_chunksize=1 << 16)
 
@@ -584,10 +602,162 @@ class MiniDeltaCDFDataSource(DataSource):
         return MiniDeltaCDFStreamReader(dict(self.options), schema)
 
 
+class MiniDeltaTableStreamReader(MiniDeltaCDFStreamReader):
+    """``format("minidelta_stream")``: stream the TABLE (appended rows
+    only), the contract of ``spark.readStream.format("delta")`` — most
+    consumers tail the table, not its change feed.
+
+    Semantics (the real source's, public Delta docs "Table streaming
+    reads and writes"):
+
+    * append commits (dataChange adds, no dataChange removes) stream
+      each added file as rows; ``startingVersion=0`` therefore replays
+      an append-only table in full;
+    * a commit that REMOVES or REWRITES data (DELETE/UPDATE/MERGE/
+      overwrite, DV commits included — a DV re-add pairs with a
+      remove) RAISES by default: silently treating a rewrite's adds
+      as new rows would duplicate them downstream. Opt-outs match the
+      real options: ``skipChangeCommits=true`` skips such commits
+      wholesale; ``ignoreDeletes=true`` skips REMOVE-ONLY commits
+      (partition-boundary deletes). ``ignoreChanges`` (re-emit
+      rewritten files) is deliberately not offered — its re-emitted
+      duplicates are the behavior ``skipChangeCommits`` superseded;
+      consumers who need row-level changes use ``minidelta_cdf``;
+    * ``dataChange=false`` housekeeping (OPTIMIZE / REORG / bloom
+      re-commits) is invisible, like the real source;
+    * shared with the CDF source (same base): startingVersion/
+      "latest", maxVersionsPerTrigger + soft maxBytesPerTrigger
+      admission control, expired-log refusal naming the earliest
+      retained version, parsed-schema mid-stream change detection,
+      executor-side Arrow batch emission, hive partition-value
+      re-typing.
+    """
+
+    _WITH_CDF_COLS = False
+
+    def __init__(self, options: dict[str, str], schema: T.StructType):
+        super().__init__(options, schema)
+        opts = {k.lower(): v for k, v in options.items()}
+
+        def flag(name: str) -> bool:
+            return str(opts.get(name, "false")).lower() == "true"
+
+        self._ignore_deletes = flag("ignoredeletes")
+        self._skip_change = flag("skipchangecommits")
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        lo, hi = int(start["version"]), int(end["version"])
+        self._anchor = max(self._anchor, lo, hi)
+        if hi <= lo:
+            return []
+        tbl = _log_table(self._path)
+        versions = tbl.versions()
+        if lo + 1 < versions[0]:
+            raise ValueError(
+                f"cannot resume the table stream at version {lo + 1}: "
+                f"the log has been expired up to version {versions[0]} "
+                f"(earliest retained). Restart the query from a fresh "
+                f"checkpoint with startingVersion >= {versions[0]}."
+            )
+        import json as _json
+
+        specs: list[dict[str, Any]] = []
+        for v in versions:
+            if v > hi:
+                break
+            if v <= lo:
+                continue
+            actions = tbl._read_actions(v)
+            meta = next(
+                (a["metaData"] for a in actions if "metaData" in a), None
+            )
+            if meta is not None:
+                committed = T.StructType.fromJson(
+                    _json.loads(meta["schemaString"])
+                )
+                if committed != self._pinned_schema:
+                    raise RuntimeError(
+                        f"version {v} changes the table schema "
+                        "mid-stream; restart the query to pick up the "
+                        "new schema (the real Delta streaming source "
+                        "stops here too)"
+                    )
+            adds = [
+                a["add"]
+                for a in actions
+                if "add" in a and a["add"].get("dataChange", True)
+            ]
+            removes = [
+                a["remove"]
+                for a in actions
+                if "remove" in a and a["remove"].get("dataChange", True)
+            ]
+            if removes:
+                if self._skip_change:
+                    continue
+                if self._ignore_deletes and not adds:
+                    continue
+                raise RuntimeError(
+                    f"version {v} deletes or rewrites existing rows; "
+                    "the table stream source only tails appends. Set "
+                    "skipChangeCommits=true to skip such commits "
+                    "(ignoreDeletes=true for remove-only commits), or "
+                    "consume row-level changes with format "
+                    "'minidelta_cdf'."
+                )
+            ts = next(
+                (
+                    int(a["commitInfo"].get("timestamp", 0))
+                    for a in actions
+                    if "commitInfo" in a
+                ),
+                0,
+            )
+            for ad in adds:
+                specs.append(
+                    {
+                        "file": os.path.join(self._path, ad["path"]),
+                        "change": "insert",
+                        "version": v,
+                        "ts_ms": ts,
+                        # an append's fresh add never carries a DV (a
+                        # DV add pairs with a remove → change commit)
+                        "mode": "anti",
+                        "dv": None,
+                        "dv_old": None,
+                        "cols": self._cols,
+                        "schema": self._out_schema_json,
+                        "pv": ad.get("partitionValues"),
+                    }
+                )
+        return [_CDFPartition(s) for s in specs]
+
+
+class MiniDeltaStreamDataSource(DataSource):
+    """``format("minidelta_stream")``: append-tail streaming source
+    over a MiniDeltaTable path. Schema = the table's logical schema."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "minidelta_stream"
+
+    def schema(self) -> T.StructType:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError(
+                "minidelta_stream requires a path (load(path))"
+            )
+        return _log_table(path).snapshot().schema
+
+    def streamReader(self, schema: T.StructType):
+        return MiniDeltaTableStreamReader(dict(self.options), schema)
+
+
 def register_cdf_source(spark: SparkSession) -> None:
-    """Idempotently register the ``minidelta_cdf`` streaming format on
-    this session."""
+    """Idempotently register the ``minidelta_cdf`` and
+    ``minidelta_stream`` formats on this session."""
     spark.dataSource.register(MiniDeltaCDFDataSource)
+    spark.dataSource.register(MiniDeltaStreamDataSource)
 
 
 def read_cdf_stream(
@@ -617,4 +787,36 @@ def read_cdf_stream(
         reader = reader.option(
             "maxBytesPerTrigger", str(max_bytes_per_trigger)
         )
+    return reader.load(path)
+
+
+def read_table_stream(
+    spark: SparkSession,
+    path: str,
+    starting_version: int | str = 0,
+    max_versions_per_trigger: int | None = None,
+    max_bytes_per_trigger: int | str | None = None,
+    ignore_deletes: bool = False,
+    skip_change_commits: bool = False,
+):
+    """``readStream`` handle that tails the TABLE's appended rows
+    (``format("minidelta_stream")``) — the plain Delta streaming-read
+    contract. See :class:`MiniDeltaTableStreamReader` for the
+    change-commit semantics and opt-outs."""
+    register_cdf_source(spark)
+    reader = spark.readStream.format("minidelta_stream").option(
+        "startingVersion", str(starting_version)
+    )
+    if max_versions_per_trigger is not None:
+        reader = reader.option(
+            "maxVersionsPerTrigger", str(max_versions_per_trigger)
+        )
+    if max_bytes_per_trigger is not None:
+        reader = reader.option(
+            "maxBytesPerTrigger", str(max_bytes_per_trigger)
+        )
+    if ignore_deletes:
+        reader = reader.option("ignoreDeletes", "true")
+    if skip_change_commits:
+        reader = reader.option("skipChangeCommits", "true")
     return reader.load(path)

@@ -511,3 +511,132 @@ def test_max_bytes_per_trigger_soft_caps_batches(spark, base):
     assert _parse_bytes("50m") == 50 << 20
     assert _parse_bytes("1g") == 1 << 30
     assert _parse_bytes("123") == 123
+
+
+def test_table_stream_tails_appends(spark, base):
+    """minidelta_stream: append commits stream each added file's rows
+    (schema = the TABLE schema, no CDF columns), startingVersion=0
+    replays an append-only table in full, housekeeping commits are
+    invisible, and a checkpointed restart picks up later appends
+    without re-emitting."""
+    from ecommerce_lakehouse_platform_spark.streaming.cdf_source import (
+        read_table_stream,
+    )
+
+    t = MiniDeltaTable(spark, os.path.join(base, "t"))
+    df = spark.range(0, 60).select(
+        F.col("id").cast("string").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t.write(df.limit(10))  # v0
+    t.write(df.limit(25).exceptAll(df.limit(10)), mode="append")  # v1
+    t.optimize(max_file_bytes=1 << 30)  # dataChange=false: invisible
+
+    ckpt, out = os.path.join(base, "ckpt"), os.path.join(base, "events")
+    _drain(read_table_stream(spark, t.path), ckpt, out)
+    got = spark.read.parquet(out)
+    assert sorted(got.columns) == ["k", "v"]
+    assert _canon(got) == _canon(t.read())
+
+    # later appends resume from the checkpoint (no duplicates)
+    t.write(df.limit(30).exceptAll(df.limit(25)), mode="append")
+    _drain(read_table_stream(spark, t.path), ckpt, out)
+    assert _canon(spark.read.parquet(out)) == _canon(t.read())
+
+
+def test_table_stream_change_commits_raise_or_skip(spark, base):
+    """A commit that deletes or rewrites rows kills the plain table
+    stream by default (tailing a rewrite's adds would duplicate rows
+    downstream); skipChangeCommits=true skips the whole commit and the
+    stream continues with later appends; ignoreDeletes=true passes
+    remove-only commits but still refuses rewrites."""
+    from ecommerce_lakehouse_platform_spark.streaming.cdf_source import (
+        read_table_stream,
+    )
+
+    t = MiniDeltaTable(spark, os.path.join(base, "t"))
+    df = spark.range(0, 40).select(
+        F.col("id").cast("string").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t.write(df.limit(20))  # v0
+    assert t.delete(F.col("v") < 6, use_dv=True) == 1  # v1: DV rewrite
+    t.write(df.limit(25).exceptAll(df.limit(20)), mode="append")  # v2
+
+    with pytest.raises(Exception, match="skipChangeCommits"):
+        _drain(
+            read_table_stream(spark, t.path),
+            os.path.join(base, "ckpt_raise"),
+            os.path.join(base, "out_raise"),
+        )
+    # ignoreDeletes alone does NOT cover a DV rewrite (it has adds)
+    with pytest.raises(Exception, match="skipChangeCommits"):
+        _drain(
+            read_table_stream(spark, t.path, ignore_deletes=True),
+            os.path.join(base, "ckpt_igdel"),
+            os.path.join(base, "out_igdel"),
+        )
+
+    out = os.path.join(base, "out_skip")
+    _drain(
+        read_table_stream(spark, t.path, skip_change_commits=True),
+        os.path.join(base, "ckpt_skip"),
+        out,
+    )
+    # v0's 20 rows + v2's 5 appended rows; the DV delete is skipped,
+    # so the 3 deleted rows still appear (the documented trade of
+    # skipChangeCommits — consumers needing deletes use the CDF)
+    got = spark.read.parquet(out)
+    assert got.count() == 25
+    assert _canon(got) == _canon(
+        df.limit(20).unionByName(df.limit(25).exceptAll(df.limit(20)))
+    )
+
+
+def test_table_stream_ignore_deletes_remove_only(spark, base):
+    """ignoreDeletes=true passes a REMOVE-ONLY commit (the
+    partition-boundary delete case) while the default still raises."""
+    from ecommerce_lakehouse_platform_spark.streaming.cdf_source import (
+        read_table_stream,
+    )
+
+    t = MiniDeltaTable(spark, os.path.join(base, "t"))
+    df = spark.range(0, 30).select(
+        (F.col("id") % 2 == 0).cast("string").alias("even"),
+        F.col("id").alias("v"),
+    )
+    t.write(df, partition_by=["even"])  # v0
+    # whole-partition delete: every touched file dies with no
+    # replacement rows -> remove-only commit
+    v1 = t.delete(F.col("even") == "true")
+    assert v1 == 1
+    acts = t._read_actions(v1)
+    assert any("remove" in a for a in acts)
+    assert not any(
+        "add" in a and a["add"].get("dataChange", True) for a in acts
+    )
+    t.write(
+        spark.range(100, 103).select(
+            F.lit("false").alias("even"), F.col("id").alias("v")
+        ),
+        mode="append",
+    )  # v2
+
+    with pytest.raises(Exception, match="ignoreDeletes"):
+        _drain(
+            read_table_stream(spark, t.path),
+            os.path.join(base, "ckpt_raise"),
+            os.path.join(base, "out_raise"),
+        )
+    out = os.path.join(base, "out_ok")
+    _drain(
+        read_table_stream(spark, t.path, ignore_deletes=True),
+        os.path.join(base, "ckpt_ok"),
+        out,
+    )
+    got = spark.read.parquet(out)
+    # the stream tails ADDS: v0's full table + v2's appends; the
+    # remove-only delete is skipped (its rows were already emitted)
+    assert got.count() == 33
+    # partition values round-trip through the hive-path re-typing
+    assert set(
+        r["even"] for r in got.select("even").distinct().collect()
+    ) == {"true", "false"}

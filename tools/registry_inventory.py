@@ -74,6 +74,14 @@ PYTEST_ONLY = [
         "test_max_versions_per_trigger_bounds_batches",
     ),
     (
+        "Table streaming source minidelta_stream (append tail — the "
+        "plain format('delta') readStream contract: change commits "
+        "raise unless skipChangeCommits / remove-only ignoreDeletes, "
+        "housekeeping invisible, checkpointed resume)",
+        "ecommerce_lakehouse_platform_spark/streaming/cdf_source.py",
+        "tests/test_cdf_stream_source.py::test_table_stream_tails_appends",
+    ),
+    (
         "REORG TABLE APPLY (PURGE) — materialize deletion vectors by "
         "rewriting only the DV-carrying files (clean neighbors keep "
         "their add entries verbatim, fully-dead files leave the "
