@@ -571,7 +571,13 @@ class MiniDeltaTable:
                 ),
                 {},
             )
-            eff = max(eff, int(info.get("timestamp", 0)))
+            # in-commit timestamps (when the feature is on) are
+            # authoritative and already monotonic; the writer-clock
+            # fallback gets monotonized here
+            eff = max(
+                eff,
+                int(info.get("inCommitTimestamp", info.get("timestamp", 0))),
+            )
             if eff <= ts_ms:
                 candidate = v
             else:
@@ -1098,7 +1104,73 @@ class MiniDeltaTable:
             shutil.rmtree(tmp, ignore_errors=True)
         return adds
 
+    _ICT_KEY = "delta.enableInCommitTimestamps"
+
+    def _inject_in_commit_timestamp(
+        self, version: int, actions: list[dict[str, Any]]
+    ) -> None:
+        """When the table feature is on, stamp this commit's
+        ``commitInfo`` with a MONOTONIC ``inCommitTimestamp`` =
+        max(clock now, previous commit's effective timestamp + 1) —
+        the protocol's in-commit-timestamps contract (PROTOCOL.md
+        "In-Commit Timestamps"): readers then trust the log, not file
+        mtimes or writer clocks, so time travel can never be reordered
+        by clock skew. Feature detection is O(1): the enabling commit
+        carries a metaData action with the config flag; every later
+        commit sees its predecessor's ICT (the chain property). Only
+        when the predecessor's JSON has been expired does this fall
+        back to a snapshot replay for the config."""
+        info = next(
+            (a["commitInfo"] for a in actions if "commitInfo" in a), None
+        )
+        if info is None or "inCommitTimestamp" in info:
+            return
+        meta = next(
+            (a["metaData"] for a in actions if "metaData" in a), None
+        )
+        prev_info: dict[str, Any] = {}
+        if version > 0:
+            try:
+                prev_info = next(
+                    (
+                        a["commitInfo"]
+                        for a in self._read_actions(version - 1)
+                        if "commitInfo" in a
+                    ),
+                    {},
+                )
+            except OSError:
+                prev_info = {}
+        if meta is not None:
+            enabled = (
+                meta.get("configuration", {}).get(self._ICT_KEY) == "true"
+            )
+        elif "inCommitTimestamp" in prev_info:
+            enabled = True
+        elif version > 0 and not prev_info:
+            # predecessor expired: the config is the source of truth
+            try:
+                enabled = (
+                    self.snapshot().configuration.get(self._ICT_KEY)
+                    == "true"
+                )
+            except Exception:
+                enabled = False
+        else:
+            enabled = False
+        if not enabled:
+            return
+        prev_eff = int(
+            prev_info.get(
+                "inCommitTimestamp", prev_info.get("timestamp", 0)
+            )
+        )
+        info["inCommitTimestamp"] = max(
+            int(time.time() * 1000), prev_eff + 1
+        )
+
     def _commit(self, version: int, actions: list[dict[str, Any]]) -> None:
+        self._inject_in_commit_timestamp(version, actions)
         os.makedirs(self.log_dir, exist_ok=True)
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w", encoding="utf-8") as fh:
@@ -1446,6 +1518,34 @@ class MiniDeltaTable:
         version = snap.version + 1
         self._commit(version, actions)
         return version
+
+    def enable_in_commit_timestamps(self) -> int:
+        """Enable the in-commit-timestamps table feature (PROTOCOL.md
+        "In-Commit Timestamps"): from the NEXT commit on (this
+        enabling commit included), every ``commitInfo`` carries a
+        monotonic ``inCommitTimestamp`` — max(commit-time clock,
+        previous effective timestamp + 1) — which time travel, the
+        change feed, and ``history()`` consumers trust instead of
+        writer clocks, so skewed writers can never reorder TIMESTAMP
+        AS OF resolution. Mini subset: the provenance
+        ``enablementVersion`` property is recorded; the optional
+        ``enablementTimestamp`` is not (derivable from that commit's
+        own ICT). Idempotent — re-enabling returns the current
+        version."""
+        snap = self.snapshot()
+        if snap.configuration.get(self._ICT_KEY) == "true":
+            return snap.version
+        config = dict(snap.configuration)
+        config[self._ICT_KEY] = "true"
+        config["delta.inCommitTimestampEnablementVersion"] = str(
+            snap.version + 1
+        )
+        return self._commit_configuration(
+            snap,
+            config,
+            "SET TBLPROPERTIES",
+            {"properties": json.dumps({self._ICT_KEY: "true"})},
+        )
 
     def set_constraint(self, name: str, sql: str) -> int:
         """ALTER TABLE ... ADD CONSTRAINT ... CHECK (...): validate
@@ -2787,7 +2887,10 @@ class MiniDeltaTable:
                 continue
             ts = next(
                 (
-                    int(a["commitInfo"].get("timestamp", 0))
+                    int(a["commitInfo"].get(
+                        "inCommitTimestamp",
+                        a["commitInfo"].get("timestamp", 0),
+                    ))
                     for a in actions
                     if "commitInfo" in a
                 ),

@@ -374,7 +374,10 @@ class MiniDeltaCDFStreamReader(DataSourceStreamReader):
                 continue
             ts = next(
                 (
-                    int(a["commitInfo"].get("timestamp", 0))
+                    int(a["commitInfo"].get(
+                        "inCommitTimestamp",
+                        a["commitInfo"].get("timestamp", 0),
+                    ))
                     for a in actions
                     if "commitInfo" in a
                 ),
@@ -707,7 +710,10 @@ class MiniDeltaTableStreamReader(MiniDeltaCDFStreamReader):
                 )
             ts = next(
                 (
-                    int(a["commitInfo"].get("timestamp", 0))
+                    int(a["commitInfo"].get(
+                        "inCommitTimestamp",
+                        a["commitInfo"].get("timestamp", 0),
+                    ))
                     for a in actions
                     if "commitInfo" in a
                 ),

@@ -2201,3 +2201,78 @@ def test_reorg_purge_partitioned_and_whole_file_dead(spark, tmp_table):
     assert _canon(tmp_table.read()) == before
     assert tmp_table.changes(v2, v2).count() == 0
     assert tmp_table.read(version=0).count() == 40
+
+
+def test_in_commit_timestamps_monotonic_and_authoritative(spark, tmp_table, monkeypatch):
+    """enable_in_commit_timestamps(): every later commitInfo carries a
+    monotonic inCommitTimestamp = max(clock, prev effective + 1) even
+    when the writer clock runs BACKWARD; TIMESTAMP AS OF resolves by
+    the ICT, not the skewed wall clock; the change feed stamps events
+    with it; disabled tables never get one."""
+    import time as _time
+
+    from ecommerce_lakehouse_platform_spark.sources import deltalog as dl
+
+    orders = _orders(spark).limit(30).localCheckpoint(eager=True)
+    tmp_table.write(orders.limit(10))  # v0: plain, no ICT
+    v1 = tmp_table.enable_in_commit_timestamps()
+    assert v1 == 1
+    assert tmp_table.enable_in_commit_timestamps() == v1  # idempotent
+
+    def info_of(v):
+        import json as _json
+
+        with open(tmp_table._version_file(v), encoding="utf-8") as fh:
+            for line in fh:
+                a = _json.loads(line)
+                if "commitInfo" in a:
+                    return a["commitInfo"]
+        return {}
+
+    assert "inCommitTimestamp" not in info_of(0)
+    ict1 = info_of(v1).get("inCommitTimestamp")
+    assert ict1 is not None
+
+    # clock runs BACKWARD 1 hour: the next commits' ICTs must still
+    # strictly increase (prev effective + 1)
+    real_time = _time.time
+    monkeypatch.setattr(
+        dl.time, "time", lambda: real_time() - 3600.0
+    )
+    v2 = tmp_table.write(orders.limit(20), mode="append")
+    v3 = tmp_table.write(orders.limit(25), mode="append")
+    ict2, ict3 = (
+        info_of(v2)["inCommitTimestamp"],
+        info_of(v3)["inCommitTimestamp"],
+    )
+    assert ict1 < ict2 < ict3
+    # the skewed wall clock would have ordered them BEFORE v1
+    assert info_of(v2)["timestamp"] < ict1
+
+    # TIMESTAMP AS OF by ICT: the instant just before v3's ICT
+    # resolves to v2 — the raw writer clocks would disagree
+    assert tmp_table.version_at_timestamp(ict3 - 1) == v2
+    assert tmp_table.version_at_timestamp(ict2 - 1) == v1
+
+    # the change feed stamps v2's events with the ICT instant
+    from datetime import datetime, timezone
+
+    ts = (
+        tmp_table.changes(v2, v2)
+        .select("_commit_timestamp")
+        .distinct()
+        .collect()
+    )
+    assert len(ts) == 1
+    got_ms = int(
+        ts[0]["_commit_timestamp"]
+        .replace(tzinfo=timezone.utc)
+        .timestamp()
+        * 1000
+    )
+    assert got_ms == ict2
+
+    monkeypatch.undo()
+    # history surfaces both fields for consumers that want either
+    h2 = next(h for h in tmp_table.history() if h["version"] == v2)
+    assert h2["inCommitTimestamp"] == ict2

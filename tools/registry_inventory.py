@@ -100,6 +100,13 @@ PYTEST_ONLY = [
         "tests/test_deltalog.py::test_timestamp_as_of_monotonizes_clock_skew",
     ),
     (
+        "In-commit timestamps (monotonic authoritative commit time "
+        "under writer clock skew; time travel + CDF stamp by it)",
+        "ecommerce_lakehouse_platform_spark/sources/deltalog.py",
+        "tests/test_deltalog.py::"
+        "test_in_commit_timestamps_monotonic_and_authoritative",
+    ),
+    (
         "RESTORE TABLE ... VERSION/TIMESTAMP AS OF (history-forward "
         "restore, file-set + schema rebind, configuration carried; "
         "externally gated r5–r8 as `ext_delta_restore`, retired r10 "
