@@ -136,6 +136,10 @@ class Snapshot:
     # the protocol's reader/writer gates as replayed
     min_reader: int = 1
     min_writer: int = 1
+    # domain_metadata: the protocol's domainMetadata actions, latest
+    # configuration string per domain (row tracking keeps its row-id
+    # high watermark in domain "delta.rowTracking")
+    domain_metadata: dict[str, str] = field(default_factory=dict)
 
     def file_paths(self, base: str) -> list[str]:
         return [os.path.join(base, p) for p in sorted(self.files)]
@@ -325,6 +329,7 @@ def _checkpoint_arrow_schema():
                                 ]
                             ),
                         ),
+                        ("baseRowId", pa.int64()),
                     ]
                 ),
             ),
@@ -334,6 +339,16 @@ def _checkpoint_arrow_schema():
                     [
                         ("appId", pa.string()),
                         ("version", pa.int64()),
+                    ]
+                ),
+            ),
+            (
+                "domainMetadata",
+                pa.struct(
+                    [
+                        ("domain", pa.string()),
+                        ("configuration", pa.string()),
+                        ("removed", pa.bool_()),
                     ]
                 ),
             ),
@@ -395,6 +410,7 @@ class MiniDeltaTable:
         files: dict[str, dict[str, Any]] = {}
         app_versions: dict[str, int] = {}
         configuration: dict[str, str] = {}
+        domain_metadata: dict[str, str] = {}
         min_reader = 1
         min_writer = 1
 
@@ -422,6 +438,14 @@ class MiniDeltaTable:
                 app_versions[txn["appId"]] = max(
                     app_versions.get(txn["appId"], -1), int(txn["version"])
                 )
+            elif "domainMetadata" in action:
+                dm = action["domainMetadata"]
+                if dm.get("removed"):
+                    domain_metadata.pop(dm["domain"], None)
+                else:
+                    domain_metadata[dm["domain"]] = dm.get(
+                        "configuration", ""
+                    )
 
         # Start from the newest checkpoint at-or-before the requested
         # version; replay only the JSON commits after it. Requests
@@ -457,7 +481,7 @@ class MiniDeltaTable:
             )
         return Snapshot(
             version, schema, partition_columns, files, app_versions,
-            configuration, min_reader, min_writer,
+            configuration, min_reader, min_writer, domain_metadata,
         )
 
     def history(self) -> list[dict[str, Any]]:
@@ -596,6 +620,7 @@ class MiniDeltaTable:
         version: int | None = None,
         where: tuple | None = None,
         timestamp_ms: int | None = None,
+        with_row_ids: bool = False,
     ) -> DataFrame:
         """Snapshot read (time travel with ``version=`` — VERSION AS
         OF — or ``timestamp_ms=`` — TIMESTAMP AS OF, resolved to the
@@ -615,7 +640,12 @@ class MiniDeltaTable:
         overlap the bound are dropped from the plan entirely, and the
         residual range filter is applied to the surviving rows — so
         the result is exactly the filtered relation while the I/O is
-        proportional to the matching files, not the table."""
+        proportional to the matching files, not the table.
+
+        ``with_row_ids=True`` (row-tracked tables only) appends the
+        stable ``_row_id`` column — materialized for rewritten files,
+        baseRowId + file row index for fresh ones; composes with
+        time travel, ``where`` skipping, and deletion vectors."""
         if timestamp_ms is not None:
             if version is not None:
                 raise ValueError("pass version= OR timestamp_ms=, not both")
@@ -637,13 +667,32 @@ class MiniDeltaTable:
                 )
             }
             snap = Snapshot(
-                snap.version, snap.schema, snap.partition_columns, kept
+                snap.version,
+                snap.schema,
+                snap.partition_columns,
+                kept,
+                snap.app_versions,
+                snap.configuration,
+                snap.min_reader,
+                snap.min_writer,
+                snap.domain_metadata,
             )
             residual = F.lit(True)
             if lo is not None:
                 residual = residual & (F.col(col) >= lo)
             if hi is not None:
                 residual = residual & (F.col(col) <= hi)
+        if with_row_ids:
+            if not snap.files:
+                return self.spark.createDataFrame(
+                    [],
+                    T.StructType(
+                        list(snap.schema)
+                        + [T.StructField("_row_id", T.LongType())]
+                    ),
+                )
+            df = self._scan_with_row_ids(snap, snap.files)
+            return df.filter(residual) if residual is not None else df
         paths = snap.file_paths(self.path)
         if not paths:
             return self.spark.createDataFrame([], snap.schema)
@@ -1169,7 +1218,96 @@ class MiniDeltaTable:
             int(time.time() * 1000), prev_eff + 1
         )
 
+    _RT_KEY = "delta.enableRowTracking"
+    _RT_MAT_KEY = "delta.rowTracking.materializedRowIdColumnName"
+    _RT_DOMAIN = "delta.rowTracking"
+    _RT_MAT_TAG = "delta.rowTracking.materialized"
+
+    def _inject_row_tracking(
+        self, version: int, actions: list[dict[str, Any]]
+    ) -> None:
+        """When row tracking is on, assign ``baseRowId`` to every add
+        action that lacks one (fresh files: row id = baseRowId + file
+        row index, the protocol's fresh-row-id formula) and restate
+        the row-id high watermark as a ``domainMetadata`` action
+        (domain ``delta.rowTracking``) — PROTOCOL.md "Row Tracking".
+        Restating the domain every commit keeps feature detection O(1)
+        (the chain property, same trick as the ICT injector): the
+        enabling commit carries the metaData flag, every later commit
+        sees its predecessor's domainMetadata. Re-committed adds (DV
+        re-adds, bloom tag re-commits, RESTORE, checkpoint restates)
+        carry their original baseRowId in the copied payload, so the
+        assignment is idempotent."""
+        if any("domainMetadata" in a for a in actions):
+            return  # caller managed the domain itself (enable path)
+        meta = next(
+            (a["metaData"] for a in actions if "metaData" in a), None
+        )
+        prev_dm: str | None = None
+        prev_readable = False
+        if version > 0:
+            try:
+                for a in self._read_actions(version - 1):
+                    prev_readable = True
+                    dm = a.get("domainMetadata")
+                    if dm and dm["domain"] == self._RT_DOMAIN and not dm.get(
+                        "removed"
+                    ):
+                        prev_dm = dm.get("configuration")
+            except OSError:
+                prev_readable = False
+        if meta is not None:
+            enabled = (
+                meta.get("configuration", {}).get(self._RT_KEY) == "true"
+            )
+            if enabled and prev_dm is None and version > 0:
+                # metadata commit on an already-tracked table: the
+                # watermark lives in the predecessor chain / snapshot
+                snap = self.snapshot()
+                prev_dm = snap.domain_metadata.get(self._RT_DOMAIN)
+        elif prev_dm is not None:
+            enabled = True
+        elif version > 0 and not prev_readable:
+            try:
+                snap = self.snapshot()
+                enabled = snap.configuration.get(self._RT_KEY) == "true"
+                prev_dm = snap.domain_metadata.get(self._RT_DOMAIN)
+            except Exception:
+                enabled = False
+        else:
+            enabled = False
+        if not enabled:
+            return
+        hwm = -1
+        if prev_dm:
+            hwm = int(json.loads(prev_dm).get("rowIdHighWaterMark", -1))
+        for a in actions:
+            add = a.get("add")
+            if add is None or add.get("baseRowId") is not None:
+                continue
+            stats = json.loads(add["stats"]) if add.get("stats") else {}
+            n = stats.get("numRecords")
+            if n is None:
+                raise RuntimeError(
+                    "row tracking requires numRecords stats on every "
+                    f"add; missing for {add['path']!r}"
+                )
+            add["baseRowId"] = hwm + 1
+            hwm += int(n)
+        actions.append(
+            {
+                "domainMetadata": {
+                    "domain": self._RT_DOMAIN,
+                    "configuration": json.dumps(
+                        {"rowIdHighWaterMark": hwm}
+                    ),
+                    "removed": False,
+                }
+            }
+        )
+
     def _commit(self, version: int, actions: list[dict[str, Any]]) -> None:
+        self._inject_row_tracking(version, actions)
         self._inject_in_commit_timestamp(version, actions)
         os.makedirs(self.log_dir, exist_ok=True)
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
@@ -1252,6 +1390,7 @@ class MiniDeltaTable:
         metadata: dict[str, Any] | None = None
         files: dict[str, dict[str, Any]] = {}
         app_versions: dict[str, int] = {}
+        domain_metadata: dict[str, str] = {}
 
         def absorb(action: dict[str, Any]) -> None:
             nonlocal protocol, metadata
@@ -1268,6 +1407,14 @@ class MiniDeltaTable:
                 app_versions[txn["appId"]] = max(
                     app_versions.get(txn["appId"], -1), int(txn["version"])
                 )
+            elif "domainMetadata" in action:
+                dm = action["domainMetadata"]
+                if dm.get("removed"):
+                    domain_metadata.pop(dm["domain"], None)
+                else:
+                    domain_metadata[dm["domain"]] = dm.get(
+                        "configuration", ""
+                    )
 
         # chain from the newest checkpoint at-or-before the target:
         # each checkpoint costs O(files + commits since the last one),
@@ -1319,6 +1466,21 @@ class MiniDeltaTable:
                     "txn": {"appId": app_id, "version": app_versions[app_id]},
                 }
             )
+        # one domainMetadata row per live domain (row tracking's
+        # high watermark must survive log expiry too)
+        for domain in sorted(domain_metadata):
+            rows.append(
+                {
+                    "protocol": None,
+                    "metaData": None,
+                    "add": None,
+                    "domainMetadata": {
+                        "domain": domain,
+                        "configuration": domain_metadata[domain],
+                        "removed": False,
+                    },
+                }
+            )
         for rel in sorted(files):
             add = files[rel]
             rows.append(
@@ -1337,6 +1499,7 @@ class MiniDeltaTable:
                         "stats": add.get("stats"),
                         "tags": list((add.get("tags") or {}).items()),
                         "deletionVector": add.get("deletionVector"),
+                        "baseRowId": add.get("baseRowId"),
                     },
                 }
             )
@@ -1376,9 +1539,15 @@ class MiniDeltaTable:
                     add.pop("deletionVector", None)
                 else:
                     add["deletionVector"] = dict(add["deletionVector"])
+                if add.get("baseRowId") is None:
+                    add.pop("baseRowId", None)
                 actions.append({"add": add})
             elif row.get("txn") is not None:
                 actions.append({"txn": dict(row["txn"])})
+            elif row.get("domainMetadata") is not None:
+                actions.append(
+                    {"domainMetadata": dict(row["domainMetadata"])}
+                )
         return actions
 
     # -- table operations on top of the log ------------------------------
@@ -1546,6 +1715,111 @@ class MiniDeltaTable:
             "SET TBLPROPERTIES",
             {"properties": json.dumps({self._ICT_KEY: "true"})},
         )
+
+    def enable_row_tracking(self) -> int:
+        """Enable the row-tracking table feature (PROTOCOL.md "Row
+        Tracking"): every add action gets a ``baseRowId``, a row's
+        stable id = baseRowId + its file row index (the fresh-row-id
+        formula), and the assignment high watermark rides a
+        ``domainMetadata`` action in domain ``delta.rowTracking``.
+        This enabling commit BACKFILLS baseRowId onto every existing
+        active add in one dataChange=false re-commit (path order), so
+        ids exist for the whole table immediately.
+
+        Stability contract (mini subset, each path tested):
+        - DV deletes never move surviving rows → ids stable for free;
+        - OPTIMIZE / REORG PURGE / copy-on-write DELETE & UPDATE
+          preserve ids by MATERIALIZING them into the rewritten files
+          (hidden physical column named by the
+          ``delta.rowTracking.materializedRowIdColumnName`` property,
+          fixed here at enable time); readers prefer the materialized
+          column over the fresh formula;
+        - rows rewritten by MERGE / DV-UPDATE get FRESH ids — those
+          paths represent an update as delete+insert (their CDF shape)
+          and the new row is a new row. The real feature preserves ids
+          there too; this subset documents the deviation loudly rather
+          than approximating it.
+
+        Read ids with ``read(with_row_ids=True)`` (adds ``_row_id``).
+        Not supported on tables with absolute file references
+        (shallow clones). Idempotent."""
+        snap = self.snapshot()
+        if snap.configuration.get(self._RT_KEY) == "true":
+            return snap.version
+        if any(os.path.isabs(r) for r in snap.files):
+            raise NotImplementedError(
+                "row tracking on tables with absolute file references "
+                "(shallow clones) is not supported; rewrite the clone "
+                "first"
+            )
+        if "_row_id" in {f.name for f in snap.schema}:
+            raise SchemaMismatchError(
+                "row tracking reserves the _row_id output column; the "
+                "table already has a column of that name"
+            )
+        config = dict(snap.configuration)
+        config[self._RT_KEY] = "true"
+        config[self._RT_MAT_KEY] = f"_row_id_col_{uuid.uuid4().hex[:8]}"
+        now_ms = int(time.time() * 1000)
+        actions: list[dict[str, Any]] = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "SET TBLPROPERTIES",
+                    "operationParameters": {
+                        "properties": json.dumps({self._RT_KEY: "true"})
+                    },
+                }
+            },
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}},
+            {
+                "metaData": {
+                    "id": str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": snap.schema.json(),
+                    "partitionColumns": snap.partition_columns,
+                    "configuration": config,
+                    "createdTime": now_ms,
+                }
+            },
+        ]
+        hwm = -1
+        for rel in sorted(snap.files):
+            add = dict(snap.files[rel])
+            stats = json.loads(add["stats"]) if add.get("stats") else {}
+            n = stats.get("numRecords")
+            if n is None:
+                raise RuntimeError(
+                    "row tracking requires numRecords stats on every "
+                    f"add; missing for {rel!r}"
+                )
+            add["baseRowId"] = hwm + 1
+            hwm += int(n)
+            add["dataChange"] = False
+            actions.append(
+                {
+                    "remove": {
+                        "path": rel,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": False,
+                    }
+                }
+            )
+            actions.append({"add": add})
+        actions.append(
+            {
+                "domainMetadata": {
+                    "domain": self._RT_DOMAIN,
+                    "configuration": json.dumps(
+                        {"rowIdHighWaterMark": hwm}
+                    ),
+                    "removed": False,
+                }
+            }
+        )
+        version = snap.version + 1
+        self._commit(version, actions)
+        return version
 
     def set_constraint(self, name: str, sql: str) -> int:
         """ALTER TABLE ... ADD CONSTRAINT ... CHECK (...): validate
@@ -1844,20 +2118,24 @@ class MiniDeltaTable:
 
     def _stage_for_schema(
         self, df: DataFrame, schema: T.StructType, partition_by: list[str],
+        extra_cols: tuple[str, ...] = (),
         **kw,
     ) -> list[dict[str, Any]]:
         """Stage ``df`` (logical column names) as data files under the
         schema's PHYSICAL names — every write path goes through this
         so renamed columns keep their stable on-disk identity.
         Partition columns are guarded physical == logical
-        (rename_column refuses them), so hive paths stay consistent."""
+        (rename_column refuses them), so hive paths stay consistent.
+        ``extra_cols`` are passed through verbatim (hidden physical
+        columns, e.g. row tracking's materialized row ids)."""
         mapping = {f.name: self._phys(f) for f in schema}
-        if any(k != v for k, v in mapping.items()):
+        if any(k != v for k, v in mapping.items()) or extra_cols:
             df = df.select(
                 *[
                     F.col(f.name).alias(mapping[f.name])
                     for f in schema
-                ]
+                ],
+                *extra_cols,
             )
         return self._stage_data_files(df, partition_by, **kw)
 
@@ -2126,6 +2404,102 @@ class MiniDeltaTable:
             sub = sub.drop("_rel")
         return sub
 
+    def _scan_with_row_ids(
+        self, snap: Snapshot, rels, with_rel: bool = False
+    ) -> DataFrame:
+        """Logical-schema scan of the given logged files with a
+        ``_row_id`` column attached and active deletion vectors
+        applied. Materialized files (rewrites tagged
+        ``delta.rowTracking.materialized``) read their hidden physical
+        row-id column; fresh files compute baseRowId +
+        ``_metadata.row_index``. Positions are the PRE-DV physical
+        file indexes, so ids are stable under deletion vectors by
+        construction. The per-file base map is file-count-sized
+        driver metadata, broadcast — never a row-scaled collect."""
+        mat = snap.configuration.get(self._RT_MAT_KEY)
+        if snap.configuration.get(self._RT_KEY) != "true" or not mat:
+            raise ValueError(
+                "row tracking is not enabled on this table "
+                "(enable_row_tracking())"
+            )
+        rels = sorted(rels)
+        if any(os.path.isabs(r) for r in rels):
+            raise NotImplementedError(
+                "row-id reads over absolute file references (shallow "
+                "clones) are not supported"
+            )
+        missing = [
+            r for r in rels if snap.files[r].get("baseRowId") is None
+        ]
+        if missing:
+            raise RuntimeError(
+                f"adds without baseRowId in a row-tracked table: "
+                f"{missing[:3]}"
+            )
+        matd = {
+            r
+            for r in rels
+            if (snap.files[r].get("tags") or {}).get(self._RT_MAT_TAG)
+            == "true"
+        }
+        fresh = [r for r in rels if r not in matd]
+        casts = self._logical_casts(snap.schema)
+
+        def with_pos(sub: DataFrame) -> DataFrame:
+            return sub.withColumn(
+                "_rel", self._rel_from("_metadata.file_path")
+            ).withColumn("_pos", F.col("_metadata.row_index"))
+
+        parts: list[DataFrame] = []
+        if fresh:
+            base_df = self.spark.createDataFrame(
+                [(r, int(snap.files[r]["baseRowId"])) for r in fresh],
+                "_rel string, _base long",
+            )
+            sub = with_pos(
+                self._reader({r: snap.files[r] for r in fresh}).parquet(
+                    *(os.path.join(self.path, r) for r in fresh)
+                )
+            )
+            sub = (
+                sub.join(F.broadcast(base_df), "_rel")
+                .withColumn("_row_id", F.col("_base") + F.col("_pos"))
+                .drop("_base")
+            )
+            parts.append(sub.select("_rel", "_pos", "_row_id", *casts))
+        if matd:
+            ms = sorted(matd)
+            sub = with_pos(
+                self._reader({r: snap.files[r] for r in ms}).parquet(
+                    *(os.path.join(self.path, r) for r in ms)
+                )
+            )
+            sub = sub.withColumn("_row_id", F.col(mat).cast("long"))
+            parts.append(sub.select("_rel", "_pos", "_row_id", *casts))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        sidecars = sorted(
+            {
+                snap.files[r]["deletionVector"]["storagePath"]
+                for r in rels
+                if snap.files[r].get("deletionVector")
+            }
+        )
+        if sidecars:
+            dvp = None
+            for sidecar in sidecars:
+                one = self.spark.read.parquet(
+                    os.path.join(self.path, sidecar)
+                )
+                dvp = one if dvp is None else dvp.unionByName(one)
+            dvp = dvp.select(
+                F.col("rel").alias("_rel"), F.col("pos").alias("_pos")
+            )
+            out = out.join(dvp, ["_rel", "_pos"], "left_anti")
+        names = [f.name for f in snap.schema] + ["_row_id"]
+        return out.select(*((["_rel"] if with_rel else []) + names))
+
     def _touched_rewrite(
         self,
         condition: Column,
@@ -2163,8 +2537,17 @@ class MiniDeltaTable:
         )
         if not touched_rels:
             return None
-        sub = self._read_files_dv_aware(snap, touched_rels)
-        sub = sub.select(*self._logical_casts(snap.schema))
+        tracking = snap.configuration.get(self._RT_KEY) == "true"
+        mat = snap.configuration.get(self._RT_MAT_KEY)
+        if tracking:
+            # row-tracked copy-on-write: surviving rows carry their
+            # stable id through the rewrite (DELETE filters, UPDATE
+            # reassigns values — neither touches identity) into the
+            # replacement files' hidden materialized column
+            sub = self._scan_with_row_ids(snap, touched_rels)
+        else:
+            sub = self._read_files_dv_aware(snap, touched_rels)
+            sub = sub.select(*self._logical_casts(snap.schema))
         replacement = rewrite(sub)
         # DML commits hold the same invariant as write(): no committed
         # version contains a row violating a CHECK constraint or a
@@ -2175,9 +2558,20 @@ class MiniDeltaTable:
         # refuses loudly.)
         self._enforce_constraints(replacement, snap.configuration)
         self._enforce_generated(replacement, snap.schema)
+        if tracking:
+            replacement = replacement.withColumnRenamed("_row_id", mat)
         adds = self._stage_for_schema(
-            replacement, snap.schema, snap.partition_columns
+            replacement,
+            snap.schema,
+            snap.partition_columns,
+            extra_cols=(mat,) if tracking else (),
         )
+        if tracking:
+            for add in adds:
+                add["tags"] = {
+                    **(add.get("tags") or {}),
+                    self._RT_MAT_TAG: "true",
+                }
         now_ms = int(time.time() * 1000)
         actions: list[dict[str, Any]] = [
             {
@@ -3087,16 +3481,28 @@ class MiniDeltaTable:
         victim_rels = [a["path"] for adds in targets for a in adds]
         total = sum(a.get("size") or 0 for adds in targets for a in adds)
 
+        tracking = snap.configuration.get(self._RT_KEY) == "true"
+        mat = snap.configuration.get(self._RT_MAT_KEY)
         # read victims THROUGH any active deletion vectors: OPTIMIZE
         # materializes DVs — the rewritten files carry no descriptor
         # and the deleted rows are physically gone. _rel is attached
         # from file metadata (pre-join: input_file_name cannot span
         # the DV anti-join's sources) and doubles as _fname below.
-        df = self._read_files_dv_aware(snap, victim_rels, with_rel=True)
-        # project physical -> logical up front (column mapping), _rel
-        # kept for the bin join below; downstream stays logical
-        df = df.select("_rel", *self._logical_casts(snap.schema))
-        cast_cols = [f.name for f in snap.schema]
+        if tracking:
+            # row-tracked rewrite: surviving rows carry their stable
+            # id into the new layout as the hidden materialized column
+            df = self._scan_with_row_ids(
+                snap, victim_rels, with_rel=True
+            ).withColumnRenamed("_row_id", mat)
+        else:
+            df = self._read_files_dv_aware(
+                snap, victim_rels, with_rel=True
+            )
+            # project physical -> logical up front (column mapping),
+            # _rel kept for the bin join below; downstream stays
+            # logical
+            df = df.select("_rel", *self._logical_casts(snap.schema))
+        cast_cols = [f.name for f in snap.schema] + ([mat] if tracking else [])
         if zorder_by:
             df, nrows = self._zorder_layout(
                 df.select(*cast_cols),
@@ -3175,8 +3581,17 @@ class MiniDeltaTable:
             df,
             snap.schema,
             snap.partition_columns,
+            extra_cols=(mat,) if tracking else (),
             max_records_per_file=max(1, max_file_bytes // avg_row),
         )
+        if tracking:
+            # readers pick the materialized column over the fresh
+            # formula by this tag
+            for add in adds:
+                add["tags"] = {
+                    **(add.get("tags") or {}),
+                    self._RT_MAT_TAG: "true",
+                }
 
         now_ms = int(time.time() * 1000)
         actions: list[dict[str, Any]] = [

@@ -1,0 +1,171 @@
+"""Row tracking (sources/deltalog.py): stable row identities per the
+public Delta protocol's "Row Tracking" feature — baseRowId on every
+add, fresh id = baseRowId + file row index, the assignment high
+watermark in domainMetadata, and id preservation across rewrites via
+the hidden materialized column. Mini-subset deviations (MERGE/DV-UPDATE
+rewrites assign fresh ids) are pinned here too, loudly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecommerce_lakehouse_platform_spark.sources.deltalog import (
+    MiniDeltaTable,
+    SchemaMismatchError,
+)
+
+
+@pytest.fixture()
+def base(spark):
+    d = tempfile.mkdtemp(prefix="rowtrack_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _df(spark, n=40):
+    return spark.range(0, n).select(
+        F.col("id").cast("string").alias("k"), (F.col("id") * 2).alias("v")
+    )
+
+
+def _ids(t, **kw):
+    return {
+        r["k"]: r["_row_id"]
+        for r in t.read(with_row_ids=True, **kw).collect()
+    }
+
+
+def test_enable_backfills_and_fresh_ids_continue(spark, base):
+    """enable_row_tracking(): existing adds get baseRowId in ONE
+    dataChange=false commit (invisible to the change feed), ids are
+    dense and unique, appends continue past the high watermark, the
+    watermark rides domainMetadata, and enabling twice is a no-op."""
+    t = MiniDeltaTable(spark, os.path.join(base, "t"))
+    df = _df(spark)
+    t.write(df.limit(20).repartition(3))  # v0: 3 files
+    v1 = t.enable_row_tracking()
+    assert v1 == 1 and t.enable_row_tracking() == v1
+    snap = t.snapshot()
+    assert all(
+        a.get("baseRowId") is not None for a in snap.files.values()
+    )
+    hwm = json.loads(snap.domain_metadata["delta.rowTracking"])
+    assert hwm["rowIdHighWaterMark"] == 19
+    assert t.changes(v1, v1).count() == 0  # backfill is dataChange=false
+    ids = _ids(t)
+    assert sorted(ids.values()) == list(range(20))
+
+    t.write(df.limit(30).exceptAll(df.limit(20)), mode="append")
+    ids2 = _ids(t)
+    assert sorted(ids2.values()) == list(range(30))
+    assert all(ids2[k] == i for k, i in ids.items()), "old ids stable"
+    # plain reads never surface the hidden machinery
+    assert t.read().columns == ["k", "v"]
+
+
+def test_ids_stable_across_every_preserving_rewrite(spark, base):
+    """The preservation contract: DV delete (trivially), copy-on-write
+    DELETE and UPDATE, OPTIMIZE, OPTIMIZE ZORDER, and REORG PURGE all
+    keep every surviving row's id; time travel reads ids as of the
+    old version."""
+    t = MiniDeltaTable(spark, os.path.join(base, "t"))
+    df = _df(spark)
+    t.write(df.limit(30).repartition(3))
+    t.enable_row_tracking()
+    ref = _ids(t)
+
+    assert t.delete(F.col("v") < 6, use_dv=True)  # DV: files untouched
+    assert t.delete(F.col("v") == 8)  # copy-on-write rewrite
+    assert t.update(F.col("v") == 20, {"v": F.lit(999)})
+    assert t.optimize(max_file_bytes=1 << 30)
+    assert t.delete(F.col("v") == 30, use_dv=True)
+    assert t.reorg_purge()
+    assert t.optimize(zorder_by=["v"])
+
+    got = _ids(t)
+    gone = {"0", "1", "2", "4", "15"}
+    assert set(got) == set(ref) - gone
+    assert all(ref[k] == i for k, i in got.items()), "ids must not move"
+    # the updated row kept its identity across the value change
+    assert got["10"] == ref["10"]
+    assert t.read().filter(F.col("k") == "10").collect()[0]["v"] == 999
+
+    # time travel composes: as-of the enable version, all 30 ids
+    v_enable = 1
+    old = _ids(t, version=v_enable)
+    assert old == ref
+
+
+def test_watermark_survives_checkpoint_and_expiry(spark, base):
+    """The domainMetadata high watermark must survive checkpoint
+    consolidation + log expiry: post-expiry appends continue AFTER the
+    watermark instead of reusing ids."""
+    t = MiniDeltaTable(spark, os.path.join(base, "t"), checkpoint_interval=2)
+    df = _df(spark)
+    t.write(df.limit(10))
+    t.enable_row_tracking()
+    t.write(df.limit(15).exceptAll(df.limit(10)), mode="append")
+    t.checkpoint()
+    assert t.expire_log()
+    t.write(df.limit(18).exceptAll(df.limit(15)), mode="append")
+    ids = _ids(t)
+    assert sorted(ids.values()) == list(range(18))
+
+
+def test_partitioned_table_ids(spark, base):
+    """Row ids work on hive-partitioned tables (partition columns come
+    from the path; the id comes from the file-local row index)."""
+    t = MiniDeltaTable(spark, os.path.join(base, "t"))
+    df = _df(spark, 30).withColumn(
+        "bucket", (F.col("v") % 3).cast("string")
+    )
+    t.write(df, partition_by=["bucket"])
+    t.enable_row_tracking()
+    ids = _ids(t)
+    assert sorted(ids.values()) == list(range(30))
+    t.delete(F.col("bucket") == "0")  # whole-partition rewrite → removes
+    got = _ids(t)
+    assert all(ids[k] == i for k, i in got.items())
+    assert len(got) == 20
+
+
+def test_dv_update_and_merge_assign_fresh_ids(spark, base):
+    """Pinned DEVIATION: DV-UPDATE and MERGE represent an update as
+    delete+insert, so the rewritten rows get FRESH ids past the
+    watermark (the real feature preserves them; the docstring says so
+    loudly). Neighbors keep theirs."""
+    t = MiniDeltaTable(spark, os.path.join(base, "t"))
+    df = _df(spark)
+    t.write(df.limit(20))
+    t.enable_row_tracking()
+    ref = _ids(t)
+    t.update(F.col("k") == "3", {"v": F.lit(777)}, use_dv=True)
+    got = _ids(t)
+    assert got["3"] > max(ref.values()), "rewritten row: fresh id"
+    neighbors = {k: i for k, i in got.items() if k != "3"}
+    assert all(ref[k] == i for k, i in neighbors.items())
+
+
+def test_guards(spark, base):
+    """Refusals: with_row_ids on an untracked table; enabling on a
+    shallow clone; enabling when a _row_id column already exists."""
+    t = MiniDeltaTable(spark, os.path.join(base, "t"))
+    t.write(_df(spark).limit(5))
+    with pytest.raises(ValueError, match="row tracking is not enabled"):
+        t.read(with_row_ids=True).collect()
+
+    clone = t.clone(os.path.join(base, "c"))
+    with pytest.raises(NotImplementedError, match="shallow clones"):
+        clone.enable_row_tracking()
+
+    t2 = MiniDeltaTable(spark, os.path.join(base, "t2"))
+    t2.write(_df(spark).limit(5).withColumn("_row_id", F.lit(1)))
+    with pytest.raises(SchemaMismatchError, match="reserves the _row_id"):
+        t2.enable_row_tracking()

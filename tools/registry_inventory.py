@@ -107,6 +107,16 @@ PYTEST_ONLY = [
         "test_in_commit_timestamps_monotonic_and_authoritative",
     ),
     (
+        "Row tracking (baseRowId per add + domainMetadata high "
+        "watermark; read(with_row_ids=True); ids preserved across DV "
+        "deletes, copy-on-write DELETE/UPDATE, OPTIMIZE, ZORDER, and "
+        "REORG PURGE via the hidden materialized column; "
+        "checkpoint/expiry-safe)",
+        "ecommerce_lakehouse_platform_spark/sources/deltalog.py",
+        "tests/test_row_tracking.py::"
+        "test_ids_stable_across_every_preserving_rewrite",
+    ),
+    (
         "RESTORE TABLE ... VERSION/TIMESTAMP AS OF (history-forward "
         "restore, file-set + schema rebind, configuration carried; "
         "externally gated r5–r8 as `ext_delta_restore`, retired r10 "
