@@ -853,7 +853,19 @@ resolve_deferred_oracles()
 # ext_unpivot_lineitem — are simple relational plans re-proven every
 # session by the local sf0.001+sf0.01 differential, and the −3 bound
 # forces them into the r11 window on pain of a red suite (plan r11's
-# window around them FIRST).
+# window around them FIRST). Rotation is now tool-assisted: run
+#   python tools/staleness_ledger.py --plan
+# for the next round's FORCED set (must-carry keys), the oldest-first
+# FILL, and the deferral-pressure list (keys forced the round after).
+# As computed after the r10 rotation: r11 = the 6 forced r7 keys + 44
+# of the 47-key r8 cohort; op_agg_pivotcount, op_agg_reviews, and
+# op_join_left_enrich_items defer to r12, where they are forced.
+# Late-r10 code changes whose externally-gated queries should also be
+# considered changed-query slots at r11: the stop-shingle cap's
+# drop-side anti-join (ext_dedup_ngram_jaccard, ext_dedup_containment
+# — both oracle-identical, re-proven locally 301/301), and the
+# deltalog ICT/row-tracking injectors (every ext_delta_* query runs
+# through _commit; all re-proven locally).
 _DRIVER_WINDOW: tuple[str, ...] = (
     # --- New this round: first external row happens now or never ---
     "stream_cdf_source",

@@ -169,3 +169,72 @@ def test_guards(spark, base):
     t2.write(_df(spark).limit(5).withColumn("_row_id", F.lit(1)))
     with pytest.raises(SchemaMismatchError, match="reserves the _row_id"):
         t2.enable_row_tracking()
+
+
+def test_random_operation_sequences_preserve_ids(spark, base):
+    """Model-based sequence check: across seeded random interleavings
+    of append / DV-delete / copy-on-write delete / UPDATE / OPTIMIZE /
+    REORG PURGE, every surviving row's id equals the model's, deleted
+    keys disappear, and ids never collide — the whole-feature
+    invariant, not one path at a time."""
+    import random
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        t = MiniDeltaTable(
+            spark,
+            os.path.join(base, f"seq{seed}"),
+            checkpoint_interval=3,
+        )
+        df = _df(spark, 200)
+        t.write(df.limit(30).repartition(3))
+        t.enable_row_tracking()
+        model = _ids(t)  # k -> id, maintained alongside the ops
+        next_k = 30
+        for _step in range(8):
+            op = rng.choice(
+                ["append", "dv_delete", "cow_delete", "update",
+                 "optimize", "purge"]
+            )
+            if op == "append":
+                n = rng.randint(1, 5)
+                new_keys = {str(i) for i in range(next_k, next_k + n)}
+                batch = df.filter(F.col("k").isin(sorted(new_keys)))
+                prior_hwm = json.loads(
+                    t.snapshot().domain_metadata["delta.rowTracking"]
+                )["rowIdHighWaterMark"]
+                t.write(batch, mode="append")
+                got = _ids(t)
+                # new rows: exactly the appended keys, with FRESH
+                # (past the watermark), DENSE, collision-free ids —
+                # which exact key got which id within the batch is a
+                # file-layout detail the model absorbs, not predicts
+                assert set(got) - set(model) == new_keys
+                fresh = sorted(got[k] for k in new_keys)
+                assert fresh[0] > prior_hwm
+                assert fresh == list(range(fresh[0], fresh[0] + n))
+                for k in new_keys:
+                    model[k] = got[k]
+                next_k += n
+            elif op in ("dv_delete", "cow_delete"):
+                if not model:
+                    continue
+                victims = rng.sample(sorted(model), min(3, len(model)))
+                r = t.delete(
+                    F.col("k").isin(victims), use_dv=(op == "dv_delete")
+                )
+                if r is not None:
+                    for k in victims:
+                        model.pop(k)
+            elif op == "update":
+                if not model:
+                    continue
+                k = rng.choice(sorted(model))
+                t.update(F.col("k") == k, {"v": F.lit(-1)})
+            elif op == "optimize":
+                t.optimize(max_file_bytes=1 << 30)
+            elif op == "purge":
+                t.reorg_purge()
+            got = _ids(t)
+            assert got == model, f"seed {seed} diverged after {op}"
+            assert len(set(got.values())) == len(got), "id collision"
