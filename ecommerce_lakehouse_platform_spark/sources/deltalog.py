@@ -935,7 +935,8 @@ class MiniDeltaTable:
         # evolution removed
         if prior is not None and not (overwrite_schema and mode == "overwrite"):
             gen = self._generation_exprs(prior.schema)
-            if gen:
+            dft = self._default_exprs(prior.schema)
+            if gen or dft:
                 types = {f.name: f.dataType for f in prior.schema}
                 for gname, gsql in gen.items():
                     if gname not in df.columns:
@@ -943,6 +944,13 @@ class MiniDeltaTable:
                         # compute it (the protocol's convenience half)
                         df = df.withColumn(
                             gname, F.expr(gsql).cast(types[gname])
+                        )
+                for dname, dsql in dft.items():
+                    if dname not in df.columns:
+                        # omitted defaulted column: fill it (column
+                        # defaults fill; provided values pass as-is)
+                        df = df.withColumn(
+                            dname, F.expr(dsql).cast(types[dname])
                         )
                 if set(df.columns) == {f.name for f in prior.schema}:
                     df = df.select(*[f.name for f in prior.schema])
@@ -1687,6 +1695,92 @@ class MiniDeltaTable:
         version = snap.version + 1
         self._commit(version, actions)
         return version
+
+    @staticmethod
+    def _default_exprs(schema: T.StructType) -> dict[str, str]:
+        """name -> default SQL for columns declaring one (the column
+        defaults feature's ``CURRENT_DEFAULT`` metadata key)."""
+        out = {}
+        for f in schema:
+            expr = (f.metadata or {}).get("CURRENT_DEFAULT")
+            if expr:
+                out[f.name] = expr
+        return out
+
+    def set_column_default(self, name: str, sql: str) -> int:
+        """ALTER TABLE ... ALTER COLUMN ... SET DEFAULT: writes that
+        OMIT the column from here on fill it with ``sql`` (cast to the
+        column's logged type); provided values are taken as-is —
+        unlike a generated column, a default is a convenience, not an
+        invariant. The expression is stored under the public column
+        defaults feature's ``CURRENT_DEFAULT`` metadata key and must
+        be constant-foldable (no column references — validated here,
+        like the real feature's restriction). Existing files are
+        untouched (this subset fills at WRITE time only; the reads-of-
+        older-files half, EXISTS_DEFAULT, applies to ADD COLUMN with
+        default, which this mini table does not do)."""
+        snap = self.snapshot()
+        if name not in {f.name for f in snap.schema}:
+            raise SchemaMismatchError(
+                f"default column {name!r} is not in the table schema"
+            )
+        if name in snap.partition_columns:
+            raise SchemaMismatchError(
+                f"cannot set a default on partition column {name!r}"
+            )
+        # constant-foldable check: evaluating against a zero-column
+        # row errors on any column reference
+        try:
+            self.spark.range(1).select(F.expr(sql)).collect()
+        except Exception as exc:
+            raise ValueError(
+                f"default for {name!r} must be a constant-foldable "
+                f"expression with no column references: {sql!r} ({exc})"
+            ) from None
+        fields = []
+        for f in snap.schema:
+            if f.name == name:
+                meta = dict(f.metadata or {})
+                meta["CURRENT_DEFAULT"] = sql
+                fields.append(
+                    T.StructField(f.name, f.dataType, f.nullable, meta)
+                )
+            else:
+                fields.append(f)
+        return self._commit_schema(
+            snap,
+            T.StructType(fields),
+            dict(snap.configuration),
+            "SET COLUMN DEFAULT",
+            {"name": name, "expr": sql},
+        )
+
+    def drop_column_default(self, name: str) -> int | None:
+        """ALTER TABLE ... ALTER COLUMN ... DROP DEFAULT; None when
+        the column has no default."""
+        snap = self.snapshot()
+        if name not in self._default_exprs(snap.schema):
+            return None
+        fields = []
+        for f in snap.schema:
+            if f.name == name:
+                meta = {
+                    k: v
+                    for k, v in (f.metadata or {}).items()
+                    if k != "CURRENT_DEFAULT"
+                }
+                fields.append(
+                    T.StructField(f.name, f.dataType, f.nullable, meta)
+                )
+            else:
+                fields.append(f)
+        return self._commit_schema(
+            snap,
+            T.StructType(fields),
+            dict(snap.configuration),
+            "DROP COLUMN DEFAULT",
+            {"name": name},
+        )
 
     def enable_in_commit_timestamps(self) -> int:
         """Enable the in-commit-timestamps table feature (PROTOCOL.md

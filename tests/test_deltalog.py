@@ -2276,3 +2276,57 @@ def test_in_commit_timestamps_monotonic_and_authoritative(spark, tmp_table, monk
     # history surfaces both fields for consumers that want either
     h2 = next(h for h in tmp_table.history() if h["version"] == v2)
     assert h2["inCommitTimestamp"] == ict2
+
+
+def test_column_defaults_fill_omitted_writes(spark, tmp_table):
+    """set_column_default: a write that OMITS the column fills it with
+    the default (cast to the logged type); provided values pass
+    as-is; non-constant expressions refuse; DROP DEFAULT stops the
+    fill (omission then fails schema enforcement); partition columns
+    refuse."""
+    from ecommerce_lakehouse_platform_spark.sources.deltalog import (
+        ConstraintViolationError,  # noqa: F401  (symmetry w/ siblings)
+    )
+
+    orders = _orders(spark).limit(20).localCheckpoint(eager=True)
+    tmp_table.write(orders)
+    v1 = tmp_table.set_column_default("priority", "'STANDARD'")
+    assert v1 == 1
+
+    batch = orders.limit(5).drop("priority").withColumn(
+        "order_id", F.concat(F.lit("new-"), "order_id")
+    )
+    tmp_table.write(batch, mode="append")
+    got = tmp_table.read().filter(F.col("order_id").startswith("new-"))
+    assert [r["priority"] for r in got.collect()] == ["STANDARD"] * 5
+
+    # provided values are NOT overridden (default, not invariant)
+    batch2 = orders.limit(2).withColumn(
+        "order_id", F.concat(F.lit("kept-"), "order_id")
+    ).withColumn("priority", F.lit("VIP"))
+    tmp_table.write(batch2, mode="append")
+    kept = tmp_table.read().filter(F.col("order_id").startswith("kept-"))
+    assert {r["priority"] for r in kept.collect()} == {"VIP"}
+
+    # non-constant expression refuses at declaration
+    with pytest.raises(ValueError, match="constant-foldable"):
+        tmp_table.set_column_default("priority", "upper(status)")
+
+    # DROP DEFAULT: omitting the column is a schema mismatch again
+    assert tmp_table.drop_column_default("priority") is not None
+    assert tmp_table.drop_column_default("priority") is None
+    with pytest.raises(SchemaMismatchError):
+        tmp_table.write(
+            orders.limit(1).drop("priority"), mode="append"
+        )
+
+    # partition columns refuse
+    base2 = tmp_table.path + "_p"
+    from ecommerce_lakehouse_platform_spark.sources.deltalog import (
+        MiniDeltaTable,
+    )
+
+    t2 = MiniDeltaTable(spark, base2)
+    t2.write(orders, partition_by=["status"])
+    with pytest.raises(SchemaMismatchError, match="partition column"):
+        t2.set_column_default("status", "'X'")

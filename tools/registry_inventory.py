@@ -107,6 +107,13 @@ PYTEST_ONLY = [
         "test_in_commit_timestamps_monotonic_and_authoritative",
     ),
     (
+        "Column DEFAULT values (CURRENT_DEFAULT metadata; omitted "
+        "columns fill at write, provided values pass as-is, "
+        "constant-foldable-only, DROP DEFAULT)",
+        "ecommerce_lakehouse_platform_spark/sources/deltalog.py",
+        "tests/test_deltalog.py::test_column_defaults_fill_omitted_writes",
+    ),
+    (
         "Row tracking (baseRowId per add + domainMetadata high "
         "watermark; read(with_row_ids=True); ids preserved across DV "
         "deletes, copy-on-write DELETE/UPDATE, OPTIMIZE, ZORDER, and "
