@@ -2546,20 +2546,41 @@ class MiniDeltaTable:
 
         parts: list[DataFrame] = []
         if fresh:
-            base_df = self.spark.createDataFrame(
-                [(r, int(snap.files[r]["baseRowId"])) for r in fresh],
-                "_rel string, _base long",
-            )
             sub = with_pos(
                 self._reader({r: snap.files[r] for r in fresh}).parquet(
                     *(os.path.join(self.path, r) for r in fresh)
                 )
             )
-            sub = (
-                sub.join(F.broadcast(base_df), "_rel")
-                .withColumn("_row_id", F.col("_base") + F.col("_pos"))
-                .drop("_base")
-            )
+            if len(fresh) <= 4096:
+                # rel -> baseRowId as a PLAN-LITERAL map (2 entries
+                # per file, the same bounded-literal class as the
+                # centroid matrices elsewhere): one projection, no
+                # join node — measured ~25% faster than the broadcast
+                # join at sf1, whose join-key hashing re-evaluates the
+                # _rel decode expression per probe
+                mapping = F.create_map(
+                    *[
+                        F.lit(x)
+                        for r in fresh
+                        for x in (r, int(snap.files[r]["baseRowId"]))
+                    ]
+                )
+                sub = sub.withColumn(
+                    "_row_id", mapping[F.col("_rel")] + F.col("_pos")
+                )
+            else:
+                # very large snapshots: the map literal would bloat
+                # the plan, so ship the base map as a broadcast join
+                # (file-count rows — standard dimension traffic)
+                base_df = self.spark.createDataFrame(
+                    [(r, int(snap.files[r]["baseRowId"])) for r in fresh],
+                    "_rel string, _base long",
+                )
+                sub = (
+                    sub.join(F.broadcast(base_df), "_rel")
+                    .withColumn("_row_id", F.col("_base") + F.col("_pos"))
+                    .drop("_base")
+                )
             parts.append(sub.select("_rel", "_pos", "_row_id", *casts))
         if matd:
             ms = sorted(matd)
