@@ -107,6 +107,14 @@ PYTEST_ONLY = [
         "test_in_commit_timestamps_monotonic_and_authoritative",
     ),
     (
+        "BPE tokenizer training, full merge loop (train_bpe: one "
+        "corpus scan -> vocab-sized iterations, exact greedy "
+        "array-fold merges, deterministic tiebreak, early stop; "
+        "apply_merges = the encode half, one nested JVM fold)",
+        "ecommerce_lakehouse_platform_spark/operators/bpe.py",
+        "tests/test_bpe.py::test_train_bpe_matches_reference",
+    ),
+    (
         "Column DEFAULT values (CURRENT_DEFAULT metadata; omitted "
         "columns fill at write, provided values pass as-is, "
         "constant-foldable-only, DROP DEFAULT)",
