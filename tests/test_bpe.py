@@ -113,3 +113,38 @@ def test_train_bpe_plan_is_vocab_sized(spark):
         apply_merges(F.col("toks"), merges).alias("enc")
     )._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_merge_fold_property_random_sequences(spark):
+    """Property: for random token sequences and random pairs, the JVM
+    fold equals the pure-Python greedy scanner — including repeated
+    and overlapping occurrences, pair-at-boundary, and no-match."""
+    from hypothesis import given, settings, strategies as st
+
+    from ecommerce_lakehouse_platform_spark.operators.bpe import _merge_pair
+
+    alphabet = ["a", "b", "ab", "ba"]
+    seqs = st.lists(
+        st.lists(st.sampled_from(alphabet), min_size=0, max_size=8),
+        min_size=1,
+        max_size=12,
+    )
+    pairs = st.tuples(st.sampled_from(alphabet), st.sampled_from(alphabet))
+
+    @settings(max_examples=12, deadline=None)
+    @given(seqs=seqs, pair=pairs)
+    def check(seqs, pair):
+        pa, pb = pair
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(seqs)],
+            "i int, toks array<string>",
+        )
+        got = {
+            r["i"]: list(r["m"])
+            for r in df.select(
+                "i", _merge_pair(F.col("toks"), pa, pb).alias("m")
+            ).collect()
+        }
+        assert got == {i: _ref_merge(s, pa, pb) for i, s in enumerate(seqs)}
+
+    check()
