@@ -501,17 +501,36 @@ class MiniDeltaTable:
 
     # -- read -----------------------------------------------------------
 
-    def _reader(self, rels):
+    def _reader(self, rels, merge_schema: bool = False):
         """Parquet reader for logged paths: ``basePath`` (hive
         partition-column recovery) only when every path sits under the
         table root — a shallow clone's ABSOLUTE references to its
         source's files would fail Spark's basePath prefix check; a
         partitioned clone's reads go through
-        :meth:`_read_logged_partitions` instead."""
+        :meth:`_read_logged_partitions` instead.
+
+        ``merge_schema`` turns on Spark's parquet footer merging so a
+        snapshot whose files span a MERGE-SCHEMA append evolution
+        (older files lack the appended columns) reads with nulls
+        filled — callers pass :meth:`_needs_schema_merge`, so only
+        evolved tables pay the footer-merging cost."""
         reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
         if all(not os.path.isabs(r) for r in rels):
             reader = reader.option("basePath", self.path)
         return reader
+
+    _EVOLVED_KEY = "minidelta.appendSchemaEvolved"
+
+    @classmethod
+    def _needs_schema_merge(cls, snap: Snapshot) -> bool:
+        """True when this snapshot's files may span a merge-schema
+        append (the marker is set by ``write(merge_schema=True)`` and
+        persists — once heterogeneous, footer merging stays on; a
+        later OPTIMIZE homogenizes the data but the flag is a cheap
+        conservative constant)."""
+        return snap.configuration.get(cls._EVOLVED_KEY) == "true"
 
     def _read_logged_partitions(self, snap: Snapshot) -> DataFrame:
         """Read a partitioned snapshot whose files span roots (shallow
@@ -696,7 +715,6 @@ class MiniDeltaTable:
         paths = snap.file_paths(self.path)
         if not paths:
             return self.spark.createDataFrame([], snap.schema)
-        casts = self._logical_casts(snap.schema)
         dv_rels = {
             rel: add
             for rel, add in snap.files.items()
@@ -716,7 +734,12 @@ class MiniDeltaTable:
                 )
             df = self._read_logged_partitions(snap)
         elif not dv_rels:
-            df = self._reader(snap.files).parquet(*paths).select(*casts)
+            raw = self._reader(
+                snap.files, self._needs_schema_merge(snap)
+            ).parquet(*paths)
+            df = raw.select(
+                *self._logical_casts(snap.schema, set(raw.columns))
+            )
         else:
             # deletion-vector files: anti-join each DV's (rel, pos)
             # sidecar against the rows' file-metadata positions — the
@@ -727,12 +750,17 @@ class MiniDeltaTable:
                 rel: a for rel, a in snap.files.items() if rel not in dv_rels
             }
             if plain:
+                raw = self._reader(
+                    plain, self._needs_schema_merge(snap)
+                ).parquet(
+                    *(os.path.join(self.path, r) for r in sorted(plain))
+                )
                 parts.append(
-                    self._reader(plain)
-                    .parquet(
-                        *(os.path.join(self.path, r) for r in sorted(plain))
+                    raw.select(
+                        *self._logical_casts(
+                            snap.schema, set(raw.columns)
+                        )
                     )
-                    .select(*casts)
                 )
             by_sidecar: dict[str, list[str]] = {}
             for rel, add in dv_rels.items():
@@ -742,7 +770,8 @@ class MiniDeltaTable:
             for sidecar in sorted(by_sidecar):
                 rels = sorted(by_sidecar[sidecar])
                 sub = self._reader(
-                    {r: snap.files[r] for r in rels}
+                    {r: snap.files[r] for r in rels},
+                    self._needs_schema_merge(snap),
                 ).parquet(*(os.path.join(self.path, r) for r in rels))
                 # rel values in a sidecar are relative to the table
                 # that WROTE it — for a clone's absolute storagePath
@@ -759,7 +788,11 @@ class MiniDeltaTable:
                     F.col("rel").alias("_rel"), F.col("pos").alias("_pos")
                 )
                 parts.append(
-                    sub.join(dvp, ["_rel", "_pos"], "left_anti").select(*casts)
+                    sub.join(dvp, ["_rel", "_pos"], "left_anti").select(
+                        *self._logical_casts(
+                            snap.schema, set(sub.columns)
+                        )
+                    )
                 )
             df = parts[0]
             for part in parts[1:]:
@@ -851,6 +884,7 @@ class MiniDeltaTable:
         mode: str = "overwrite",
         partition_by: list[str] | None = None,
         overwrite_schema: bool = False,
+        merge_schema: bool = False,
         txn: tuple[str, int] | None = None,
         replace_where: dict[str, Any] | None = None,
     ) -> int:
@@ -862,6 +896,19 @@ class MiniDeltaTable:
         Existing-table writes enforce the logged schema unless
         ``overwrite_schema=True`` (overwrite only), which commits a new
         ``metaData`` action — the ``overwriteSchema`` contract.
+
+        ``merge_schema=True`` (append only) is the ``mergeSchema``
+        contract: columns the incoming frame ADDS evolve the table
+        schema (appended after the existing fields, nullable), while
+        every existing column must still arrive with its logged type —
+        widening only, never dropping. Older files simply lack the new
+        columns; reads fill them with NULL via parquet footer merging,
+        turned on per-table by the ``minidelta.appendSchemaEvolved``
+        marker this write sets (only evolved tables pay the
+        footer-merge cost; the marker persists — a conservative
+        constant). Refused on column-mapped tables (new fields would
+        need physical-name assignment) and on partition-layout
+        changes, like the real option.
 
         ``replace_where={col: value, ...}`` scopes an overwrite to the
         matching PARTITIONS (the ``replaceWhere`` contract): only
@@ -882,8 +929,11 @@ class MiniDeltaTable:
         skipped) or never happened — there is no torn state."""
         if mode not in ("overwrite", "append"):
             raise ValueError(f"unsupported mode: {mode}")
+        if merge_schema and mode != "append":
+            raise ValueError("merge_schema applies to mode='append' only")
         tbl_exists = self.exists()
         prior = self.snapshot() if tbl_exists else None
+        evolved_append: T.StructType | None = None
         if (
             prior is not None
             and overwrite_schema
@@ -975,12 +1025,49 @@ class MiniDeltaTable:
                 (f.name, f.dataType) for f in prior.schema
             ]
             if not same:
-                if not (overwrite_schema and mode == "overwrite"):
+                if merge_schema and mode == "append":
+                    if self._mapping_enabled(prior):
+                        raise NotImplementedError(
+                            "merge_schema on a column-mapped table is "
+                            "not supported (new fields need physical-"
+                            "name assignment); evolve via "
+                            "overwrite_schema instead"
+                        )
+                    prior_types = {f.name: f.dataType for f in prior.schema}
+                    df_types = {f.name: f.dataType for f in df.schema}
+                    missing = sorted(set(prior_types) - set(df_types))
+                    if missing:
+                        raise SchemaMismatchError(
+                            "merge_schema append may ADD columns, "
+                            f"never drop: missing {missing}"
+                        )
+                    conflict = sorted(
+                        n
+                        for n, t in prior_types.items()
+                        if df_types[n] != t
+                    )
+                    if conflict:
+                        raise SchemaMismatchError(
+                            "merge_schema append cannot change "
+                            f"existing column types: {conflict}"
+                        )
+                    evolved_append = T.StructType(
+                        list(prior.schema)
+                        + [
+                            T.StructField(f.name, f.dataType, True)
+                            for f in df.schema
+                            if f.name not in prior_types
+                        ]
+                    )
+                    df = df.select(*[f.name for f in evolved_append])
+                elif not (overwrite_schema and mode == "overwrite"):
                     raise SchemaMismatchError(
                         "write schema differs from table schema "
                         f"(table {prior.schema.simpleString()}, "
                         f"write {df.schema.simpleString()}); pass "
-                        "overwrite_schema=True with mode='overwrite' to evolve"
+                        "overwrite_schema=True with mode='overwrite' "
+                        "to evolve (or merge_schema=True with "
+                        "mode='append' to add columns)"
                     )
         partition_by = partition_by or []
         if prior is not None:
@@ -995,7 +1082,10 @@ class MiniDeltaTable:
                 self._enforce_generated(df, prior.schema)
 
         adds = self._stage_for_schema(
-            df, prior.schema if prior is not None else df.schema,
+            df,
+            evolved_append
+            if evolved_append is not None
+            else (prior.schema if prior is not None else df.schema),
             partition_by,
         )
         version = (prior.version + 1) if prior is not None else 0
@@ -1028,6 +1118,7 @@ class MiniDeltaTable:
         new_meta = (
             prior is None
             or overwrite_schema
+            or evolved_append is not None
             or partition_by != prior.partition_columns
         )
         if prior is None:
@@ -1040,13 +1131,22 @@ class MiniDeltaTable:
                     "metaData": {
                         "id": str(uuid.uuid4()),
                         "format": {"provider": "parquet", "options": {}},
-                        "schemaString": df.schema.json(),
+                        "schemaString": (
+                            evolved_append
+                            if evolved_append is not None
+                            else df.schema
+                        ).json(),
                         "partitionColumns": partition_by,
                         # table properties (CHECK constraints included)
                         # survive a schema evolution
-                        "configuration": dict(
-                            prior.configuration if prior else {}
-                        ),
+                        "configuration": {
+                            **(prior.configuration if prior else {}),
+                            **(
+                                {self._EVOLVED_KEY: "true"}
+                                if evolved_append is not None
+                                else {}
+                            ),
+                        },
                         "createdTime": now_ms,
                     }
                 }
@@ -2192,14 +2292,29 @@ class MiniDeltaTable:
         )
 
     @staticmethod
-    def _logical_casts(schema: T.StructType) -> list[Column]:
+    def _logical_casts(
+        schema: T.StructType, available: set[str] | None = None
+    ) -> list[Column]:
         """Projection from a raw (physical-name) parquet scan to the
         logical schema: one cast+alias per field. The identity when
-        column mapping is off (physical == logical)."""
-        return [
-            F.col(MiniDeltaTable._phys(f)).cast(f.dataType).alias(f.name)
-            for f in schema
-        ]
+        column mapping is off (physical == logical).
+
+        ``available`` = the scanned relation's actual columns: a
+        schema field whose physical column is absent (every scanned
+        file predates the merge-schema append that added it) projects
+        as a typed NULL instead of an unresolvable reference — the
+        cast-level half of schema-merge reading, needed whenever a
+        scan touches an old-era-only file subset (footer merging can
+        only surface columns that exist in at least one scanned
+        file)."""
+        cols = []
+        for f in schema:
+            p = MiniDeltaTable._phys(f)
+            if available is not None and p not in available:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.col(p).cast(f.dataType).alias(f.name))
+        return cols
 
     def _phys_column(self, schema: T.StructType, column: str) -> str:
         """Logical -> physical column-name translation for stats
@@ -2465,9 +2580,10 @@ class MiniDeltaTable:
                 "carry deletion vectors is not supported; OPTIMIZE "
                 "the source table first"
             )
-        sub = self._reader({r: snap.files[r] for r in rels}).parquet(
-            *(os.path.join(self.path, r) for r in rels)
-        )
+        sub = self._reader(
+            {r: snap.files[r] for r in rels},
+            self._needs_schema_merge(snap),
+        ).parquet(*(os.path.join(self.path, r) for r in rels))
         dv_rels = [r for r in rels if snap.files[r].get("deletionVector")]
         if dv_rels or with_rel:
             # the rel path must come from the rows' OWN file metadata,
@@ -2537,7 +2653,6 @@ class MiniDeltaTable:
             == "true"
         }
         fresh = [r for r in rels if r not in matd]
-        casts = self._logical_casts(snap.schema)
 
         def with_pos(sub: DataFrame) -> DataFrame:
             return sub.withColumn(
@@ -2547,7 +2662,10 @@ class MiniDeltaTable:
         parts: list[DataFrame] = []
         if fresh:
             sub = with_pos(
-                self._reader({r: snap.files[r] for r in fresh}).parquet(
+                self._reader(
+                    {r: snap.files[r] for r in fresh},
+                    self._needs_schema_merge(snap),
+                ).parquet(
                     *(os.path.join(self.path, r) for r in fresh)
                 )
             )
@@ -2581,16 +2699,33 @@ class MiniDeltaTable:
                     .withColumn("_row_id", F.col("_base") + F.col("_pos"))
                     .drop("_base")
                 )
-            parts.append(sub.select("_rel", "_pos", "_row_id", *casts))
+            parts.append(
+                sub.select(
+                    "_rel",
+                    "_pos",
+                    "_row_id",
+                    *self._logical_casts(snap.schema, set(sub.columns)),
+                )
+            )
         if matd:
             ms = sorted(matd)
             sub = with_pos(
-                self._reader({r: snap.files[r] for r in ms}).parquet(
+                self._reader(
+                    {r: snap.files[r] for r in ms},
+                    self._needs_schema_merge(snap),
+                ).parquet(
                     *(os.path.join(self.path, r) for r in ms)
                 )
             )
             sub = sub.withColumn("_row_id", F.col(mat).cast("long"))
-            parts.append(sub.select("_rel", "_pos", "_row_id", *casts))
+            parts.append(
+                sub.select(
+                    "_rel",
+                    "_pos",
+                    "_row_id",
+                    *self._logical_casts(snap.schema, set(sub.columns)),
+                )
+            )
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -2645,7 +2780,10 @@ class MiniDeltaTable:
             )
         scan = self._read_files_dv_aware(snap, snap.files, with_rel=True)
         # predicates are over LOGICAL names; the raw scan is physical
-        scan = scan.select("_rel", *self._logical_casts(snap.schema))
+        scan = scan.select(
+            "_rel",
+            *self._logical_casts(snap.schema, set(scan.columns)),
+        )
         touched_rels = sorted(
             r["_rel"]
             for r in scan.filter(condition).select("_rel").distinct().collect()
@@ -2662,7 +2800,9 @@ class MiniDeltaTable:
             sub = self._scan_with_row_ids(snap, touched_rels)
         else:
             sub = self._read_files_dv_aware(snap, touched_rels)
-            sub = sub.select(*self._logical_casts(snap.schema))
+            sub = sub.select(
+                *self._logical_casts(snap.schema, set(sub.columns))
+            )
         replacement = rewrite(sub)
         # DML commits hold the same invariant as write(): no committed
         # version contains a row violating a CHECK constraint or a
@@ -2772,12 +2912,19 @@ class MiniDeltaTable:
         """Discovery scan for DV DML: (``_rel``, ``_pos``, logical
         columns) over the given files (default: all active)."""
         rels = sorted(snap.files if rels is None else rels)
-        return (
-            self._reader({r: snap.files[r] for r in rels})
+        sub = (
+            self._reader(
+                {r: snap.files[r] for r in rels},
+                self._needs_schema_merge(snap),
+            )
             .parquet(*(os.path.join(self.path, r) for r in rels))
             .withColumn("_rel", self._rel_from("_metadata.file_path"))
             .withColumn("_pos", F.col("_metadata.row_index"))
-            .select("_rel", "_pos", *self._logical_casts(snap.schema))
+        )
+        return sub.select(
+            "_rel",
+            "_pos",
+            *self._logical_casts(snap.schema, set(sub.columns)),
         )
 
     def _dv_alive(
@@ -3103,7 +3250,9 @@ class MiniDeltaTable:
         )
         if touched_rels:
             sub = self._read_files_dv_aware(snap, touched_rels)
-            sub = sub.select(*self._logical_casts(snap.schema))
+            sub = sub.select(
+                *self._logical_casts(snap.schema, set(sub.columns))
+            )
         else:
             sub = self.spark.createDataFrame([], snap.schema)
         merged_sub = merge_upsert(sub, source.select(*sub.columns), keys)
@@ -3245,6 +3394,8 @@ class MiniDeltaTable:
                 F.timestamp_millis(F.lit(ts)).alias("_commit_timestamp"),
             ]
 
+        merge = self._needs_schema_merge(self.snapshot(ending_version))
+
         def reconstruct(
             rel_dv: dict[str, dict | None],
             schema: T.StructType,
@@ -3257,14 +3408,18 @@ class MiniDeltaTable:
             it at event time (or None): DV'd positions are excluded —
             those rows already got their delete events when the DV
             committed, so replaying them here would double-count."""
-            casts = self._logical_casts(schema)
             out: list[DataFrame] = []
             plain = sorted(r for r, dv in rel_dv.items() if not dv)
             if plain:
-                df = self._reader(plain).parquet(
+                df = self._reader(plain, merge).parquet(
                     *[os.path.join(self.path, r) for r in plain]
                 )
-                out.append(df.select(*casts, *change_cols(change, v, ts)))
+                out.append(
+                    df.select(
+                        *self._logical_casts(schema, set(df.columns)),
+                        *change_cols(change, v, ts),
+                    )
+                )
             by_sidecar: dict[str, list[str]] = {}
             for r, dv in rel_dv.items():
                 if dv:
@@ -3272,7 +3427,7 @@ class MiniDeltaTable:
             for sidecar in sorted(by_sidecar):
                 rels_g = sorted(by_sidecar[sidecar])
                 df = (
-                    self._reader(rels_g)
+                    self._reader(rels_g, merge)
                     .parquet(*[os.path.join(self.path, r) for r in rels_g])
                     .withColumn(
                         "_rel",
@@ -3289,7 +3444,8 @@ class MiniDeltaTable:
                 )
                 out.append(
                     df.join(dvp, ["_rel", "_pos"], "left_anti").select(
-                        *casts, *change_cols(change, v, ts)
+                        *self._logical_casts(schema, set(df.columns)),
+                        *change_cols(change, v, ts),
                     )
                 )
             return out
@@ -3322,14 +3478,14 @@ class MiniDeltaTable:
                     .select(F.col("pos").alias("_pos"))
                 )
                 pos = pos.join(old, ["_pos"], "left_anti")
-            casts = self._logical_casts(schema)
             df = (
-                self._reader([rel])
+                self._reader([rel], merge)
                 .parquet(os.path.join(self.path, rel))
                 .withColumn("_pos", F.col("_metadata.row_index"))
             )
             return df.join(pos, ["_pos"], "left_semi").select(
-                *casts, *change_cols("delete", v, ts)
+                *self._logical_casts(schema, set(df.columns)),
+                *change_cols("delete", v, ts),
             )
 
         if starting_version < versions[0]:
@@ -3616,7 +3772,10 @@ class MiniDeltaTable:
             # project physical -> logical up front (column mapping),
             # _rel kept for the bin join below; downstream stays
             # logical
-            df = df.select("_rel", *self._logical_casts(snap.schema))
+            df = df.select(
+                "_rel",
+                *self._logical_casts(snap.schema, set(df.columns)),
+            )
         cast_cols = [f.name for f in snap.schema] + ([mat] if tracking else [])
         if zorder_by:
             df, nrows = self._zorder_layout(

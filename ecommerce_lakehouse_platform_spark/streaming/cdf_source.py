@@ -499,9 +499,14 @@ class MiniDeltaCDFStreamReader(DataSourceStreamReader):
             return value
 
         pv = spec.get("pv") or {}
+        wanted = [p for p, _l, _t, part in spec["cols"] if not part]
+        # a file written BEFORE a merge-schema append lacks the
+        # appended columns — request only what the footer has and fill
+        # the rest with nulls at emission (the executor-side mirror of
+        # the batch reader's parquet footer merging)
+        present = set(pq.read_schema(spec["file"]).names)
         table = pq.read_table(
-            spec["file"],
-            columns=[p for p, _l, _t, part in spec["cols"] if not part],
+            spec["file"], columns=[p for p in wanted if p in present]
         )
         if spec["mode"] == "anti" and spec["dv"]:
             # Arrow-native mask — no Python row loop: row index NOT IN
@@ -543,11 +548,15 @@ class MiniDeltaCDFStreamReader(DataSourceStreamReader):
                     if value is None
                     else pa.repeat(pa.scalar(value, type=ftype), n)
                 )
-            else:
+            elif p in present:
                 # physical→logical rename + cast to the engine's
                 # expected arrow type (parquet may differ, e.g.
                 # timestamp units)
                 arrays.append(table.column(p).cast(ftype))
+            else:
+                # column appended by a later merge-schema evolution:
+                # this older file has no values for it
+                arrays.append(pa.nulls(n, type=ftype))
             names.append(l)
         if target.get_field_index("_change_type") != -1:
             # CDF mode — the plain table source's schema carries only

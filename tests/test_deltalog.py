@@ -2330,3 +2330,132 @@ def test_column_defaults_fill_omitted_writes(spark, tmp_table):
     t2.write(orders, partition_by=["status"])
     with pytest.raises(SchemaMismatchError, match="partition column"):
         t2.set_column_default("status", "'X'")
+
+
+def test_merge_schema_append_evolves_and_reads_null(spark, tmp_table):
+    """write(merge_schema=True, mode='append'): added columns evolve
+    the schema (appended, nullable), older files read as NULL for
+    them (per-table footer merging via the evolved marker), time
+    travel to the pre-evolution version keeps the old schema, DML and
+    OPTIMIZE work over the mixed layout, the change feed crosses the
+    evolution (old events carry null), and the guards refuse drops,
+    type changes, and overwrite mode."""
+    orders = _orders(spark).limit(20).localCheckpoint(eager=True)
+    tmp_table.write(orders)  # v0
+    ids = sorted(r["order_id"] for r in orders.collect())
+
+    batch = (
+        orders.limit(5)
+        .withColumn("order_id", F.concat(F.lit("new-"), "order_id"))
+        .withColumn("channel", F.lit("web"))
+    )
+    v1 = tmp_table.write(batch, mode="append", merge_schema=True)
+    assert v1 == 1
+    snap = tmp_table.snapshot()
+    assert [f.name for f in snap.schema][-1] == "channel"
+    assert snap.configuration.get("minidelta.appendSchemaEvolved") == "true"
+
+    got = tmp_table.read()
+    assert "channel" in got.columns and got.count() == 25
+    old_rows = got.filter(~F.col("order_id").startswith("new-"))
+    assert old_rows.filter(F.col("channel").isNotNull()).count() == 0
+    new_rows = got.filter(F.col("order_id").startswith("new-"))
+    assert {r["channel"] for r in new_rows.collect()} == {"web"}
+
+    # time travel: the pre-evolution version keeps the OLD schema
+    assert "channel" not in tmp_table.read(version=0).columns
+
+    # guards
+    with pytest.raises(SchemaMismatchError, match="never drop"):
+        tmp_table.write(
+            orders.limit(1).drop("priority"), mode="append",
+            merge_schema=True,
+        )
+    with pytest.raises(SchemaMismatchError, match="column types"):
+        tmp_table.write(
+            orders.limit(1).withColumn(
+                "channel", F.lit(1).cast("int")
+            ),
+            mode="append",
+            merge_schema=True,
+        )
+    with pytest.raises(ValueError, match="append"):
+        tmp_table.write(orders.limit(1), mode="overwrite",
+                        merge_schema=True)
+
+    # copy-on-write DML across the mixed layout: delete rows living
+    # in a PRE-evolution file (its rewrite must read channel as null)
+    v2 = tmp_table.delete(F.col("order_id") == ids[0])
+    assert v2 == 2
+    left = tmp_table.read()
+    assert left.count() == 24
+    assert left.filter(F.col("order_id") == ids[0]).count() == 0
+
+    # the change feed crosses the evolution; pre-evolution events
+    # carry null for the appended column
+    ch = tmp_table.changes(0)
+    assert "channel" in ch.columns
+    v0_events = ch.filter(F.col("_commit_version") == 0)
+    assert v0_events.count() == 20
+    assert v0_events.filter(F.col("channel").isNotNull()).count() == 0
+
+    # OPTIMIZE homogenizes the layout; reads unchanged (None-safe
+    # canon: the evolved column is null on pre-evolution rows)
+    def canon_n(df):
+        return sorted(
+            map(repr, (tuple(r) for r in df.select(*sorted(df.columns)).collect()))
+        )
+
+    before = canon_n(tmp_table.read())
+    assert tmp_table.optimize(max_file_bytes=1 << 30)
+    assert canon_n(tmp_table.read()) == before
+
+
+def test_merge_schema_streaming_cdf_null_fills_old_files(spark, tmp_table):
+    """The streaming CDF source null-fills appended columns when an
+    event touches a file written BEFORE the evolution (a post-
+    evolution delete's remove of a v0 file)."""
+    import os as _os
+
+    from ecommerce_lakehouse_platform_spark.streaming.cdf_source import (
+        read_cdf_stream,
+    )
+
+    orders = _orders(spark).limit(12).localCheckpoint(eager=True)
+    ids = sorted(r["order_id"] for r in orders.collect())
+    tmp_table.write(orders)  # v0 (old schema)
+    tmp_table.write(
+        orders.limit(3)
+        .withColumn("order_id", F.concat(F.lit("new-"), "order_id"))
+        .withColumn("channel", F.lit("web")),
+        mode="append",
+        merge_schema=True,
+    )  # v1 evolves
+    tmp_table.delete(F.col("order_id") == ids[0])  # v2 rewrites a v0 file
+
+    base = _os.path.dirname(tmp_table.path)
+    out = _os.path.join(base, "events")
+    q = (
+        read_cdf_stream(spark, tmp_table.path, starting_version=1)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", _os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+
+    def canon_n(df):
+        return sorted(
+            map(
+                repr,
+                (tuple(r) for r in df.select(*sorted(df.columns)).collect()),
+            )
+        )
+
+    assert canon_n(got) == canon_n(tmp_table.changes(1))
+    # the delete's pre-evolution rows stream with channel = null
+    dels = got.filter(F.col("_change_type") == "delete")
+    assert dels.count() >= 1
+    assert dels.filter(F.col("channel").isNotNull()).count() == 0

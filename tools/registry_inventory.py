@@ -115,6 +115,15 @@ PYTEST_ONLY = [
         "tests/test_bpe.py::test_train_bpe_matches_reference",
     ),
     (
+        "mergeSchema append (write(merge_schema=True): added columns "
+        "evolve the schema, older files read/stream as NULL via "
+        "marker-gated footer merging + availability-aware casts; DML/"
+        "OPTIMIZE/CDF compose across the evolution)",
+        "ecommerce_lakehouse_platform_spark/sources/deltalog.py",
+        "tests/test_deltalog.py::"
+        "test_merge_schema_append_evolves_and_reads_null",
+    ),
+    (
         "Column DEFAULT values (CURRENT_DEFAULT metadata; omitted "
         "columns fill at write, provided values pass as-is, "
         "constant-foldable-only, DROP DEFAULT)",
