@@ -864,8 +864,12 @@ resolve_deferred_oracles()
 # considered changed-query slots at r11: the stop-shingle cap's
 # drop-side anti-join (ext_dedup_ngram_jaccard, ext_dedup_containment
 # — both oracle-identical, re-proven locally 301/301), and the
-# deltalog ICT/row-tracking injectors (every ext_delta_* query runs
-# through _commit; all re-proven locally).
+# deltalog ICT/row-tracking injectors + the mergeSchema
+# availability-aware read casts (every ext_delta_* query runs through
+# _commit and the read paths; all re-proven locally — full fast suite
+# + 301/301 differential after each change). ext_delta_merge_cdf and
+# ext_snapshot_diff / ext_scd2_user_state / ext_incremental_rollup
+# are in the r11 fill/forced sets regardless.
 _DRIVER_WINDOW: tuple[str, ...] = (
     # --- New this round: first external row happens now or never ---
     "stream_cdf_source",
