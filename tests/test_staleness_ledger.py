@@ -142,3 +142,26 @@ def test_plan_next_window_forced_and_fill():
     )
     assert forced2 == []
     assert fill2[0] == "edge"
+
+
+def test_plan_next_window_overflow_detection():
+    """When the forced set alone exceeds the window capacity, the
+    planner must surface it (the caller exits 2) rather than silently
+    truncating the must-carry list."""
+    from staleness_ledger import plan_next_window
+
+    queries = [f"q{i}" for i in range(6)]
+    window = ["q0", "q1"]  # capacity 2
+    # four out-of-window keys all at the breach bound next round
+    newest = {
+        "q0": (9, "green"),
+        "q1": (9, "green"),
+        "q2": (7, "green"),
+        "q3": (7, "green"),
+        "q4": (7, "green"),
+        "q5": (7, "green"),
+    }
+    forced, fill = plan_next_window(newest, queries, window, 9)
+    assert forced == ["q2", "q3", "q4", "q5"]
+    assert len(forced) > len(window), "overflow must be visible"
+    assert fill == []
