@@ -238,3 +238,48 @@ def test_random_operation_sequences_preserve_ids(spark, base):
             got = _ids(t)
             assert got == model, f"seed {seed} diverged after {op}"
             assert len(set(got.values())) == len(got), "id collision"
+
+
+def test_row_ids_compose_with_merge_schema_evolution(spark, base):
+    """Feature interplay: a row-tracked table evolves via a
+    merge-schema append — old rows' ids stay put (and read null for
+    the appended column), new rows get fresh ids, and a post-evolution
+    copy-on-write rewrite of PRE-evolution files still materializes
+    ids while null-filling the appended column."""
+    t = MiniDeltaTable(spark, os.path.join(base, "t"))
+    df = _df(spark, 40)
+    t.write(df.limit(20).repartition(2))
+    t.enable_row_tracking()
+    ref = _ids(t)
+
+    batch = (
+        df.limit(25)
+        .exceptAll(df.limit(20))
+        .withColumn("tag", F.lit("late"))
+    )
+    t.write(batch, mode="append", merge_schema=True)
+    got = t.read(with_row_ids=True)
+    assert set(got.columns) == {"k", "v", "tag", "_row_id"}
+    by_k = {r["k"]: r for r in got.collect()}
+    assert all(by_k[k]["_row_id"] == i for k, i in ref.items())
+    assert all(by_k[k]["tag"] is None for k in ref)
+    fresh = {k: r for k, r in by_k.items() if k not in ref}
+    assert len(fresh) == 5
+    assert all(r["tag"] == "late" for r in fresh.values())
+    assert min(r["_row_id"] for r in fresh.values()) > max(ref.values())
+
+    # rewrite an OLD file post-evolution: ids persist, tag stays null
+    t.delete(F.col("v") == 2)  # copy-on-write, touches a v0-era file
+    after = t.read(with_row_ids=True)
+    by_k2 = {r["k"]: r for r in after.collect()}
+    assert "1" not in by_k2
+    survivors = {k: r for k, r in by_k2.items() if k in ref}
+    assert all(r["_row_id"] == ref[k] for k, r in survivors.items())
+    assert all(r["tag"] is None for r in survivors.values())
+
+    # OPTIMIZE the mixed (tracked + evolved) layout: everything holds
+    assert t.optimize(max_file_bytes=1 << 30)
+    final = {r["k"]: r for r in t.read(with_row_ids=True).collect()}
+    assert {k: r["_row_id"] for k, r in final.items()} == {
+        k: r["_row_id"] for k, r in by_k2.items()
+    }
