@@ -837,98 +837,87 @@ resolve_deferred_oracles()
 # point should extend EXISTING queries' plans or live as
 # pytest-proven library surface (REGISTRY.md lists that tier).
 #
-# Round-10 rotation: 1 new-query slot (stream_cdf_source, the
-# Structured-Streaming change-feed source drained through a real
-# writeStream — swapped in for the retired ext_delta_restore, whose
-# RESTORE semantics stay pinned by three test_deltalog.py anchors), 3
-# changed-query slots (ext_media_embed_topk flipped to the real-codec
-# decode path with a new oracle; ext_dedup_clusters, whose pair-
-# generation/CC chain was restructured for the r10 perf cut;
-# ext_delta_cdf_fold, whose deltalog DML/changes() code grew DV-backed
-# UPDATE/MERGE this round), the 6 queries whose newest external green
-# row is r6 (the r9 slips — the staleness tripwire made rotating them
-# mandatory this round), and 40 of the 46 r7-stale queries. The 6 r7
-# queries that slip to r11 — ext_histogram_totals, ext_pivot_events,
-# ext_profile_orders, ext_setops_users, ext_stats_correlation,
-# ext_unpivot_lineitem — are simple relational plans re-proven every
-# session by the local sf0.001+sf0.01 differential, and the −3 bound
-# forces them into the r11 window on pain of a red suite (plan r11's
-# window around them FIRST). Rotation is now tool-assisted: run
+# Round-10 rotation (recorded green 50/50 in CORRECTNESS_r10.json):
+# 1 new-query slot (stream_cdf_source, swapped for the retired
+# ext_delta_restore), 3 changed-query slots (ext_media_embed_topk,
+# ext_dedup_clusters, ext_delta_cdf_fold), the 6 r6-stale queries, and
+# 40 of the 46 r7-stale queries, deferring ext_histogram_totals,
+# ext_pivot_events, ext_profile_orders, ext_setops_users,
+# ext_stats_correlation, ext_unpivot_lineitem to r11 (forced there).
+#
+# Round-11 rotation — the zero-slack round the r10 comment planned:
+# the 6 deferred r7 keys are FORCED (the −3 bound trips without
+# them), and the 47-key r8 cohort all hits the bound at r12, so 44 of
+# them fill the remaining slots now; op_agg_pivotcount,
+# op_agg_reviews, and op_join_left_enrich_items defer to r12, where
+# they are forced alongside the 47-key r9 cohort (3 + 47 = exactly 50
+# — the r12 window writes itself; r13 then carries the 50-key r10
+# cohort and the cycle is back to steady state). There is NO
+# changed-query or new-query slot this round by construction: r11
+# code changes must either touch plans already in this window (the
+# deltalog read/commit paths are covered by ext_delta_merge_cdf
+# below) or be re-proven by the local 301-test differential and the
+# fast suite, with the external re-check riding the key's next forced
+# rotation. Rotation is tool-assisted: run
 #   python tools/staleness_ledger.py --plan
-# for the next round's FORCED set (must-carry keys), the oldest-first
-# FILL, and the deferral-pressure list (keys forced the round after).
-# As computed after the r10 rotation: r11 = the 6 forced r7 keys + 44
-# of the 47-key r8 cohort; op_agg_pivotcount, op_agg_reviews, and
-# op_join_left_enrich_items defer to r12, where they are forced.
-# Late-r10 code changes whose externally-gated queries should also be
-# considered changed-query slots at r11: the stop-shingle cap's
-# drop-side anti-join (ext_dedup_ngram_jaccard, ext_dedup_containment
-# — both oracle-identical, re-proven locally 301/301), and the
-# deltalog ICT/row-tracking injectors + the mergeSchema
-# availability-aware read casts (every ext_delta_* query runs through
-# _commit and the read paths; all re-proven locally — full fast suite
-# + 301/301 differential after each change). ext_delta_merge_cdf and
-# ext_snapshot_diff / ext_scd2_user_state / ext_incremental_rollup
-# are in the r11 fill/forced sets regardless.
+# for the next round's FORCED set, the oldest-first FILL, and the
+# deferral-pressure list.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # --- New this round: first external row happens now or never ---
-    "stream_cdf_source",
-    # --- Changed this round: re-check is mandatory, not rotation ---
-    # real-codec decode path (fake=False) + new oracle
-    "ext_media_embed_topk",
-    # pair-generation/connected-components chain restructured (perf)
-    "ext_dedup_clusters",
-    # deltalog DML grew DV-backed UPDATE/MERGE; changes() sits on the
-    # touched path, so the fold gets externally re-checked
-    "ext_delta_cdf_fold",
-    # --- Newest external row is r6: staleness bound forces all 6 ---
-    "ext_doc_chunking",
-    "ext_quality_band_filter",
-    "ext_text_langid",
-    "ext_text_repetition",
-    "ext_text_subword_stats",
-    "ext_text_unk_replace",
-    # --- Newest external row is r7: 40 of 46 (slips named above) ---
-    "ext_ann_recall",
-    "ext_bpe_apply_merge",
-    "ext_bpe_pair_counts",
-    "ext_compaction_bins",
-    "ext_corpus_mixture",
-    "ext_cube_returns",
-    "ext_dedup_incremental",
-    "ext_dedup_minhash_lsh",
-    "ext_dedup_simhash",
-    "ext_dedup_sorted_neighborhood",
-    "ext_delta_time_travel",
-    "ext_dup_span_islands",
-    "ext_event_transitions",
-    "ext_graph_khop",
-    "ext_hard_negative_mining",
-    "ext_heavy_hitters",
-    "ext_join_semi_anti",
-    "ext_kmeans_embedding",
-    "ext_label_propagation",
-    "ext_length_bucket_batching",
-    "ext_moving_revenue",
-    "ext_multitouch_attribution",
-    "ext_negative_edges",
-    "ext_pagerank_copurchase",
-    "ext_rollup_revenue",
-    "ext_running_gold_totals",
-    "ext_scalar_subquery",
-    "ext_similarity_ivf",
-    "ext_similarity_topk",
-    "ext_sketch_profile",
-    "ext_skew_diagnosis",
-    "ext_text_postings",
-    "ext_time_decayed_ltv",
-    "ext_topk_per_group",
-    "ext_triangle_count",
-    "ext_window_funcs",
-    "ext_zorder_layout",
-    "stream_dedup_exactly_once",
-    "stream_dedup_index_maintenance",
-    "stream_interval_join_outer",
+    # --- Newest external row is r7: deferred from r10, forced now ---
+    "ext_histogram_totals",
+    "ext_pivot_events",
+    "ext_profile_orders",
+    "ext_setops_users",
+    "ext_stats_correlation",
+    "ext_unpivot_lineitem",
+    # --- Newest external row is r8: 44 of 47 (3 slip to r12, where
+    # --- they are forced: op_agg_pivotcount, op_agg_reviews,
+    # --- op_join_left_enrich_items — all simple plans the local
+    # --- differential re-proves every session) ---
+    "dash_customer_360",
+    "dash_sales_overview",
+    "dash_site_funnel",
+    "dq_bounded_rates",
+    "dq_nonneg_amounts",
+    "dq_notnull_products",
+    "dq_pk_unique_customer",
+    "ext_asof_attribution",
+    "ext_binary_metadata",
+    "ext_cohort_retention",
+    "ext_corpus_curation",
+    "ext_dedup_exact",
+    "ext_dedup_keep_best",
+    "ext_dedup_lines",
+    "ext_dedup_normalized",
+    "ext_dedup_span_cut",
+    "ext_delta_merge_cdf",
+    "ext_dsir_importance",
+    "ext_gapfill_daily",
+    "ext_global_score_rank",
+    "ext_groupwise_stats",
+    "ext_interval_join_errors",
+    "ext_json_extract",
+    "ext_lm_perplexity",
+    "ext_market_basket",
+    "ext_media_ppm_resize",
+    "ext_peak_concurrency",
+    "ext_pq_adc_search",
+    "ext_pq_encode",
+    "ext_quality_perceptron",
+    "ext_quality_sampled_train",
+    "ext_rfm_segmentation",
+    "ext_text_tfidf",
+    "ext_text_vocab",
+    "ext_time_bucket_rollup",
+    "ext_time_to_convert",
+    "ext_url_canonicalize",
+    "ext_winsorized_stats",
+    "gold_daily_metrics",
+    "gold_product_funnel",
+    "gold_product_metrics",
+    "gold_session_metrics",
+    "gold_session_metrics_attrs",
+    "op_agg_having",
 )
 
 
