@@ -40,7 +40,10 @@ def word_frequencies(
     """(word, freq) over whitespace words — the one corpus-sized scan
     of BPE training; everything downstream is vocabulary-sized."""
     return (
-        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        # \s+ so whitespace-delimited words never contain tabs or
+        # newlines — characters the downstream '.'-regex char split
+        # (which does not match newlines) would silently drop
+        docs.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("word"))
         .filter(F.length("word") >= min_len)
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))

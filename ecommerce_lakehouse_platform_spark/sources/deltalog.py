@@ -1051,15 +1051,24 @@ class MiniDeltaTable:
                             "merge_schema append cannot change "
                             f"existing column types: {conflict}"
                         )
-                    evolved_append = T.StructType(
-                        list(prior.schema)
-                        + [
-                            T.StructField(f.name, f.dataType, True)
-                            for f in df.schema
-                            if f.name not in prior_types
-                        ]
-                    )
-                    df = df.select(*[f.name for f in evolved_append])
+                    new_fields = [
+                        T.StructField(f.name, f.dataType, True)
+                        for f in df.schema
+                        if f.name not in prior_types
+                    ]
+                    if not new_fields:
+                        # merely REORDERED columns, nothing new: align
+                        # to the table schema and write as a plain
+                        # append — committing a no-op metaData action
+                        # here would permanently set the
+                        # appendSchemaEvolved marker and tax every
+                        # future read with parquet footer merging
+                        df = df.select(*[f.name for f in prior.schema])
+                    else:
+                        evolved_append = T.StructType(
+                            list(prior.schema) + new_fields
+                        )
+                        df = df.select(*[f.name for f in evolved_append])
                 elif not (overwrite_schema and mode == "overwrite"):
                     raise SchemaMismatchError(
                         "write schema differs from table schema "
@@ -1346,8 +1355,14 @@ class MiniDeltaTable:
         re-adds, bloom tag re-commits, RESTORE, checkpoint restates)
         carry their original baseRowId in the copied payload, so the
         assignment is idempotent."""
-        if any("domainMetadata" in a for a in actions):
-            return  # caller managed the domain itself (enable path)
+        if any(
+            a.get("domainMetadata", {}).get("domain") == self._RT_DOMAIN
+            for a in actions
+        ):
+            return  # caller managed the ROW-TRACKING domain itself
+            # (enable path); an unrelated domainMetadata action must
+            # not suppress baseRowId assignment, or later
+            # read(with_row_ids=True) raises on adds without one
         meta = next(
             (a["metaData"] for a in actions if "metaData" in a), None
         )

@@ -148,3 +148,22 @@ def test_merge_fold_property_random_sequences(spark):
         assert got == {i: _ref_merge(s, pa, pb) for i, s in enumerate(seqs)}
 
     check()
+
+
+def test_word_frequencies_split_all_whitespace(spark):
+    """Tabs/newlines delimit words like spaces do: a word must never
+    contain whitespace the downstream '.'-charsplit (which does not
+    match newlines) would silently drop."""
+    from ecommerce_lakehouse_platform_spark.operators.bpe import (
+        word_frequencies,
+    )
+
+    docs = spark.createDataFrame(
+        [("a", "low\tlower\nnewest low"), ("b", "low  newest")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["word"]: r["freq"]
+        for r in word_frequencies(docs).collect()
+    }
+    assert got == {"low": 3, "lower": 1, "newest": 2}

@@ -2459,3 +2459,31 @@ def test_merge_schema_streaming_cdf_null_fills_old_files(spark, tmp_table):
     dels = got.filter(F.col("_change_type") == "delete")
     assert dels.count() >= 1
     assert dels.filter(F.col("channel").isNotNull()).count() == 0
+
+
+def test_merge_schema_reordered_append_is_plain(spark, tmp_table):
+    """merge_schema=True with merely REORDERED columns (no new
+    fields) must behave as a plain append: align to the table order,
+    commit NO metaData action, and leave the appendSchemaEvolved
+    marker unset — the old order-sensitive compare committed a no-op
+    evolution that taxed every later read with footer merging."""
+    orders = _orders(spark).limit(10).localCheckpoint(eager=True)
+    tmp_table.write(orders)  # v0
+    cols = list(orders.columns)
+    reordered = orders.select(*reversed(cols)).limit(3)
+    v1 = tmp_table.write(reordered, mode="append", merge_schema=True)
+    assert v1 == 1
+    snap = tmp_table.snapshot()
+    assert [f.name for f in snap.schema] == cols, "table order kept"
+    assert snap.configuration.get("minidelta.appendSchemaEvolved") is None
+    acts = list(tmp_table._read_actions(1))
+    assert not any("metaData" in a for a in acts), "no no-op evolution"
+    assert tmp_table.read().count() == 13
+
+    # a reordered batch that ALSO adds a column still evolves
+    widened = reordered.withColumn("channel", F.lit("web"))
+    v2 = tmp_table.write(widened, mode="append", merge_schema=True)
+    assert v2 == 2
+    snap2 = tmp_table.snapshot()
+    assert [f.name for f in snap2.schema] == cols + ["channel"]
+    assert snap2.configuration.get("minidelta.appendSchemaEvolved") == "true"

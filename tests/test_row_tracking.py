@@ -283,3 +283,69 @@ def test_row_ids_compose_with_merge_schema_evolution(spark, base):
     assert {k: r["_row_id"] for k, r in final.items()} == {
         k: r["_row_id"] for k, r in by_k2.items()
     }
+
+
+def test_unrelated_domain_does_not_suppress_id_assignment(spark, base):
+    """A commit carrying a domainMetadata action for some OTHER domain
+    must still get baseRowId assignment + the delta.rowTracking
+    watermark restated — only the row-tracking domain itself marks the
+    commit as caller-managed (the enable path). Regression: the
+    injector used to early-return on ANY domainMetadata, so a future
+    caller with an unrelated domain would commit adds without
+    baseRowId and read(with_row_ids=True) would raise."""
+    t = MiniDeltaTable(spark, os.path.join(base, "t"))
+    t.write(_df(spark).limit(10))
+    t.enable_row_tracking()
+
+    actions = [
+        {
+            "domainMetadata": {
+                "domain": "some.other.domain",
+                "configuration": json.dumps({"x": 1}),
+                "removed": False,
+            }
+        },
+        {
+            "add": {
+                "path": "part-synthetic.parquet",
+                "partitionValues": {},
+                "size": 1,
+                "modificationTime": 0,
+                "dataChange": True,
+                "stats": json.dumps({"numRecords": 4}),
+            }
+        },
+    ]
+    t._inject_row_tracking(2, actions)
+    add = next(a["add"] for a in actions if "add" in a)
+    assert add["baseRowId"] == 10, "fresh ids continue past the watermark"
+    rt = [
+        a["domainMetadata"]
+        for a in actions
+        if a.get("domainMetadata", {}).get("domain") == "delta.rowTracking"
+    ]
+    assert rt, "watermark domain restated despite the unrelated domain"
+    assert json.loads(rt[0]["configuration"])["rowIdHighWaterMark"] == 13
+
+    # the enable path's OWN domain still short-circuits (idempotence)
+    managed = [
+        {
+            "domainMetadata": {
+                "domain": "delta.rowTracking",
+                "configuration": json.dumps({"rowIdHighWaterMark": 9}),
+                "removed": False,
+            }
+        },
+        {
+            "add": {
+                "path": "part-synthetic2.parquet",
+                "partitionValues": {},
+                "size": 1,
+                "modificationTime": 0,
+                "dataChange": True,
+                "stats": json.dumps({"numRecords": 4}),
+            }
+        },
+    ]
+    t._inject_row_tracking(2, managed)
+    assert "baseRowId" not in managed[1]["add"]
