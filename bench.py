@@ -251,6 +251,12 @@ def flag_for_requeue(
         ratio = (timings[name] / cur_s) / (prior_q[name] / pri_s)
         if ratio > threshold:
             flagged.append((name, round(ratio, 2)))
+    # WORST first: the retry budget is capped, and run-order filling
+    # let mild early flags exhaust it while a 4x contaminated reading
+    # later in the run went unretried (the r10 driver bench recorded
+    # ext_dedup_semantic_clusters at 17s — 4.1s isolated — because
+    # five milder flags ahead of it ate the cap)
+    flagged.sort(key=lambda p: (-p[1], p[0]))
     return flagged
 
 
@@ -374,14 +380,19 @@ def main() -> None:
     # file: clobbering BENCH_DETAIL.json with a 3-query probe would
     # silently disable the requeue comparison for every other query
     # on the next full run (the prior would simply lack their keys)
-    detail_name = (
-        "BENCH_DETAIL_SUBSET.json" if subset else "BENCH_DETAIL.json"
+    # non-default-sf full runs write an sf-keyed side file for the
+    # same reason: a /verify smoke at sf0.01 used to clobber the
+    # sf0.1 prior, and the sf-mismatch guard then silently disabled
+    # requeue protection for the next driver run
+    full_detail = (
+        "BENCH_DETAIL.json" if sf == 0.1 else f"BENCH_DETAIL_sf{sf}.json"
     )
+    detail_name = "BENCH_DETAIL_SUBSET.json" if subset else full_detail
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), detail_name
     )
     prior_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        os.path.dirname(os.path.abspath(__file__)), full_detail
     )
     prior = None
     try:

@@ -119,3 +119,33 @@ def test_flag_for_requeue_synthetic_contamination():
         {"sf": 0.1, "queries": {"q": 1.0}}, {"q": 1.8}, [], sf=0.1
     )
     assert flagged_raw == [("q", 1.8)]
+
+
+def test_flag_for_requeue_orders_worst_first():
+    """The retry budget is capped at 5, so flagged queries must come
+    back WORST first: run-order filling let mild early flags exhaust
+    the cap while a 4x contaminated reading later in the run went
+    unretried (the r10 driver bench recorded a 17s reading for a
+    4.1s query this way)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(ROOT, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    prior = {
+        "sf": 0.1,
+        "sentinel_sec": 0.4,
+        "sentinel_series": [{"pos": 0, "sec": 0.4}],
+        "queries": {f"q{i}": 1.0 for i in range(7)},
+    }
+    series = [{"pos": 0, "sec": 0.4}]
+    # run order q0..q6: mild 1.6x flags first, the 4x outlier LAST
+    timings = {f"q{i}": 1.6 for i in range(6)}
+    timings["q6"] = 4.0
+    flagged = bench.flag_for_requeue(prior, timings, series, sf=0.1)
+    assert flagged[0] == ("q6", 4.0)
+    # ties broken by name for determinism
+    assert [n for n, _ in flagged[1:]] == [f"q{i}" for i in range(6)]
