@@ -21,7 +21,17 @@ deliberately small subset:
 * Commit atomicity via put-if-absent: the actions are staged to a temp
   file and published with ``os.link`` (fails if the version already
   exists) — the same winner-takes-the-version contract the protocol
-  requires of a LogStore; the loser gets ``ConcurrentWriteError``.
+  requires of a LogStore. Losers resolve with the protocol's
+  optimistic-concurrency rules (``_commit_resolving``): logically
+  disjoint commits REBASE onto the winner (blind appends, DML and
+  OPTIMIZE over untouched files, disjoint replaceWhere backfills),
+  and genuine conflicts surface TYPED — ``ConcurrentAppendError``
+  (serializable only), ``ConcurrentDeleteReadError``,
+  ``ConcurrentDeleteDeleteError``, ``MetadataChangedError``,
+  ``ProtocolChangedError``, ``ConcurrentTransactionError`` — the
+  public Delta exception taxonomy, under both isolation levels
+  (``write_serializable`` default with its documented append-vs-DML
+  anomaly, ``serializable`` strict).
 * Snapshot = replay of versions 0..N: last ``metaData`` wins, active
   file set = adds minus removes. ``read(version=...)`` is time travel,
   and it replays the schema AS OF that version, so reads across an
@@ -84,6 +94,7 @@ metadata-only work proportional to the number of FILES, never rows.
 
 from __future__ import annotations
 
+import copy
 import json
 import os
 import shutil
@@ -104,6 +115,52 @@ _LAST_CHECKPOINT = "_last_checkpoint"
 
 class ConcurrentWriteError(RuntimeError):
     """Another writer committed this version first (put-if-absent lost)."""
+
+
+class CommitConflictError(ConcurrentWriteError):
+    """A lost put-if-absent race whose winner LOGICALLY conflicts with
+    this transaction under the protocol's conflict rules (the public
+    Delta concurrency-control semantics: compare the winner's actions
+    against the loser's read/remove sets) — rebasing would commit a
+    wrong result, so the typed conflict surfaces to the caller.
+    ``winning_version`` is the first conflicting commit."""
+
+    def __init__(self, message: str, winning_version: int | None = None):
+        super().__init__(message)
+        self.winning_version = winning_version
+
+
+class ConcurrentAppendError(CommitConflictError):
+    """Winner added files this SERIALIZABLE transaction's read could
+    have matched (Delta's ConcurrentAppendException; under the
+    default write-serializable level blind appends never conflict —
+    the documented anomaly)."""
+
+
+class ConcurrentDeleteReadError(CommitConflictError):
+    """Winner removed a file this transaction READ (Delta's
+    ConcurrentDeleteReadException)."""
+
+
+class ConcurrentDeleteDeleteError(CommitConflictError):
+    """Winner removed a file this transaction also removes (Delta's
+    ConcurrentDeleteDeleteException)."""
+
+
+class MetadataChangedError(CommitConflictError):
+    """Winner changed the table metadata — schema, partitioning, or
+    configuration (Delta's MetadataChangedException)."""
+
+
+class ProtocolChangedError(CommitConflictError):
+    """Winner upgraded the table protocol (Delta's
+    ProtocolChangedException)."""
+
+
+class ConcurrentTransactionError(CommitConflictError):
+    """Winner committed a ``txn`` action for the same application id
+    (Delta's ConcurrentTransactionException — the idempotent-sink
+    ledger moved underneath this writer)."""
 
 
 class SchemaMismatchError(ValueError):
@@ -501,7 +558,12 @@ class MiniDeltaTable:
 
     # -- read -----------------------------------------------------------
 
-    def _reader(self, rels, merge_schema: bool = False):
+    def _reader(
+        self,
+        rels,
+        merge_schema: bool = False,
+        read_schema: T.StructType | None = None,
+    ):
         """Parquet reader for logged paths: ``basePath`` (hive
         partition-column recovery) only when every path sits under the
         table root — a shallow clone's ABSOLUTE references to its
@@ -513,23 +575,103 @@ class MiniDeltaTable:
         snapshot whose files span a MERGE-SCHEMA append evolution
         (older files lack the appended columns) reads with nulls
         filled — callers pass :meth:`_needs_schema_merge`, so only
-        evolved tables pay the footer-merging cost."""
+        evolved tables pay the footer-merging cost.
+
+        ``read_schema`` (callers pass :meth:`_tw_schema`) pins the
+        scan to an explicit wide schema when the table widened a
+        column type: schema inference would surface the NARROW type
+        from pre-widening footers (and footer merging outright fails
+        on int-vs-long conflicts) while the explicit schema makes the
+        vectorized reader upcast in-scan. An explicit schema also
+        null-fills columns absent from old files, so it subsumes
+        footer merging whenever both evolutions are present."""
         reader = self.spark.read
-        if merge_schema:
+        if read_schema is not None:
+            reader = reader.schema(read_schema)
+        elif merge_schema:
             reader = reader.option("mergeSchema", "true")
         if all(not os.path.isabs(r) for r in rels):
             reader = reader.option("basePath", self.path)
         return reader
 
     _EVOLVED_KEY = "minidelta.appendSchemaEvolved"
+    _TW_KEY = "delta.enableTypeWidening"
+    _TYPE_CHANGES_META = "delta.typeChanges"
+
+    # the protocol's widening lattice, integral ranks
+    _TW_INT_RANK = {"tinyint": 1, "smallint": 2, "int": 3, "bigint": 4}
+    # integer digits an integral type needs a decimal to hold exactly
+    _TW_INT_DIGITS = {"tinyint": 3, "smallint": 5, "int": 10, "bigint": 20}
+
+    @classmethod
+    def _is_type_widening(cls, frm: T.DataType, to: T.DataType) -> bool:
+        """True when ``frm -> to`` is one of the type changes the
+        public Delta protocol's Type Widening feature allows — all of
+        which Spark 4's vectorized parquet reader performs IN-SCAN
+        when handed the wide read schema (probed empirically for the
+        whole matrix): up the integral chain, float->double,
+        (sub-)int->double, decimal precision/scale growth that never
+        shrinks integer digits, integral->decimal with enough integer
+        digits, and date->timestamp_ntz."""
+        if frm == to:
+            return False
+        f, t = frm.simpleString(), to.simpleString()
+        if f in cls._TW_INT_RANK and t in cls._TW_INT_RANK:
+            return cls._TW_INT_RANK[f] < cls._TW_INT_RANK[t]
+        if t == "double":
+            return f in ("float", "tinyint", "smallint", "int")
+        if isinstance(to, T.DecimalType):
+            if isinstance(frm, T.DecimalType):
+                return (
+                    to.precision >= frm.precision
+                    and to.scale >= frm.scale
+                    and (to.precision - to.scale)
+                    >= (frm.precision - frm.scale)
+                )
+            if f in cls._TW_INT_DIGITS:
+                return (
+                    to.precision - to.scale >= cls._TW_INT_DIGITS[f]
+                )
+            return False
+        if f == "date" and t == "timestamp_ntz":
+            return True
+        return False
+
+    @classmethod
+    def _tw_schema(
+        cls, schema: T.StructType, evolved: bool = False
+    ) -> T.StructType | None:
+        """Explicit PHYSICAL read schema when the scan cannot trust
+        per-file footer inference: any column carries a
+        ``delta.typeChanges`` record (files written before the change
+        store the narrow type; the vectorized reader upcasts in-scan
+        when handed the wide schema), or ``evolved`` (a merge-schema
+        append added columns; the explicit schema null-fills files
+        that predate them). Either way it is ONE scan with no per-era
+        branches and — unlike the ``mergeSchema`` option — no up-front
+        footer-merge job, which reads every file's footer before the
+        query starts and grows linearly with file count (sf1, 33
+        files: 0.59s footer-merged vs 0.40s explicit for the same
+        aggregate). None when the log's files are homogeneous (schema
+        inference reads one footer and stays the cheap default)."""
+        if not evolved and not any(
+            (f.metadata or {}).get(cls._TYPE_CHANGES_META)
+            for f in schema
+        ):
+            return None
+        return T.StructType(
+            [T.StructField(cls._phys(f), f.dataType, True) for f in schema]
+        )
 
     @classmethod
     def _needs_schema_merge(cls, snap: Snapshot) -> bool:
         """True when this snapshot's files may span a merge-schema
         append (the marker is set by ``write(merge_schema=True)`` and
-        persists — once heterogeneous, footer merging stays on; a
-        later OPTIMIZE homogenizes the data but the flag is a cheap
-        conservative constant)."""
+        persists; a later OPTIMIZE homogenizes the data but the flag
+        is a cheap conservative constant). Since r11 the flag routes
+        reads to an explicit scan schema (:meth:`_tw_schema`) rather
+        than the ``mergeSchema`` footer-merge option — same null-fill
+        semantics without the per-scan footer job."""
         return snap.configuration.get(cls._EVOLVED_KEY) == "true"
 
     def _read_logged_partitions(self, snap: Snapshot) -> DataFrame:
@@ -547,9 +689,24 @@ class MiniDeltaTable:
             pv = snap.files[rel].get("partitionValues", {})
             key = tuple(pv.get(c) for c in snap.partition_columns)
             groups.setdefault(key, []).append(os.path.join(self.path, rel))
+        data_schema = self._tw_schema(
+            T.StructType(
+                [
+                    f
+                    for f in snap.schema
+                    if f.name not in snap.partition_columns
+                ]
+            ),
+            self._needs_schema_merge(snap),
+        )
         parts = []
         for key in sorted(groups, key=lambda k: tuple(v or "" for v in k)):
-            df = self.spark.read.parquet(*groups[key])
+            reader = self.spark.read
+            if data_schema is not None:
+                # widened table: pin the scan to the wide data-column
+                # schema (partition values come from the log below)
+                reader = reader.schema(data_schema)
+            df = reader.parquet(*groups[key])
             pvals = dict(zip(snap.partition_columns, key))
             parts.append(
                 df.select(
@@ -735,7 +892,11 @@ class MiniDeltaTable:
             df = self._read_logged_partitions(snap)
         elif not dv_rels:
             raw = self._reader(
-                snap.files, self._needs_schema_merge(snap)
+                snap.files,
+                self._needs_schema_merge(snap),
+                self._tw_schema(
+                    snap.schema, self._needs_schema_merge(snap)
+                ),
             ).parquet(*paths)
             df = raw.select(
                 *self._logical_casts(snap.schema, set(raw.columns))
@@ -751,7 +912,11 @@ class MiniDeltaTable:
             }
             if plain:
                 raw = self._reader(
-                    plain, self._needs_schema_merge(snap)
+                    plain,
+                    self._needs_schema_merge(snap),
+                    self._tw_schema(
+                        snap.schema, self._needs_schema_merge(snap)
+                    ),
                 ).parquet(
                     *(os.path.join(self.path, r) for r in sorted(plain))
                 )
@@ -772,6 +937,9 @@ class MiniDeltaTable:
                 sub = self._reader(
                     {r: snap.files[r] for r in rels},
                     self._needs_schema_merge(snap),
+                    self._tw_schema(
+                        snap.schema, self._needs_schema_merge(snap)
+                    ),
                 ).parquet(*(os.path.join(self.path, r) for r in rels))
                 # rel values in a sidecar are relative to the table
                 # that WROTE it — for a clone's absolute storagePath
@@ -934,6 +1102,12 @@ class MiniDeltaTable:
         tbl_exists = self.exists()
         prior = self.snapshot() if tbl_exists else None
         evolved_append: T.StructType | None = None
+        # True only when the evolution ADDED columns (footer-merge /
+        # null-fill territory) — a pure type widening sets
+        # evolved_append for the metaData commit but must not set the
+        # appendSchemaEvolved marker (reads handle widening via the
+        # explicit scan schema, not footer merging)
+        evolved_added_cols = False
         if (
             prior is not None
             and overwrite_schema
@@ -1046,28 +1220,93 @@ class MiniDeltaTable:
                         for n, t in prior_types.items()
                         if df_types[n] != t
                     )
-                    if conflict:
-                        raise SchemaMismatchError(
-                            "merge_schema append cannot change "
-                            f"existing column types: {conflict}"
-                        )
+                    tw_on = (
+                        prior.configuration.get(self._TW_KEY) == "true"
+                    )
+                    widened: dict[str, T.DataType] = {}
+                    for n in conflict:
+                        if self._is_type_widening(
+                            df_types[n], prior_types[n]
+                        ):
+                            # NARROWER input (int batch into a long
+                            # column): safe upcast of the batch to the
+                            # table type — enforcement, not evolution
+                            df = df.withColumn(
+                                n, F.col(n).cast(prior_types[n])
+                            )
+                        elif tw_on and self._is_type_widening(
+                            prior_types[n], df_types[n]
+                        ):
+                            # WIDER input under the typeWidening
+                            # feature: the TABLE evolves (protocol
+                            # "Type Widening"); old files upcast
+                            # in-scan via the explicit read schema
+                            widened[n] = df_types[n]
+                        else:
+                            hint = (
+                                f" ({n} would widen: enable the "
+                                "typeWidening feature via "
+                                "enable_type_widening() to accept it)"
+                                if self._is_type_widening(
+                                    prior_types[n], df_types[n]
+                                )
+                                else ""
+                            )
+                            raise SchemaMismatchError(
+                                "merge_schema append cannot change "
+                                f"existing column types: {conflict}"
+                                + hint
+                            )
                     new_fields = [
                         T.StructField(f.name, f.dataType, True)
                         for f in df.schema
                         if f.name not in prior_types
                     ]
-                    if not new_fields:
-                        # merely REORDERED columns, nothing new: align
-                        # to the table schema and write as a plain
-                        # append — committing a no-op metaData action
-                        # here would permanently set the
-                        # appendSchemaEvolved marker and tax every
+                    if not new_fields and not widened:
+                        # merely REORDERED (or safely upcast) columns,
+                        # nothing new: align to the table schema and
+                        # write as a plain append — committing a no-op
+                        # metaData action here would permanently set
+                        # the appendSchemaEvolved marker and tax every
                         # future read with parquet footer merging
                         df = df.select(*[f.name for f in prior.schema])
                     else:
+                        base_fields = []
+                        for f in prior.schema:
+                            if f.name in widened:
+                                # record the change in the field's
+                                # metadata, the protocol's
+                                # delta.typeChanges shape — reads key
+                                # explicit-schema upcasting off it,
+                                # and time travel to an older version
+                                # naturally reads the narrow type
+                                md = dict(f.metadata or {})
+                                changes = list(
+                                    md.get(self._TYPE_CHANGES_META, [])
+                                )
+                                changes.append(
+                                    {
+                                        "fromType": (
+                                            f.dataType.simpleString()
+                                        ),
+                                        "toType": (
+                                            widened[f.name].simpleString()
+                                        ),
+                                        "tableVersion": prior.version + 1,
+                                    }
+                                )
+                                md[self._TYPE_CHANGES_META] = changes
+                                base_fields.append(
+                                    T.StructField(
+                                        f.name, widened[f.name], True, md
+                                    )
+                                )
+                            else:
+                                base_fields.append(f)
                         evolved_append = T.StructType(
-                            list(prior.schema) + new_fields
+                            base_fields + new_fields
                         )
+                        evolved_added_cols = bool(new_fields)
                         df = df.select(*[f.name for f in evolved_append])
                 elif not (overwrite_schema and mode == "overwrite"):
                     raise SchemaMismatchError(
@@ -1152,7 +1391,7 @@ class MiniDeltaTable:
                             **(prior.configuration if prior else {}),
                             **(
                                 {self._EVOLVED_KEY: "true"}
-                                if evolved_append is not None
+                                if evolved_added_cols
                                 else {}
                             ),
                         },
@@ -1201,23 +1440,62 @@ class MiniDeltaTable:
             mode == "append" or replace_where is not None
         )
         attempts = 0
+        # each attempt commits a pristine copy: the commit-time
+        # injectors (row-id watermark, in-commit timestamp) mutate the
+        # action list against the attempt's predecessor, and a rebase
+        # must recompute them against the WINNER's chain — retrying
+        # the mutated list would reuse a stale row-id watermark and
+        # hand two writers overlapping ids
+        pristine = copy.deepcopy(actions)
         while True:
             try:
-                self._commit(version, actions)
+                attempt = copy.deepcopy(pristine)
+                self._commit(version, attempt)
                 return version
             except ConcurrentWriteError:
                 attempts += 1
                 if not rebasable or attempts > 50:
                     raise
                 latest = self.snapshot()
+                if txn is not None:
+                    # the idempotent-sink ledger: a winner advancing
+                    # the SAME app id means our batch may already be
+                    # applied — rebasing would double-apply it
+                    for w in range(version, latest.version + 1):
+                        for a in self._read_actions(w):
+                            wt = a.get("txn")
+                            if wt and wt.get("appId") == str(txn[0]):
+                                raise ConcurrentTransactionError(
+                                    "append lost to a concurrent "
+                                    "transaction for app "
+                                    f"{txn[0]!r} at version {w}",
+                                    winning_version=w,
+                                )
                 if [(f.name, f.dataType) for f in latest.schema] != [
                     (f.name, f.dataType) for f in df.schema
                 ] or latest.partition_columns != list(partition_by):
-                    raise  # winner changed the table's shape under us
-                if replace_where is not None and (
-                    self._matching_rels(latest, replace_where) != victims
-                ):
-                    raise  # winner touched the partitions we replace
+                    # winner changed the table's shape under us
+                    raise MetadataChangedError(
+                        f"{mode.upper()} lost to a schema or "
+                        "partition-layout change",
+                        winning_version=latest.version,
+                    )
+                if replace_where is not None:
+                    now_matching = self._matching_rels(
+                        latest, replace_where
+                    )
+                    if now_matching - victims:
+                        raise ConcurrentAppendError(
+                            "replaceWhere lost to a winner that "
+                            "ADDED files into the replaced scope",
+                            winning_version=latest.version,
+                        )
+                    if victims - now_matching:
+                        raise ConcurrentDeleteReadError(
+                            "replaceWhere lost to a winner that "
+                            "REMOVED files from the replaced scope",
+                            winning_version=latest.version,
+                        )
                 version = latest.version + 1
 
     def _stage_data_files(
@@ -1428,6 +1706,120 @@ class MiniDeltaTable:
                 }
             }
         )
+
+    def _commit_resolving(
+        self,
+        snap: Snapshot,
+        actions: list[dict[str, Any]],
+        operation: str,
+        isolation: str = "write_serializable",
+        read_rels: set[str] | None = None,
+        max_attempts: int = 50,
+    ) -> int:
+        """Commit ``actions`` at ``snap.version + 1``, resolving lost
+        put-if-absent races with the public Delta protocol's conflict
+        rules: replay every winning commit's actions against this
+        transaction's READ and REMOVE sets and either REBASE (retry
+        verbatim at the next version — the staged files are already
+        on disk and still valid) or raise the matching typed conflict:
+
+        * ``protocol`` action        → :class:`ProtocolChangedError`
+        * ``metaData`` action        → :class:`MetadataChangedError`
+        * ``txn`` for our app id     → :class:`ConcurrentTransactionError`
+        * remove ∩ our removes       → :class:`ConcurrentDeleteDeleteError`
+        * remove ∩ our reads         → :class:`ConcurrentDeleteReadError`
+        * dataChange add, isolation ``serializable``, and we read
+          anything                   → :class:`ConcurrentAppendError`
+          (the default ``write_serializable`` level admits blind
+          appends against DML — Delta's documented anomaly; pass
+          ``isolation="serializable"`` for strict behavior)
+
+        The REMOVE set is derived from ``actions`` (their remove
+        paths); ``read_rels`` defaults to it — the touched-file model
+        of predicate DML, where untouched files neither constrain nor
+        are constrained by the winner. Each attempt re-commits a
+        pristine deep copy of ``actions`` so the commit-time injectors
+        (row-id assignment against the WINNER's high watermark,
+        in-commit timestamps against the winner's clock chain) always
+        compute against the true predecessor."""
+        if isolation not in ("write_serializable", "serializable"):
+            raise ValueError(
+                "isolation must be 'write_serializable' or "
+                f"'serializable', got {isolation!r}"
+            )
+        removed = {
+            a["remove"]["path"] for a in actions if "remove" in a
+        }
+        reads = removed if read_rels is None else set(read_rels)
+        my_apps = {a["txn"]["appId"] for a in actions if "txn" in a}
+        pristine = copy.deepcopy(actions)
+        version = snap.version + 1
+        attempts = 0
+        while True:
+            try:
+                attempt = copy.deepcopy(pristine)
+                self._commit(version, attempt)
+                return version
+            except ConcurrentWriteError:
+                attempts += 1
+                vs = self.versions()
+                latest = vs[-1] if vs else None
+                if latest is None or latest < version:
+                    raise
+                for w in range(version, latest + 1):
+                    for a in self._read_actions(w):
+                        if "protocol" in a:
+                            raise ProtocolChangedError(
+                                f"{operation} lost to a protocol "
+                                f"upgrade at version {w}",
+                                winning_version=w,
+                            )
+                        if "metaData" in a:
+                            raise MetadataChangedError(
+                                f"{operation} lost to a metadata "
+                                f"change at version {w}",
+                                winning_version=w,
+                            )
+                        txn = a.get("txn")
+                        if txn and txn.get("appId") in my_apps:
+                            raise ConcurrentTransactionError(
+                                f"{operation} lost to a concurrent "
+                                f"transaction for app "
+                                f"{txn['appId']!r} at version {w}",
+                                winning_version=w,
+                            )
+                        rm = a.get("remove")
+                        if rm and rm["path"] in removed:
+                            raise ConcurrentDeleteDeleteError(
+                                f"{operation} and the version-{w} "
+                                "winner both remove "
+                                f"{rm['path']!r}",
+                                winning_version=w,
+                            )
+                        if rm and rm["path"] in reads:
+                            raise ConcurrentDeleteReadError(
+                                f"version-{w} winner removed "
+                                f"{rm['path']!r}, which "
+                                f"{operation} read",
+                                winning_version=w,
+                            )
+                        add = a.get("add")
+                        if (
+                            add
+                            and add.get("dataChange", True)
+                            and isolation == "serializable"
+                            and reads
+                        ):
+                            raise ConcurrentAppendError(
+                                f"version-{w} winner appended "
+                                f"{add['path']!r} under serializable "
+                                f"isolation while {operation} read "
+                                "the table",
+                                winning_version=w,
+                            )
+                if attempts >= max_attempts:
+                    raise
+                version = latest + 1
 
     def _commit(self, version: int, actions: list[dict[str, Any]]) -> None:
         self._inject_row_tracking(version, actions)
@@ -1925,6 +2317,30 @@ class MiniDeltaTable:
             {"properties": json.dumps({self._ICT_KEY: "true"})},
         )
 
+    def enable_type_widening(self) -> int:
+        """Enable the type-widening table feature (the public Delta
+        protocol's "Type Widening"): ``write(merge_schema=True)``
+        accepts widening type changes — up the integral chain,
+        float→double, decimal growth that keeps integer digits,
+        integral→wide-enough decimal, date→timestamp_ntz — recording
+        each change as a ``delta.typeChanges`` entry in the column's
+        schema metadata. Files written before a change keep the
+        narrow physical type; every read pins the scan to the wide
+        logical schema (:meth:`_tw_schema`), which the vectorized
+        parquet reader upcasts in one pass — no per-era read branches,
+        no rewrite of existing data. Idempotent."""
+        snap = self.snapshot()
+        if snap.configuration.get(self._TW_KEY) == "true":
+            return snap.version
+        config = dict(snap.configuration)
+        config[self._TW_KEY] = "true"
+        return self._commit_configuration(
+            snap,
+            config,
+            "SET TBLPROPERTIES",
+            {"properties": json.dumps({self._TW_KEY: "true"})},
+        )
+
     def enable_row_tracking(self) -> int:
         """Enable the row-tracking table feature (PROTOCOL.md "Row
         Tracking"): every add action gets a ``baseRowId``, a row's
@@ -2172,7 +2588,12 @@ class MiniDeltaTable:
             )
         pcol = self._phys_column(snap.schema, column)
         scan = (
-            self._reader(snap.files)
+            self._reader(
+                snap.files,
+                read_schema=self._tw_schema(
+                    snap.schema, self._needs_schema_merge(snap)
+                ),
+            )
             .parquet(*snap.file_paths(self.path))
             .withColumn("_rel", self._rel_from("_metadata.file_path"))
         )
@@ -2598,6 +3019,9 @@ class MiniDeltaTable:
         sub = self._reader(
             {r: snap.files[r] for r in rels},
             self._needs_schema_merge(snap),
+            self._tw_schema(
+                snap.schema, self._needs_schema_merge(snap)
+            ),
         ).parquet(*(os.path.join(self.path, r) for r in rels))
         dv_rels = [r for r in rels if snap.files[r].get("deletionVector")]
         if dv_rels or with_rel:
@@ -2680,6 +3104,9 @@ class MiniDeltaTable:
                 self._reader(
                     {r: snap.files[r] for r in fresh},
                     self._needs_schema_merge(snap),
+                    self._tw_schema(
+                        snap.schema, self._needs_schema_merge(snap)
+                    ),
                 ).parquet(
                     *(os.path.join(self.path, r) for r in fresh)
                 )
@@ -2724,10 +3151,22 @@ class MiniDeltaTable:
             )
         if matd:
             ms = sorted(matd)
+            mat_schema = self._tw_schema(
+                snap.schema, self._needs_schema_merge(snap)
+            )
+            if mat_schema is not None:
+                # the materialized row-id column is PHYSICAL-only
+                # (never in the logical schema): an explicit scan
+                # schema must request it or the scan won't surface it
+                mat_schema = T.StructType(
+                    list(mat_schema)
+                    + [T.StructField(mat, T.LongType(), True)]
+                )
             sub = with_pos(
                 self._reader(
                     {r: snap.files[r] for r in ms},
                     self._needs_schema_merge(snap),
+                    mat_schema,
                 ).parquet(
                     *(os.path.join(self.path, r) for r in ms)
                 )
@@ -2771,6 +3210,7 @@ class MiniDeltaTable:
         rewrite,
         operation: str,
         parameters: dict[str, Any],
+        isolation: str = "write_serializable",
     ) -> int | None:
         """Copy-on-write DML core shared by DELETE and UPDATE: one
         discovery scan finds the FILES containing rows matching
@@ -2867,12 +3307,15 @@ class MiniDeltaTable:
                 }
             )
         actions.extend({"add": add} for add in adds)
-        version = snap.version + 1
-        self._commit(version, actions)
-        return version
+        return self._commit_resolving(
+            snap, actions, operation, isolation=isolation
+        )
 
     def delete(
-        self, condition: Column, use_dv: bool = False
+        self,
+        condition: Column,
+        use_dv: bool = False,
+        isolation: str = "write_serializable",
     ) -> int | None:
         """DELETE FROM ... WHERE: remove rows where ``condition`` is
         TRUE (NULL keeps the row — SQL semantics), rewriting ONLY the
@@ -2897,12 +3340,13 @@ class MiniDeltaTable:
         references absolutely (unpartitioned sources)."""
         cond = F.coalesce(condition, F.lit(False))
         if use_dv:
-            return self._delete_with_dv(cond)
+            return self._delete_with_dv(cond, isolation)
         return self._touched_rewrite(
             cond,
             lambda sub: sub.filter(~cond),
             "DELETE",
             {},
+            isolation,
         )
 
     def _dv_positions(self, snap: Snapshot) -> DataFrame | None:
@@ -2931,6 +3375,9 @@ class MiniDeltaTable:
             self._reader(
                 {r: snap.files[r] for r in rels},
                 self._needs_schema_merge(snap),
+                self._tw_schema(
+                    snap.schema, self._needs_schema_merge(snap)
+                ),
             )
             .parquet(*(os.path.join(self.path, r) for r in rels))
             .withColumn("_rel", self._rel_from("_metadata.file_path"))
@@ -2966,6 +3413,7 @@ class MiniDeltaTable:
         operation: str,
         parameters: dict[str, Any],
         new_rows: DataFrame | None = None,
+        isolation: str = "write_serializable",
     ) -> int | None:
         """Deletion-vector DML commit core shared by DELETE, UPDATE
         and MERGE: mark ``matched``'s (_rel, _pos) positions dead via
@@ -2990,7 +3438,13 @@ class MiniDeltaTable:
         matched = matched.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             return self._dv_commit_inner(
-                snap, matched, existing, operation, parameters, new_rows
+                snap,
+                matched,
+                existing,
+                operation,
+                parameters,
+                new_rows,
+                isolation,
             )
         finally:
             matched.unpersist()
@@ -3003,6 +3457,7 @@ class MiniDeltaTable:
         operation: str,
         parameters: dict[str, Any],
         new_rows: DataFrame | None = None,
+        isolation: str = "write_serializable",
     ) -> int | None:
         positions = matched.select(
             F.col("_rel").alias("rel"), F.col("_pos").alias("pos")
@@ -3108,11 +3563,13 @@ class MiniDeltaTable:
                 len(adds)
             )
             actions.extend({"add": add} for add in adds)
-        version = snap.version + 1
-        self._commit(version, actions)
-        return version
+        return self._commit_resolving(
+            snap, actions, operation, isolation=isolation
+        )
 
-    def _delete_with_dv(self, cond: Column) -> int | None:
+    def _delete_with_dv(
+        self, cond: Column, isolation: str = "write_serializable"
+    ) -> int | None:
         snap = self.snapshot()
         if not snap.files:
             return None
@@ -3125,13 +3582,16 @@ class MiniDeltaTable:
         matched = self._dv_alive(
             self._dv_scan(snap).filter(cond), existing
         )
-        return self._dv_commit(snap, matched, existing, "DELETE", {})
+        return self._dv_commit(
+            snap, matched, existing, "DELETE", {}, isolation=isolation
+        )
 
     def update(
         self,
         condition: Column,
         assignments: dict[str, Column],
         use_dv: bool = False,
+        isolation: str = "write_serializable",
     ) -> int | None:
         """UPDATE ... SET ... WHERE: apply ``assignments`` to rows
         where ``condition`` is TRUE, same touched-file copy-on-write
@@ -3183,7 +3643,13 @@ class MiniDeltaTable:
                 ]
             )
             return self._dv_commit(
-                snap, matched, existing, "UPDATE", params, new_rows=new_rows
+                snap,
+                matched,
+                existing,
+                "UPDATE",
+                params,
+                new_rows=new_rows,
+                isolation=isolation,
             )
 
         def rewrite(sub: DataFrame) -> DataFrame:
@@ -3197,7 +3663,9 @@ class MiniDeltaTable:
                 )
             return out
 
-        return self._touched_rewrite(cond, rewrite, "UPDATE", params)
+        return self._touched_rewrite(
+            cond, rewrite, "UPDATE", params, isolation
+        )
 
     def merge(
         self,
@@ -3205,6 +3673,7 @@ class MiniDeltaTable:
         keys: list[str],
         prune_files: bool = False,
         use_dv: bool = False,
+        isolation: str = "write_serializable",
     ) -> int | None:
         """Copy-on-write MERGE (upsert): matched target rows are
         replaced by their source row, unmatched source rows are
@@ -3246,7 +3715,7 @@ class MiniDeltaTable:
         from ..operators.scd import merge_upsert
 
         if use_dv:
-            return self._merge_with_dv(source, keys)
+            return self._merge_with_dv(source, keys, isolation)
         target = self.read()
         if not prune_files or len(keys) != 1:
             merged = merge_upsert(target, source.select(*target.columns), keys)
@@ -3304,11 +3773,16 @@ class MiniDeltaTable:
                 }
             )
         actions.extend({"add": add} for add in adds)
-        version = snap.version + 1
-        self._commit(version, actions)
-        return version
+        return self._commit_resolving(
+            snap, actions, "MERGE", isolation=isolation
+        )
 
-    def _merge_with_dv(self, source: DataFrame, keys: list[str]) -> int | None:
+    def _merge_with_dv(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        isolation: str = "write_serializable",
+    ) -> int | None:
         snap = self.snapshot()
         if snap.files and any(os.path.isabs(r) for r in snap.files):
             raise NotImplementedError(
@@ -3363,6 +3837,7 @@ class MiniDeltaTable:
                 "prunedFiles": len(snap.files) - len(scan_rels),
             },
             new_rows=src,
+            isolation=isolation,
         )
 
     def changes(
@@ -3426,7 +3901,9 @@ class MiniDeltaTable:
             out: list[DataFrame] = []
             plain = sorted(r for r, dv in rel_dv.items() if not dv)
             if plain:
-                df = self._reader(plain, merge).parquet(
+                df = self._reader(
+                    plain, merge, self._tw_schema(schema, merge)
+                ).parquet(
                     *[os.path.join(self.path, r) for r in plain]
                 )
                 out.append(
@@ -3442,7 +3919,9 @@ class MiniDeltaTable:
             for sidecar in sorted(by_sidecar):
                 rels_g = sorted(by_sidecar[sidecar])
                 df = (
-                    self._reader(rels_g, merge)
+                    self._reader(
+                        rels_g, merge, self._tw_schema(schema, merge)
+                    )
                     .parquet(*[os.path.join(self.path, r) for r in rels_g])
                     .withColumn(
                         "_rel",
@@ -3494,7 +3973,9 @@ class MiniDeltaTable:
                 )
                 pos = pos.join(old, ["_pos"], "left_anti")
             df = (
-                self._reader([rel], merge)
+                self._reader(
+                    [rel], merge, self._tw_schema(schema, merge)
+                )
                 .parquet(os.path.join(self.path, rel))
                 .withColumn("_pos", F.col("_metadata.row_index"))
             )
@@ -3904,9 +4385,7 @@ class MiniDeltaTable:
             )
         for add in adds:
             actions.append({"add": {**add, "dataChange": False}})
-        version = snap.version + 1
-        self._commit(version, actions)
-        return version
+        return self._commit_resolving(snap, actions, operation)
 
     def _zorder_layout(
         self,

@@ -33,7 +33,11 @@ integral / date partition columns, the canonically-string-cast types.
 
 Honest subset (all loudly guarded): the stream's schema is fixed at
 query start — a commit whose PARSED schema differs inside the range
-raises, which is the real Delta streaming source's behavior too;
+raises, which is the real Delta streaming source's behavior too,
+UNLESS the pinned schema subsumes it (columns the history hadn't
+added yet null-fill; types the pinned ``delta.typeChanges``
+provenance widened upcast in-scan), so full-history replays over
+merge-schema and type-widening evolutions work;
 expired-log ranges refuse both at fresh start (``initialOffset``) and
 on a checkpointed resume whose next unprocessed commit has been
 vacuumed past (``partitions`` names the earliest retained version);
@@ -96,6 +100,34 @@ _CDF_COLS = [
     T.StructField("_commit_version", T.IntegerType(), False),
     T.StructField("_commit_timestamp", T.TimestampType()),
 ]
+
+
+def _read_compatible(
+    committed: T.StructType, pinned: T.StructType
+) -> bool:
+    """Can a commit written under ``committed`` be replayed under the
+    stream's ``pinned`` (query-start) schema? Yes when every committed
+    field exists in pinned with the same type OR a type the pinned
+    field's ``delta.typeChanges`` provenance records as widened-from
+    (the executor reads each file's own footer and casts per column,
+    so narrower historical types and later-added columns replay
+    losslessly). Pinned-only fields null-fill. Anything else — a
+    rename, a drop, a rewrite the provenance does not explain — is a
+    genuine mid-stream schema change and must stop the query."""
+    pinned_by_name = {f.name: f for f in pinned}
+    for f in committed:
+        pf = pinned_by_name.get(f.name)
+        if pf is None:
+            return False
+        if f.dataType == pf.dataType:
+            continue
+        froms = {
+            c.get("fromType")
+            for c in (pf.metadata or {}).get("delta.typeChanges", [])
+        }
+        if f.dataType.simpleString() not in froms:
+            return False
+    return True
 
 
 def _log_table(path: str):
@@ -352,8 +384,14 @@ class MiniDeltaCDFStreamReader(DataSourceStreamReader):
                 )
                 # parsed comparison: JSON-text equality would falsely
                 # kill the stream on a semantically identical schema
-                # serialized with a different key order
-                if committed != self._pinned_schema:
+                # serialized with a different key order; historical
+                # schemas the pinned one subsumes (later-added columns
+                # null-fill, types the typeChanges provenance widened
+                # upcast in-scan) replay losslessly and must not stop
+                # the query
+                if committed != self._pinned_schema and not (
+                    _read_compatible(committed, self._pinned_schema)
+                ):
                     raise RuntimeError(
                         f"version {v} changes the table schema "
                         "mid-stream; restart the query to pick up the "
@@ -687,7 +725,9 @@ class MiniDeltaTableStreamReader(MiniDeltaCDFStreamReader):
                 committed = T.StructType.fromJson(
                     _json.loads(meta["schemaString"])
                 )
-                if committed != self._pinned_schema:
+                if committed != self._pinned_schema and not (
+                    _read_compatible(committed, self._pinned_schema)
+                ):
                     raise RuntimeError(
                         f"version {v} changes the table schema "
                         "mid-stream; restart the query to pick up the "

@@ -242,13 +242,27 @@ def test_cdf_stream_latest_and_schema_change_guard(spark, base):
     assert {r["_commit_version"] for r in got.collect()} == {2}
     assert got.count() == 3
 
-    # schema evolution mid-range: the reader refuses loudly
+    # ADDITIVE schema evolution mid-range: the pinned (query-start)
+    # schema subsumes the historical one, so a full replay plans
+    # cleanly — old events null-fill the added column (r11: the guard
+    # keys on read-compatibility, not schema identity)
     t.write(
         df.withColumn("flag", F.lit(True)), overwrite_schema=True
     )  # v3
     reader = MiniDeltaCDFStreamReader({"path": t.path}, None)
+    assert reader.partitions({"version": -1}, {"version": 3})
+
+    # an INCOMPATIBLE evolution (a column retyped in a way no
+    # typeChanges provenance explains) still refuses loudly
+    t.write(
+        df.select(
+            "k", F.col("v").cast("string").alias("v")
+        ).withColumn("flag", F.lit(True)),
+        overwrite_schema=True,
+    )  # v4
+    reader2 = MiniDeltaCDFStreamReader({"path": t.path}, None)
     with pytest.raises(RuntimeError, match="schema"):
-        reader.partitions({"version": -1}, {"version": 3})
+        reader2.partitions({"version": -1}, {"version": 4})
 
 
 def test_cdf_partitions_incremental_cache_parity(spark, base):
@@ -640,3 +654,60 @@ def test_table_stream_ignore_deletes_remove_only(spark, base):
     assert set(
         r["even"] for r in got.select("even").distinct().collect()
     ) == {"true", "false"}
+
+
+def test_cdf_stream_replays_across_type_widening(spark, base):
+    """A full-history stream over a widened table: pre-widening
+    files upcast executor-side (arrow cast), the widening commit's
+    metaData does NOT kill the replay (the pinned schema subsumes
+    it via the typeChanges provenance), and the drained feed equals
+    batch changes(0). A genuinely incompatible historical schema —
+    one the provenance can't explain — still raises."""
+    t = MiniDeltaTable(spark, os.path.join(base, "t"))
+    narrow = spark.range(0, 40).select(
+        F.col("id").cast("string").alias("k"),
+        F.col("id").cast("int").alias("v"),
+    )
+    t.write(narrow)  # v0 (int)
+    t.enable_type_widening()  # v1 (config restates the narrow schema)
+    t.write(  # v2: widens v to bigint
+        spark.range(40, 50).select(
+            F.col("id").cast("string").alias("k"),
+            (F.col("id") + F.lit(5_000_000_000)).alias("v"),
+        ),
+        mode="append",
+        merge_schema=True,
+    )
+    t.delete(F.col("v") == 7, use_dv=True)  # v3: DV over a NARROW file
+
+    ckpt = os.path.join(base, "ckpt")
+    out = os.path.join(base, "events")
+    _drain(read_cdf_stream(spark, t.path), ckpt, out)
+    got = spark.read.parquet(out)
+    assert dict(got.dtypes)["v"] == "bigint"
+    assert _canon(got) == _canon(t.changes(0))
+
+    # the read-compatibility gate is provenance-keyed, not a blanket
+    # pass: a historical schema with a field the pinned one lacks
+    # still refuses
+    from ecommerce_lakehouse_platform_spark.streaming.cdf_source import (
+        _read_compatible,
+    )
+    from pyspark.sql import types as T
+
+    pinned = t.snapshot().schema
+    assert _read_compatible(
+        T.StructType(
+            [
+                T.StructField("k", T.StringType()),
+                T.StructField("v", T.IntegerType()),
+            ]
+        ),
+        pinned,
+    )
+    assert not _read_compatible(
+        T.StructType([T.StructField("gone", T.StringType())]), pinned
+    )
+    assert not _read_compatible(
+        T.StructType([T.StructField("v", T.DoubleType())]), pinned
+    )

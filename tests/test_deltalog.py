@@ -2487,3 +2487,250 @@ def test_merge_schema_reordered_append_is_plain(spark, tmp_table):
     snap2 = tmp_table.snapshot()
     assert [f.name for f in snap2.schema] == cols + ["channel"]
     assert snap2.configuration.get("minidelta.appendSchemaEvolved") == "true"
+
+
+def test_type_widening_matrix_unit(spark):
+    """The widening lattice gate, protocol's allowed set exactly.
+    (``_parse_datatype_string`` resolves through the active JVM, so
+    the session fixture is required even though the gate is pure.)"""
+    from pyspark.sql import types as T
+
+    W = MiniDeltaTable._is_type_widening
+    t = T._parse_datatype_string
+    yes = [
+        ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+        ("smallint", "int"), ("smallint", "bigint"), ("int", "bigint"),
+        ("float", "double"),
+        ("tinyint", "double"), ("smallint", "double"), ("int", "double"),
+        ("decimal(5,2)", "decimal(10,2)"), ("decimal(5,2)", "decimal(10,4)"),
+        ("int", "decimal(10,0)"), ("int", "decimal(14,2)"),
+        ("bigint", "decimal(20,0)"), ("date", "timestamp_ntz"),
+    ]
+    no = [
+        ("bigint", "int"), ("double", "float"), ("int", "int"),
+        ("bigint", "double"),  # not exact: protocol excludes it
+        ("string", "int"), ("int", "string"),
+        ("decimal(10,2)", "decimal(5,2)"),
+        # integer digits would shrink: 8 -> 6
+        ("decimal(10,2)", "decimal(10,4)"),
+        ("int", "decimal(9,0)"),  # 9 digits can't hold every int
+        ("bigint", "decimal(19,0)"), ("timestamp_ntz", "date"),
+        ("float", "decimal(20,2)"),  # binary->decimal is not exact
+    ]
+    for frm, to in yes:
+        assert W(t(frm), t(to)), f"{frm}->{to} must widen"
+    for frm, to in no:
+        assert not W(t(frm), t(to)), f"{frm}->{to} must NOT widen"
+
+
+def test_type_widening_append_read_dml_cdf(spark, tmp_table):
+    """The type-widening feature end to end: refusal + hint while
+    off; once enabled, a wider batch evolves the column (typeChanges
+    metadata, narrow files upcast in one explicit-schema scan, NO
+    appendSchemaEvolved marker), a narrower batch upcasts into the
+    table type with no evolution, time travel keeps the old type,
+    DML rewrites across eras, the change feed crosses the widening,
+    and checkpoint + expiry preserve the metadata."""
+    df_narrow = spark.range(0, 10).select(
+        F.col("id").cast("string").alias("k"),
+        F.col("id").cast("int").alias("v"),
+        (F.col("id") + F.lit(0.5)).cast("float").alias("score"),
+    )
+    tmp_table.write(df_narrow)  # v0
+
+    wide_batch = spark.range(10, 15).select(
+        F.col("id").cast("string").alias("k"),
+        (F.col("id") + F.lit(5_000_000_000)).alias("v"),  # long
+        (F.col("id") + F.lit(0.25)).cast("double").alias("score"),
+    )
+    # off: refused, and the error names the remedy
+    with pytest.raises(SchemaMismatchError, match="enable_type_widening"):
+        tmp_table.write(wide_batch, mode="append", merge_schema=True)
+
+    assert tmp_table.enable_type_widening() == 1  # v1
+    v2 = tmp_table.write(wide_batch, mode="append", merge_schema=True)
+    assert v2 == 2
+    snap = tmp_table.snapshot()
+    types = {f.name: f.dataType.simpleString() for f in snap.schema}
+    assert types == {"k": "string", "v": "bigint", "score": "double"}
+    changes_v = {
+        f.name: (f.metadata or {}).get("delta.typeChanges")
+        for f in snap.schema
+    }
+    assert changes_v["v"] == [
+        {"fromType": "int", "toType": "bigint", "tableVersion": 2}
+    ]
+    assert changes_v["score"] == [
+        {"fromType": "float", "toType": "double", "tableVersion": 2}
+    ]
+    # widening alone must NOT turn on footer merging
+    assert snap.configuration.get("minidelta.appendSchemaEvolved") is None
+
+    got = tmp_table.read()
+    assert dict(got.dtypes)["v"] == "bigint"
+    assert got.count() == 15
+    assert (
+        got.filter(F.col("v") >= 5_000_000_000).count() == 5
+        and got.filter(F.col("v") < 10).count() == 10
+    )
+    # old-era float values surface exactly (float->double is exact)
+    assert got.filter(F.col("k") == "3").collect()[0]["score"] == 3.5
+
+    # time travel: the pre-widening snapshot keeps the narrow types
+    old = tmp_table.read(version=0)
+    assert dict(old.dtypes)["v"] == "int"
+    assert old.count() == 10
+
+    # a NARROWER batch now upcasts into the wide table type silently:
+    # no metaData action, no new typeChanges entries
+    v3 = tmp_table.write(
+        spark.range(15, 18).select(
+            F.col("id").cast("string").alias("k"),
+            F.col("id").cast("int").alias("v"),
+            F.lit(1.5).cast("float").alias("score"),
+        ),
+        mode="append",
+        merge_schema=True,
+    )
+    assert v3 == 3
+    assert not any(
+        "metaData" in a for a in tmp_table._read_actions(3)
+    ), "narrow-batch upcast is enforcement, not evolution"
+    assert tmp_table.read().count() == 18
+
+    # DML across eras: delete a row living in a NARROW v0 file
+    v4 = tmp_table.delete(F.col("k") == "4")
+    assert v4 == 4
+    left = tmp_table.read()
+    assert left.count() == 17
+    assert dict(left.dtypes)["v"] == "bigint"
+
+    # the change feed crosses the widening: v0 inserts surface wide
+    ch = tmp_table.changes(0)
+    assert dict(ch.dtypes)["v"] == "bigint"
+    v0_ins = ch.filter(
+        (F.col("_commit_version") == 0)
+        & (F.col("_change_type") == "insert")
+    )
+    assert v0_ins.count() == 10
+
+    # second widening on the same column chains the metadata
+    v5 = tmp_table.write(
+        spark.range(18, 20).select(
+            F.col("id").cast("string").alias("k"),
+            F.col("id").cast("decimal(22,0)").alias("v"),
+            F.lit(2.5).alias("score"),
+        ),
+        mode="append",
+        merge_schema=True,
+    )
+    assert v5 == 5
+    snap5 = tmp_table.snapshot()
+    vmeta = next(f for f in snap5.schema if f.name == "v").metadata
+    assert [c["toType"] for c in vmeta["delta.typeChanges"]] == [
+        "bigint",
+        "decimal(22,0)",
+    ]
+    assert tmp_table.read().count() == 19
+    assert (
+        tmp_table.read()
+        .agg(F.sum("v").cast("string"))
+        .collect()[0][0]
+        == "25000000186"
+    )
+
+    # checkpoint + expiry: the typeChanges metadata survives replay
+    tmp_table.checkpoint()
+    tmp_table.expire_log()
+    snap6 = tmp_table.snapshot()
+    vmeta2 = next(f for f in snap6.schema if f.name == "v").metadata
+    assert vmeta2["delta.typeChanges"] == vmeta["delta.typeChanges"]
+    assert tmp_table.read().count() == 19
+
+    # OPTIMIZE homogenizes the eras; values unchanged
+    before = sorted(
+        map(repr, (tuple(r) for r in tmp_table.read().collect()))
+    )
+    assert tmp_table.optimize(max_file_bytes=1 << 30)
+    assert (
+        sorted(map(repr, (tuple(r) for r in tmp_table.read().collect())))
+        == before
+    )
+
+    # non-widenable changes still refuse, feature on or not
+    with pytest.raises(SchemaMismatchError, match="column types"):
+        tmp_table.write(
+            spark.range(1).select(
+                F.col("id").cast("string").alias("k"),
+                F.col("id").cast("decimal(22,0)").alias("v"),
+                F.lit("oops").alias("score"),
+            ),
+            mode="append",
+            merge_schema=True,
+        )
+
+
+def test_type_widening_composes_with_added_columns(spark, tmp_table):
+    """One append that both WIDENS a type and ADDS a column: the
+    typeChanges metadata and the appendSchemaEvolved marker each
+    engage for their half, and reads upcast + null-fill in one scan."""
+    tmp_table.write(
+        spark.range(0, 6).select(
+            F.col("id").cast("string").alias("k"),
+            F.col("id").cast("int").alias("v"),
+        )
+    )
+    tmp_table.enable_type_widening()
+    v = tmp_table.write(
+        spark.range(6, 9).select(
+            F.col("id").cast("string").alias("k"),
+            F.col("id").alias("v"),  # bigint: widens
+            F.lit("web").alias("channel"),  # new column
+        ),
+        mode="append",
+        merge_schema=True,
+    )
+    assert v == 2
+    snap = tmp_table.snapshot()
+    assert snap.configuration.get("minidelta.appendSchemaEvolved") == "true"
+    assert (
+        next(f for f in snap.schema if f.name == "v").metadata[
+            "delta.typeChanges"
+        ][0]["toType"]
+        == "bigint"
+    )
+    got = tmp_table.read()
+    assert dict(got.dtypes) == {
+        "k": "string",
+        "v": "bigint",
+        "channel": "string",
+    }
+    assert got.count() == 9
+    assert got.filter(F.col("channel").isNull()).count() == 6
+
+
+def test_type_widening_stats_skipping_spans_eras(spark, tmp_table):
+    """files_for_range over a widened column: narrow-era stats (JSON
+    ints) and wide-era stats compare in the same numeric domain, so
+    data skipping keeps working across the widening."""
+    tmp_table.write(
+        spark.range(0, 100).select(
+            F.col("id").cast("string").alias("k"),
+            F.col("id").cast("int").alias("v"),
+        )
+    )
+    tmp_table.enable_type_widening()
+    tmp_table.write(
+        spark.range(0, 50).select(
+            F.col("id").cast("string").alias("k"),
+            (F.col("id") + F.lit(5_000_000_000)).alias("v"),
+        ),
+        mode="append",
+        merge_schema=True,
+    )
+    wide_only = tmp_table.files_for_range("v", lo=5_000_000_000)
+    narrow_only = tmp_table.files_for_range("v", hi=99)
+    everything = tmp_table.files_for_range("v")
+    assert set(wide_only) and set(narrow_only)
+    assert not set(wide_only) & set(narrow_only)
+    assert set(wide_only) | set(narrow_only) == set(everything)

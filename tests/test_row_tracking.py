@@ -349,3 +349,31 @@ def test_unrelated_domain_does_not_suppress_id_assignment(spark, base):
     ]
     t._inject_row_tracking(2, managed)
     assert "baseRowId" not in managed[1]["add"]
+
+
+def test_row_ids_stable_across_type_widening(spark, base):
+    """Type widening composes with row tracking: ids assigned before
+    the widening survive it (no rewrite happens), and the widened
+    column reads wide alongside the ids."""
+    t = MiniDeltaTable(spark, os.path.join(base, "t"))
+    t.write(
+        _df(spark).limit(20).withColumn("n", F.col("v").cast("int"))
+    )
+    t.enable_row_tracking()
+    t.enable_type_widening()
+    ref = _ids(t)
+    t.write(
+        _df(spark)
+        .limit(25)
+        .exceptAll(_df(spark).limit(20))
+        .withColumn("n", F.col("v") + F.lit(5_000_000_000)),
+        mode="append",
+        merge_schema=True,
+    )
+    got = t.read(with_row_ids=True)
+    assert dict(got.dtypes)["n"] == "bigint"
+    by_k = {r["k"]: r for r in got.collect()}
+    assert all(by_k[k]["_row_id"] == i for k, i in ref.items())
+    fresh = [r for k, r in by_k.items() if k not in ref]
+    assert len(fresh) == 5
+    assert min(r["_row_id"] for r in fresh) > max(ref.values())

@@ -215,6 +215,30 @@ PYTEST_ONLY = [
         "tests/test_cdf_stream_source.py::"
         "test_cdf_stream_equals_batch_changes_with_dvs",
     ),
+    (
+        "Optimistic concurrency control (the protocol's conflict "
+        "matrix: losers REBASE past logically disjoint winners — "
+        "blind appends, DML/OPTIMIZE over untouched files — and "
+        "raise the typed Delta taxonomy otherwise: ConcurrentAppend "
+        "(serializable only), ConcurrentDeleteRead, "
+        "ConcurrentDeleteDelete, MetadataChanged, ProtocolChanged, "
+        "ConcurrentTransaction; retries re-inject row-id watermarks "
+        "and in-commit timestamps against the winner's chain)",
+        "ecommerce_lakehouse_platform_spark/sources/deltalog.py",
+        "tests/test_concurrency.py::"
+        "test_dml_rebases_past_disjoint_append",
+    ),
+    (
+        "Type widening (protocol 'Type Widening': merge-schema "
+        "appends accept the widening lattice, delta.typeChanges "
+        "provenance per column, narrow-era files upcast in ONE "
+        "explicit-schema scan — no rewrite, no per-era branches; "
+        "narrower batches upcast on write; composes with DML, CDF, "
+        "OPTIMIZE, row tracking, stats skipping, checkpoint/expiry, "
+        "and full-history streaming replays)",
+        "ecommerce_lakehouse_platform_spark/sources/deltalog.py",
+        "tests/test_deltalog.py::test_type_widening_append_read_dml_cdf",
+    ),
 ]
 
 FAMILIES = [
