@@ -2734,3 +2734,100 @@ def test_type_widening_stats_skipping_spans_eras(spark, tmp_table):
     assert set(wide_only) and set(narrow_only)
     assert not set(wide_only) & set(narrow_only)
     assert set(wide_only) | set(narrow_only) == set(everything)
+
+
+def _sidecar_names(t, version):
+    import pyarrow.parquet as pq
+
+    tab = pq.read_table(t._checkpoint_path(version))
+    if "sidecar" not in tab.column_names:
+        return None
+    return [
+        sc["path"] for sc in tab.column("sidecar").to_pylist() if sc
+    ]
+
+
+def test_v2_checkpoint_roundtrip_and_sidecar_reuse(spark, tmp_table):
+    """V2 checkpoints: the manifest holds no add rows (file actions
+    live in content-hash-named sidecars), snapshot replay through a
+    v2 checkpoint equals the JSON replay, expiry works, and a later
+    checkpoint REUSES every sidecar whose bucket did not change —
+    the write cost is the changed slice, not the table."""
+    import pyarrow.parquet as pq
+
+    orders = _orders(spark).limit(40).localCheckpoint(eager=True)
+    tmp_table.checkpoint_interval = 0  # manual checkpoints only
+    tmp_table.write(orders.repartition(16))  # v0: 16 files
+    tmp_table.enable_v2_checkpoints()  # v1
+    before = sorted(map(repr, (tuple(r) for r in tmp_table.read().collect())))
+
+    # shrink the bucket target so 16 files spread over several
+    # sidecars (the reuse assertion needs >1 bucket)
+    tmp_table._SIDECAR_FILES = 4
+    v = tmp_table.checkpoint()
+    assert v == 1
+    names1 = _sidecar_names(tmp_table, v)
+    assert names1 and len(names1) == 4  # 16 files / 4 per bucket
+    manifest = pq.read_table(tmp_table._checkpoint_path(v)).to_pylist()
+    assert not any(r.get("add") for r in manifest), "adds live in sidecars"
+
+    # replay through the v2 checkpoint: expire the JSON history first
+    assert tmp_table.expire_log() == [0]
+    after = sorted(map(repr, (tuple(r) for r in tmp_table.read().collect())))
+    assert after == before
+    snap = tmp_table.snapshot()
+    assert len(snap.files) == 16
+
+    # append ONE new file, checkpoint again: the new manifest reuses
+    # every unchanged bucket's sidecar byte-for-byte
+    tmp_table.write(orders.limit(3).coalesce(1), mode="append")  # v2
+    tmp_table._SIDECAR_FILES = 4
+    v2 = tmp_table.checkpoint()
+    names2 = _sidecar_names(tmp_table, v2)
+    assert len(names2) == 4  # pow2 hysteresis: still 4 buckets
+    reused = set(names1) & set(names2)
+    assert len(reused) == 3, "only the bucket that changed rewrote"
+    assert tmp_table.read().count() == 43
+
+    # chained expiry keeps working; the superseded sidecar is still
+    # referenced by the OLDER manifest, so GC keeps it
+    sidecar_dir = os.path.join(tmp_table.log_dir, "_sidecars")
+    n_files_before = len(os.listdir(sidecar_dir))
+    tmp_table.expire_log()
+    assert len(os.listdir(sidecar_dir)) == n_files_before
+    assert tmp_table.read().count() == 43
+
+    # once the old manifest is gone (retention cleanup), expire_log
+    # reclaims sidecars no remaining manifest references
+    os.unlink(tmp_table._checkpoint_path(1))
+    tmp_table.expire_log()
+    left = set(os.listdir(sidecar_dir))
+    assert left == set(names2)
+    assert tmp_table.read().count() == 43
+
+
+def test_v2_checkpoint_chains_from_v1_and_carries_state(spark, tmp_table):
+    """A v2 checkpoint chains from an older v1 checkpoint, and the
+    non-file state (txn ledger, row-tracking watermark, constraints in
+    configuration) survives the v2 manifest + expiry round trip."""
+    orders = _orders(spark).limit(20).localCheckpoint(eager=True)
+    tmp_table.checkpoint_interval = 0
+    tmp_table.write(orders)  # v0
+    tmp_table.checkpoint()  # v1-era classic checkpoint at v0
+    tmp_table.enable_row_tracking()  # v1
+    tmp_table.write(
+        orders.limit(4), mode="append", txn=("sink", 9)
+    )  # v2
+    tmp_table.enable_v2_checkpoints()  # v3
+    v = tmp_table.checkpoint()
+    assert v == 3
+    assert _sidecar_names(tmp_table, v), "v2 layout"
+    tmp_table.expire_log()
+    snap = tmp_table.snapshot()
+    assert snap.app_versions == {"sink": 9}
+    assert "delta.rowTracking" in snap.domain_metadata
+    ids = [
+        r["_row_id"]
+        for r in tmp_table.read(with_row_ids=True).collect()
+    ]
+    assert sorted(ids) == list(range(24))

@@ -216,6 +216,16 @@ PYTEST_ONLY = [
         "test_cdf_stream_equals_batch_changes_with_dvs",
     ),
     (
+        "V2 checkpoints (manifest + content-hash-named sidecars under "
+        "_delta_log/_sidecars, pow2-hysteresis path-hash buckets; "
+        "unchanged buckets reuse their sidecar byte-for-byte, so "
+        "checkpoint write cost is the changed slice, not the table; "
+        "v1 chaining, expiry GC, pyarrow-only reads)",
+        "ecommerce_lakehouse_platform_spark/sources/deltalog.py",
+        "tests/test_deltalog.py::"
+        "test_v2_checkpoint_roundtrip_and_sidecar_reuse",
+    ),
+    (
         "Optimistic concurrency control (the protocol's conflict "
         "matrix: losers REBASE past logically disjoint winners — "
         "blind appends, DML/OPTIMIZE over untouched files — and "
