@@ -711,3 +711,36 @@ def test_cdf_stream_replays_across_type_widening(spark, base):
     assert not _read_compatible(
         T.StructType([T.StructField("v", T.DoubleType())]), pinned
     )
+
+
+def test_stream_seeds_from_v2_checkpoint_after_expiry(spark, base):
+    """The streaming sources replay log state driver-side without a
+    SparkSession — that replay must read V2 checkpoints (manifest +
+    sidecars) too: expire the JSON history behind a v2 checkpoint,
+    then stream from the checkpointed version and compare against
+    batch changes()."""
+    t = MiniDeltaTable(spark, os.path.join(base, "t"), checkpoint_interval=0)
+    df = spark.range(0, 60).select(
+        F.col("id").cast("string").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t.write(df.repartition(4))  # v0
+    t.enable_v2_checkpoints()  # v1
+    t.delete(F.col("v") < 10, use_dv=True)  # v2: DV state must survive
+    t.checkpoint()  # v2 checkpoint (v2 layout)
+    assert t.expire_log() == [0, 1]
+    t.write(df.limit(5), mode="append")  # v3
+    t.update(
+        F.col("k") == "30", {"v": F.lit(999).cast("bigint")}, use_dv=True
+    )  # v4: DV update — preimage is ONE delete, not a file rewrite
+
+    ckpt = os.path.join(base, "ckpt")
+    out = os.path.join(base, "events")
+    _drain(
+        read_cdf_stream(spark, t.path, starting_version=3), ckpt, out
+    )
+    got = spark.read.parquet(out)
+    assert _canon(got) == _canon(t.changes(3))
+    # the replayed DV state came through the v2 manifest: the v4
+    # update's preimage delete is exactly one row, not a file replay
+    v4 = got.filter(F.col("_commit_version") == 4)
+    assert v4.filter(F.col("_change_type") == "delete").count() == 1
