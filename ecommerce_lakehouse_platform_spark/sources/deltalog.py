@@ -615,6 +615,13 @@ class MiniDeltaTable:
     _CKPT_POLICY_KEY = "delta.checkpointPolicy"
     _SIDECAR_FILES = 512
     _TW_KEY = "delta.enableTypeWidening"
+    # identity columns (the protocol's "Identity Columns" writer
+    # feature): declaration + the assignment high watermark live in
+    # the column's schema metadata under the real table's keys
+    _ID_START = "delta.identity.start"
+    _ID_STEP = "delta.identity.step"
+    _ID_HWM = "delta.identity.highWaterMark"
+    _ID_EXPLICIT = "delta.identity.allowExplicitInsert"
     _TYPE_CHANGES_META = "delta.typeChanges"
 
     # the protocol's widening lattice, integral ranks
@@ -1197,6 +1204,41 @@ class MiniDeltaTable:
                         )
                 if set(df.columns) == {f.name for f in prior.schema}:
                     df = df.select(*[f.name for f in prior.schema])
+        # identity columns: an identity-omitting batch gets values
+        # assigned (watermark + k*step via the two-pass distributed
+        # row number) and this commit restates the advanced watermark;
+        # GENERATED ALWAYS rejects writer-provided values, BY DEFAULT
+        # accepts them and bumps the watermark past them
+        identity_hwms: dict[str, int] = {}
+        if prior is not None and not (overwrite_schema and mode == "overwrite"):
+            for iname, fmeta in self._identity_fields(prior.schema).items():
+                if iname not in df.columns:
+                    df, new_hwm = self._assign_identity(df, iname, fmeta)
+                    if new_hwm is not None:
+                        identity_hwms[iname] = new_hwm
+                elif not fmeta.get(self._ID_EXPLICIT):
+                    raise ValueError(
+                        f"column {iname!r} is GENERATED ALWAYS AS "
+                        "IDENTITY: writer-provided values are "
+                        "rejected (declare it with "
+                        "allow_explicit=True for BY DEFAULT semantics)"
+                    )
+                else:
+                    step = int(fmeta[self._ID_STEP])
+                    ext = df.agg(
+                        F.max(iname) if step > 0 else F.min(iname)
+                    ).collect()[0][0]
+                    hwm = fmeta.get(self._ID_HWM)
+                    if ext is not None and (
+                        hwm is None
+                        or (step > 0 and int(ext) > int(hwm))
+                        or (step < 0 and int(ext) < int(hwm))
+                    ):
+                        identity_hwms[iname] = int(ext)
+            if identity_hwms and set(df.columns) == {
+                f.name for f in prior.schema
+            }:
+                df = df.select(*[f.name for f in prior.schema])
         if prior is not None:
             if (
                 partition_by is not None
@@ -1388,6 +1430,37 @@ class MiniDeltaTable:
             or evolved_append is not None
             or partition_by != prior.partition_columns
         )
+        meta_schema = (
+            evolved_append if evolved_append is not None else df.schema
+        )
+        if identity_hwms:
+            # the advanced watermark rides THIS commit's metaData —
+            # atomically with the rows it covers, so a crash between
+            # the two can never replay ids
+            src = (
+                evolved_append
+                if evolved_append is not None
+                else prior.schema
+            )
+            meta_schema = T.StructType(
+                [
+                    (
+                        T.StructField(
+                            f.name,
+                            f.dataType,
+                            f.nullable,
+                            {
+                                **(f.metadata or {}),
+                                self._ID_HWM: identity_hwms[f.name],
+                            },
+                        )
+                        if f.name in identity_hwms
+                        else f
+                    )
+                    for f in src
+                ]
+            )
+            new_meta = True
         if prior is None:
             actions.append(
                 {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
@@ -1398,11 +1471,7 @@ class MiniDeltaTable:
                     "metaData": {
                         "id": str(uuid.uuid4()),
                         "format": {"provider": "parquet", "options": {}},
-                        "schemaString": (
-                            evolved_append
-                            if evolved_append is not None
-                            else df.schema
-                        ).json(),
+                        "schemaString": meta_schema.json(),
                         "partitionColumns": partition_by,
                         # table properties (CHECK constraints included)
                         # survive a schema evolution
@@ -1455,8 +1524,14 @@ class MiniDeltaTable:
         # Full overwrites (which read every file they remove) and
         # table-creating writes still surface the conflict to the
         # caller.
-        rebasable = prior is not None and (
-            mode == "append" or replace_where is not None
+        rebasable = (
+            prior is not None
+            and (mode == "append" or replace_where is not None)
+            # an identity-assigning commit must NOT rebase: its values
+            # and watermark were computed against the lost snapshot,
+            # and replaying them past the winner would mint duplicates
+            # — the conflict surfaces and the caller's retry re-assigns
+            and not identity_hwms
         )
         attempts = 0
         # each attempt commits a pristine copy: the commit-time
@@ -2409,6 +2484,113 @@ class MiniDeltaTable:
             "SET TBLPROPERTIES",
             {"properties": json.dumps({self._ICT_KEY: "true"})},
         )
+
+    @classmethod
+    def _identity_fields(cls, schema: T.StructType) -> dict[str, dict]:
+        """name -> metadata for every identity column in the schema."""
+        return {
+            f.name: dict(f.metadata or {})
+            for f in schema
+            if (f.metadata or {}).get(cls._ID_START) is not None
+        }
+
+    def add_identity_column(
+        self,
+        name: str,
+        start: int = 1,
+        step: int = 1,
+        allow_explicit: bool = False,
+    ) -> int:
+        """ALTER TABLE ... ADD COLUMN ... GENERATED ALWAYS AS IDENTITY
+        (``allow_explicit=True`` = the BY DEFAULT variant): appends a
+        BIGINT column whose values the WRITER assigns — each
+        identity-omitting write computes ``highWaterMark + step,
+        + 2*step, ...`` with the two-pass distributed row number
+        (operators/ranking — no single-task window) and restates the
+        advanced watermark in the same atomic commit's metaData, so
+        values never repeat across appends, overwrites, checkpoints,
+        or log expiry. GENERATED ALWAYS rejects writer-provided
+        values; BY DEFAULT accepts them and bumps the watermark past
+        them. Like the real table (which only accepts identity at
+        CREATE TABLE), the column can only be added while the table
+        holds no rows. An identity-assigning commit that loses a
+        put-if-absent race surfaces the conflict instead of rebasing
+        (a rebase would reuse the loser's stale watermark and mint
+        duplicate ids) — callers retry the write, which re-assigns
+        from the winner's watermark."""
+        if step == 0:
+            raise ValueError("identity step must be non-zero")
+        snap = self.snapshot()
+        if any(f.name == name for f in snap.schema):
+            raise ValueError(f"column {name!r} already exists")
+        if self._mapping_enabled(snap):
+            raise NotImplementedError(
+                "identity columns on a column-mapped table are not "
+                "supported (new fields need physical-name assignment)"
+            )
+        rows = sum(
+            int(json.loads(a["stats"]).get("numRecords", 0))
+            for a in snap.files.values()
+            if a.get("stats")
+        )
+        if rows:
+            raise ValueError(
+                "identity columns can only be added while the table "
+                f"holds no rows (it holds {rows}); the real table "
+                "accepts identity only at CREATE TABLE for the same "
+                "reason — existing rows have no assigned values"
+            )
+        md = {
+            self._ID_START: int(start),
+            self._ID_STEP: int(step),
+            self._ID_EXPLICIT: bool(allow_explicit),
+        }
+        new_schema = T.StructType(
+            list(snap.schema) + [T.StructField(name, T.LongType(), True, md)]
+        )
+        return self._commit_schema(
+            snap,
+            new_schema,
+            # the add is a schema evolution over any already-staged
+            # (zero-row) files: route reads through the explicit scan
+            # schema so the new column null-fills deterministically
+            # instead of depending on which footer inference samples
+            {**snap.configuration, self._EVOLVED_KEY: "true"},
+            "ADD COLUMNS",
+            {
+                "columns": json.dumps(
+                    [{"name": name, "identity": md}], sort_keys=True
+                )
+            },
+        )
+
+    def _assign_identity(
+        self, df: DataFrame, name: str, fmeta: dict
+    ) -> tuple[DataFrame, int | None]:
+        """Assign identity values to a batch that omitted the column:
+        (frame-with-values, new high watermark or None for an empty
+        batch). Total order = the batch's own columns (deterministic
+        for distinct rows; duplicate rows permute indistinguishably),
+        ranked by the two-pass distributed row number."""
+        from ..operators.ranking import global_row_number
+
+        start = int(fmeta[self._ID_START])
+        step = int(fmeta[self._ID_STEP])
+        hwm = fmeta.get(self._ID_HWM)
+        base = (int(hwm) + step) if hwm is not None else start
+        ranked = global_row_number(
+            df, [F.col(c) for c in df.columns], "_idrank"
+        )
+        out = ranked.withColumn(
+            name,
+            (
+                F.lit(base) + (F.col("_idrank") - F.lit(1)) * F.lit(step)
+            ).cast("long"),
+        ).drop("_idrank")
+        top = ranked.agg(F.max("_idrank")).collect()[0][0]
+        if top is None:
+            return df.withColumn(name, F.lit(None).cast("long")), None
+        return out, base + step * (int(top) - 1)
 
     def enable_v2_checkpoints(self) -> int:
         """Enable the v2-checkpoint table feature (PROTOCOL.md "V2

@@ -2831,3 +2831,112 @@ def test_v2_checkpoint_chains_from_v1_and_carries_state(spark, tmp_table):
         for r in tmp_table.read(with_row_ids=True).collect()
     ]
     assert sorted(ids) == list(range(24))
+
+
+def test_identity_column_assignment_and_guards(spark, tmp_table):
+    """Identity columns: declared on an empty table, values assigned
+    monotonically from the watermark across appends and overwrites,
+    GENERATED ALWAYS rejects explicit values, BY DEFAULT accepts and
+    bumps the watermark, negative steps work, the watermark survives
+    checkpoint + expiry, and time travel predates the column."""
+    empty = spark.createDataFrame([], "k string, v bigint")
+    tmp_table.write(empty)  # v0: zero rows
+    with pytest.raises(ValueError, match="non-zero"):
+        tmp_table.add_identity_column("id", step=0)
+    v1 = tmp_table.add_identity_column("id", start=10, step=5)
+    assert v1 == 1
+    with pytest.raises(ValueError, match="already exists"):
+        tmp_table.add_identity_column("id")
+    # time travel: the pre-identity version lacks the column
+    assert "id" not in tmp_table.read(version=0).columns
+
+    df = spark.range(0, 8).select(
+        F.col("id").cast("string").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    tmp_table.write(df, mode="append")  # v2: ids 10,15,...,45
+    got = {r["k"]: r["id"] for r in tmp_table.read().collect()}
+    assert sorted(got.values()) == list(range(10, 50, 5))
+
+    tmp_table.write(
+        df.limit(3).withColumn("k", F.concat(F.lit("n"), "k")),
+        mode="append",
+    )  # v3: continues past the watermark
+    ids = sorted(r["id"] for r in tmp_table.read().collect())
+    assert ids == list(range(10, 65, 5))
+    assert len(set(ids)) == 11
+
+    # GENERATED ALWAYS refuses writer-provided values
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        tmp_table.write(
+            df.limit(1).withColumn("id", F.lit(999)), mode="append"
+        )
+
+    # the watermark survives checkpoint + log expiry
+    tmp_table.checkpoint()
+    tmp_table.expire_log()
+    tmp_table.write(df.limit(2), mode="append")
+    ids2 = sorted(r["id"] for r in tmp_table.read().collect())
+    assert ids2 == list(range(10, 75, 5)), "no id reuse after expiry"
+
+    # a full overwrite keeps assigning past the watermark (real
+    # semantics: identity never resets)
+    tmp_table.write(df.limit(4), mode="overwrite")
+    ids3 = sorted(r["id"] for r in tmp_table.read().collect())
+    assert ids3 == list(range(75, 95, 5))
+
+    # refused once the table holds rows
+    with pytest.raises(ValueError, match="holds no rows"):
+        tmp_table.add_identity_column("id2")
+
+
+def test_identity_by_default_and_negative_step(spark, tmp_table):
+    """BY DEFAULT identity accepts explicit values and bumps the
+    watermark past them; a negative step descends."""
+    tmp_table.write(spark.createDataFrame([], "k string"))
+    tmp_table.add_identity_column(
+        "id", start=100, step=-10, allow_explicit=True
+    )
+    df = spark.range(0, 3).select(F.col("id").cast("string").alias("k"))
+    tmp_table.write(df, mode="append")  # 100, 90, 80
+    assert sorted(
+        r["id"] for r in tmp_table.read().collect()
+    ) == [80, 90, 100]
+    # explicit values BELOW the watermark (descending) bump it
+    tmp_table.write(
+        spark.createDataFrame([("x", 40), ("y", 55)], "k string, id long"),
+        mode="append",
+    )
+    tmp_table.write(df.limit(1).select(F.concat(F.lit("z"), "k").alias("k")), mode="append")
+    ids = sorted(r["id"] for r in tmp_table.read().collect())
+    assert 30 in ids, f"assignment continues below the bumped watermark: {ids}"
+    assert len(set(ids)) == len(ids)
+
+
+def test_identity_write_race_surfaces_instead_of_rebasing(spark, tmp_table):
+    """Two identity-assigning appends racing: the loser must surface
+    the conflict (a silent rebase would replay its stale watermark and
+    mint duplicate ids); the caller's retry re-assigns cleanly."""
+    tmp_table.write(spark.createDataFrame([], "k string"))
+    tmp_table.add_identity_column("id")
+    df = spark.range(0, 5).select(F.col("id").cast("string").alias("k"))
+    rival = MiniDeltaTable(spark, tmp_table.path)
+    orig = tmp_table._commit
+    state = {"fired": False}
+
+    def racing(version, actions):
+        if not state["fired"]:
+            state["fired"] = True
+            rival.write(df, mode="append")  # rival assigns 1..5
+        orig(version, actions)
+
+    tmp_table._commit = racing
+    with pytest.raises(ConcurrentWriteError):
+        tmp_table.write(
+            df.select(F.concat(F.lit("b"), "k").alias("k")), mode="append"
+        )
+    tmp_table._commit = orig
+    tmp_table.write(
+        df.select(F.concat(F.lit("b"), "k").alias("k")), mode="append"
+    )  # retry re-assigns from the winner's watermark
+    ids = sorted(r["id"] for r in tmp_table.read().collect())
+    assert ids == list(range(1, 11)), "dense, no duplicates"

@@ -216,6 +216,16 @@ PYTEST_ONLY = [
         "test_cdf_stream_equals_batch_changes_with_dvs",
     ),
     (
+        "Identity columns (GENERATED ALWAYS / BY DEFAULT AS IDENTITY: "
+        "watermark in schema metadata, distributed two-pass "
+        "assignment, watermark rides the same atomic commit, ALWAYS "
+        "rejects explicit values, race surfaces instead of minting "
+        "duplicate ids)",
+        "ecommerce_lakehouse_platform_spark/sources/deltalog.py",
+        "tests/test_deltalog.py::"
+        "test_identity_column_assignment_and_guards",
+    ),
+    (
         "V2 checkpoints (manifest + content-hash-named sidecars under "
         "_delta_log/_sidecars, pow2-hysteresis path-hash buckets; "
         "unchanged buckets reuse their sidecar byte-for-byte, so "
