@@ -2940,3 +2940,42 @@ def test_identity_write_race_surfaces_instead_of_rebasing(spark, tmp_table):
     )  # retry re-assigns from the winner's watermark
     ids = sorted(r["id"] for r in tmp_table.read().collect())
     assert ids == list(range(1, 11)), "dense, no duplicates"
+
+
+def test_type_widening_lattice_is_transitive_and_antisymmetric(spark):
+    """Property: the widening gate is a strict partial order over a
+    generated type universe — transitive (two protocol-legal widenings
+    compose into one legal widening, so a chained-widened table's
+    oldest files are still one in-scan upcast from the latest type)
+    and antisymmetric (no two distinct types widen both ways, so the
+    provenance chain can never cycle)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import types as T
+
+    scalars = [
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+        "date", "timestamp_ntz", "string",
+    ]
+    decimals = [
+        f"decimal({p},{s})"
+        for p in (5, 10, 12, 20, 22)
+        for s in (0, 2, 4)
+        if s < p
+    ]
+    universe = [T._parse_datatype_string(x) for x in scalars + decimals]
+    W = MiniDeltaTable._is_type_widening
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.sampled_from(universe),
+        st.sampled_from(universe),
+        st.sampled_from(universe),
+    )
+    def check(a, b, c):
+        if W(a, b):
+            assert not W(b, a), f"cycle {a}<->{b}"
+        if W(a, b) and W(b, c):
+            assert W(a, c), f"not transitive: {a}->{b}->{c}"
+
+    check()
