@@ -2834,11 +2834,12 @@ def test_v2_checkpoint_chains_from_v1_and_carries_state(spark, tmp_table):
 
 
 def test_identity_column_assignment_and_guards(spark, tmp_table):
-    """Identity columns: declared on an empty table, values assigned
-    monotonically from the watermark across appends and overwrites,
-    GENERATED ALWAYS rejects explicit values, BY DEFAULT accepts and
-    bumps the watermark, negative steps work, the watermark survives
-    checkpoint + expiry, and time travel predates the column."""
+    """Identity columns: declared on an empty table, values unique and
+    strictly past the watermark across appends and overwrites (the
+    protocol allows GAPS — assignment is sparse per-partition blocks,
+    like the real feature's task reservation), GENERATED ALWAYS
+    rejects explicit values, the watermark survives checkpoint + log
+    expiry, and time travel predates the column."""
     empty = spark.createDataFrame([], "k string, v bigint")
     tmp_table.write(empty)  # v0: zero rows
     with pytest.raises(ValueError, match="non-zero"):
@@ -2850,20 +2851,29 @@ def test_identity_column_assignment_and_guards(spark, tmp_table):
     # time travel: the pre-identity version lacks the column
     assert "id" not in tmp_table.read(version=0).columns
 
+    def ids():
+        return [r["id"] for r in tmp_table.read().collect()]
+
+    def check(vals, n, floor):
+        assert len(vals) == n and len(set(vals)) == n, "unique"
+        assert all(v >= floor for v in vals), f"past watermark {floor}"
+        assert all((v - 10) % 5 == 0 for v in vals), "on the step grid"
+
     df = spark.range(0, 8).select(
         F.col("id").cast("string").alias("k"), (F.col("id") * 2).alias("v")
     )
-    tmp_table.write(df, mode="append")  # v2: ids 10,15,...,45
-    got = {r["k"]: r["id"] for r in tmp_table.read().collect()}
-    assert sorted(got.values()) == list(range(10, 50, 5))
+    tmp_table.write(df, mode="append")  # v2
+    batch1 = ids()
+    check(batch1, 8, 10)
+    assert min(batch1) == 10, "first allocation starts at START"
 
     tmp_table.write(
         df.limit(3).withColumn("k", F.concat(F.lit("n"), "k")),
         mode="append",
-    )  # v3: continues past the watermark
-    ids = sorted(r["id"] for r in tmp_table.read().collect())
-    assert ids == list(range(10, 65, 5))
-    assert len(set(ids)) == 11
+    )  # v3: strictly past the recorded watermark
+    batch2 = [v for v in ids() if v not in set(batch1)]
+    check(ids(), 11, 10)
+    assert min(batch2) > max(batch1)
 
     # GENERATED ALWAYS refuses writer-provided values
     with pytest.raises(ValueError, match="GENERATED ALWAYS"):
@@ -2872,17 +2882,21 @@ def test_identity_column_assignment_and_guards(spark, tmp_table):
         )
 
     # the watermark survives checkpoint + log expiry
+    hwm = max(ids())
     tmp_table.checkpoint()
     tmp_table.expire_log()
     tmp_table.write(df.limit(2), mode="append")
-    ids2 = sorted(r["id"] for r in tmp_table.read().collect())
-    assert ids2 == list(range(10, 75, 5)), "no id reuse after expiry"
+    after = ids()
+    check(after, 13, 10)
+    assert min(v for v in after if v not in set(batch1) | set(batch2)) > hwm
 
     # a full overwrite keeps assigning past the watermark (real
     # semantics: identity never resets)
+    hwm2 = max(after)
     tmp_table.write(df.limit(4), mode="overwrite")
-    ids3 = sorted(r["id"] for r in tmp_table.read().collect())
-    assert ids3 == list(range(75, 95, 5))
+    final = ids()
+    assert len(final) == 4 and len(set(final)) == 4
+    assert min(final) > hwm2
 
     # refused once the table holds rows
     with pytest.raises(ValueError, match="holds no rows"):
@@ -2896,20 +2910,28 @@ def test_identity_by_default_and_negative_step(spark, tmp_table):
     tmp_table.add_identity_column(
         "id", start=100, step=-10, allow_explicit=True
     )
-    df = spark.range(0, 3).select(F.col("id").cast("string").alias("k"))
-    tmp_table.write(df, mode="append")  # 100, 90, 80
-    assert sorted(
-        r["id"] for r in tmp_table.read().collect()
-    ) == [80, 90, 100]
+    # single-partition batches make the sparse blocks dense, so the
+    # values are exact: 100, 90, 80
+    df = spark.range(0, 3).select(
+        F.col("id").cast("string").alias("k")
+    ).coalesce(1)
+    tmp_table.write(df, mode="append")
+    first = [r["id"] for r in tmp_table.read().collect()]
+    assert sorted(first) == [80, 90, 100]
     # explicit values BELOW the watermark (descending) bump it
     tmp_table.write(
         spark.createDataFrame([("x", 40), ("y", 55)], "k string, id long"),
         mode="append",
     )
-    tmp_table.write(df.limit(1).select(F.concat(F.lit("z"), "k").alias("k")), mode="append")
-    ids = sorted(r["id"] for r in tmp_table.read().collect())
-    assert 30 in ids, f"assignment continues below the bumped watermark: {ids}"
-    assert len(set(ids)) == len(ids)
+    tmp_table.write(
+        df.limit(1).select(F.concat(F.lit("z"), "k").alias("k")).coalesce(1),
+        mode="append",
+    )
+    allv = [r["id"] for r in tmp_table.read().collect()]
+    assert 30 in allv, (
+        f"assignment continues below the bumped watermark: {allv}"
+    )
+    assert len(set(allv)) == len(allv)
 
 
 def test_identity_write_race_surfaces_instead_of_rebasing(spark, tmp_table):
@@ -2938,8 +2960,8 @@ def test_identity_write_race_surfaces_instead_of_rebasing(spark, tmp_table):
     tmp_table.write(
         df.select(F.concat(F.lit("b"), "k").alias("k")), mode="append"
     )  # retry re-assigns from the winner's watermark
-    ids = sorted(r["id"] for r in tmp_table.read().collect())
-    assert ids == list(range(1, 11)), "dense, no duplicates"
+    ids = [r["id"] for r in tmp_table.read().collect()]
+    assert len(ids) == 10 and len(set(ids)) == 10, "no duplicates"
 
 
 def test_type_widening_lattice_is_transitive_and_antisymmetric(spark):

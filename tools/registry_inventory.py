@@ -217,8 +217,9 @@ PYTEST_ONLY = [
     ),
     (
         "Identity columns (GENERATED ALWAYS / BY DEFAULT AS IDENTITY: "
-        "watermark in schema metadata, distributed two-pass "
-        "assignment, watermark rides the same atomic commit, ALWAYS "
+        "watermark in schema metadata, sparse map-side block "
+        "assignment with the watermark derived from the staged "
+        "files' footer stats in the same atomic commit, ALWAYS "
         "rejects explicit values, race surfaces instead of minting "
         "duplicate ids)",
         "ecommerce_lakehouse_platform_spark/sources/deltalog.py",
