@@ -3975,6 +3975,14 @@ class MiniDeltaTable:
             raise SchemaMismatchError(
                 f"UPDATE assigns columns not in the table: {unknown}"
             )
+        for iname, fmeta in self._identity_fields(snap.schema).items():
+            if iname in assignments:
+                # rewriting identity VALUES would bypass the watermark
+                # (GENERATED ALWAYS forbids it outright; BY DEFAULT
+                # would need a watermark restate this path lacks)
+                raise ValueError(
+                    f"UPDATE may not assign identity column {iname!r}"
+                )
         cond = F.coalesce(condition, F.lit(False))
         params = {"columns": json.dumps(sorted(assignments))}
         if use_dv:
@@ -4071,6 +4079,22 @@ class MiniDeltaTable:
         source is empty (a no-op)."""
         from ..operators.scd import merge_upsert
 
+        idents = self._identity_fields(self.snapshot().schema)
+        if idents:
+            # MERGE lands source rows carrying the identity column's
+            # values verbatim, bypassing assignment — accepting them
+            # without advancing the watermark would let a later
+            # identity-omitting append re-mint a merged id. Refused
+            # until merge learns to restate the watermark; route
+            # inserts through write() (which assigns + advances) and
+            # matched updates through update()
+            raise NotImplementedError(
+                f"MERGE into a table with identity columns "
+                f"({sorted(idents)}) is not supported: merged values "
+                "would bypass the watermark and risk duplicate ids; "
+                "append new rows via write() and change matched rows "
+                "via update()"
+            )
         if use_dv:
             return self._merge_with_dv(source, keys, isolation)
         target = self.read()

@@ -3001,3 +3001,25 @@ def test_type_widening_lattice_is_transitive_and_antisymmetric(spark):
             assert W(a, c), f"not transitive: {a}->{b}->{c}"
 
     check()
+
+
+def test_identity_dml_guards(spark, tmp_table):
+    """MERGE into an identity table and UPDATE of the identity column
+    are refused: both would land identity values without advancing the
+    watermark, letting a later assignment re-mint them."""
+    tmp_table.write(spark.createDataFrame([], "k string"))
+    tmp_table.add_identity_column("id")
+    df = spark.range(0, 4).select(F.col("id").cast("string").alias("k"))
+    tmp_table.write(df, mode="append")
+    with pytest.raises(NotImplementedError, match="identity"):
+        tmp_table.merge(tmp_table.read().limit(1), ["k"])
+    with pytest.raises(ValueError, match="identity"):
+        tmp_table.update(F.col("k") == "1", {"id": F.lit(999)})
+    # non-identity DML still works and preserves ids
+    before = {r["k"]: r["id"] for r in tmp_table.read().collect()}
+    tmp_table.delete(F.col("k") == "0")
+    tmp_table.update(F.col("k") == "1", {"k": F.lit("one")})
+    after = {r["k"]: r["id"] for r in tmp_table.read().collect()}
+    assert after == {
+        "one": before["1"], "2": before["2"], "3": before["3"]
+    }
