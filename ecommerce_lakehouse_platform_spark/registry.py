@@ -845,79 +845,87 @@ resolve_deferred_oracles()
 # ext_pivot_events, ext_profile_orders, ext_setops_users,
 # ext_stats_correlation, ext_unpivot_lineitem to r11 (forced there).
 #
-# Round-11 rotation — the zero-slack round the r10 comment planned:
-# the 6 deferred r7 keys are FORCED (the −3 bound trips without
-# them), and the 47-key r8 cohort all hits the bound at r12, so 44 of
-# them fill the remaining slots now; op_agg_pivotcount,
-# op_agg_reviews, and op_join_left_enrich_items defer to r12, where
-# they are forced alongside the 47-key r9 cohort (3 + 47 = exactly 50
-# — the r12 window writes itself; r13 then carries the 50-key r10
-# cohort and the cycle is back to steady state). There is NO
-# changed-query or new-query slot this round by construction: r11
-# code changes must either touch plans already in this window (the
-# deltalog read/commit paths are covered by ext_delta_merge_cdf
-# below) or be re-proven by the local 301-test differential and the
-# fast suite, with the external re-check riding the key's next forced
-# rotation. Rotation is tool-assisted: run
+# Round-11 rotation went green 50/50 (CORRECTNESS_r11.json): the 6
+# deferred r7 keys plus 44 of the r8 cohort.
+#
+# Round-12 rotation — the planned 3 + 47 layout, amended by the
+# capacity swap the r11 verdict asked for: ext_histogram_totals and
+# ext_profile_orders RETIRED (both trivially subsumed by
+# ext_groupwise_stats / ext_winsorized_stats; their arithmetic keeps
+# pytest anchors in test_dq_and_cleaning.py), freeing 2 of the 150
+# capacity slots for ext_delta_widened_read + ext_delta_identity —
+# the r11 deltalog protocol features (type widening, identity
+# columns) most likely to corrupt reads silently, now externally
+# value-gated instead of pytest-only. New keys have no green row, so
+# they MUST occupy window slots now; the 2 slots come from deferring
+# op_clean_id and op_filter_range (r9 cohort, trivial single-relation
+# plans the local differential re-proves every session) to r13, where
+# they are FORCED. The deferral cascades cleanly: r13 = those 2 + 48
+# of the 50-key r10 cohort; r14 = the 2 deferred r10 keys + the
+# 48-key r11 cohort (the retirement shrank it from 50) — exactly 50
+# each round, steady state restored. Perf-only changes this round
+# (ext_delta_cdf_fold replay batching, ext_dedup_keep_best pair-chain
+# reuse) leave output values untouched, are re-proven by the local
+# 150-query differential, and both keys' forced rotations (r13, r14)
+# re-gate them externally on schedule. Rotation is tool-assisted: run
 #   python tools/staleness_ledger.py --plan
 # for the next round's FORCED set, the oldest-first FILL, and the
 # deferral-pressure list.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # --- Newest external row is r7: deferred from r10, forced now ---
-    "ext_histogram_totals",
-    "ext_pivot_events",
-    "ext_profile_orders",
-    "ext_setops_users",
-    "ext_stats_correlation",
-    "ext_unpivot_lineitem",
-    # --- Newest external row is r8: 44 of 47 (3 slip to r12, where
-    # --- they are forced: op_agg_pivotcount, op_agg_reviews,
-    # --- op_join_left_enrich_items — all simple plans the local
-    # --- differential re-proves every session) ---
-    "dash_customer_360",
-    "dash_sales_overview",
-    "dash_site_funnel",
-    "dq_bounded_rates",
-    "dq_nonneg_amounts",
-    "dq_notnull_products",
-    "dq_pk_unique_customer",
-    "ext_asof_attribution",
-    "ext_binary_metadata",
-    "ext_cohort_retention",
-    "ext_corpus_curation",
-    "ext_dedup_exact",
-    "ext_dedup_keep_best",
-    "ext_dedup_lines",
-    "ext_dedup_normalized",
-    "ext_dedup_span_cut",
-    "ext_delta_merge_cdf",
-    "ext_dsir_importance",
-    "ext_gapfill_daily",
-    "ext_global_score_rank",
-    "ext_groupwise_stats",
-    "ext_interval_join_errors",
-    "ext_json_extract",
-    "ext_lm_perplexity",
-    "ext_market_basket",
-    "ext_media_ppm_resize",
-    "ext_peak_concurrency",
-    "ext_pq_adc_search",
-    "ext_pq_encode",
-    "ext_quality_perceptron",
-    "ext_quality_sampled_train",
-    "ext_rfm_segmentation",
-    "ext_text_tfidf",
-    "ext_text_vocab",
-    "ext_time_bucket_rollup",
-    "ext_time_to_convert",
-    "ext_url_canonicalize",
-    "ext_winsorized_stats",
-    "gold_daily_metrics",
-    "gold_product_funnel",
-    "gold_product_metrics",
-    "gold_session_metrics",
-    "gold_session_metrics_attrs",
-    "op_agg_having",
+    # --- NEW this round (never externally green: first row now) ---
+    "ext_delta_widened_read",
+    "ext_delta_identity",
+    # --- Newest external row is r8: deferred from r11, forced now ---
+    "op_agg_pivotcount",
+    "op_agg_reviews",
+    "op_join_left_enrich_items",
+    # --- Newest external row is r9: 45 of 47 (op_clean_id and
+    # --- op_filter_range slip to r13, where they are forced) ---
+    "dash_product_performance",
+    "ext_bm25_topk",
+    "ext_decontamination",
+    "ext_dedup_containment",
+    "ext_dedup_embedding",
+    "ext_dedup_ngram_jaccard",
+    "ext_dedup_prefix_filter",
+    "ext_dedup_semantic_clusters",
+    "ext_dup_span_coverage",
+    "ext_embedding_centroids",
+    "ext_embedding_covariance",
+    "ext_event_paths",
+    "ext_fuzzy_blocked_join",
+    "ext_incremental_rollup",
+    "ext_knn_label_predict",
+    "ext_lang_temperature_sample",
+    "ext_langid_confusion",
+    "ext_media_frames",
+    "ext_media_phash_dedup",
+    "ext_merge_upsert",
+    "ext_ordered_funnel",
+    "ext_outlier_iqr",
+    "ext_pii_pseudonymize",
+    "ext_sample_stratified",
+    "ext_scd2_user_state",
+    "ext_shard_packing",
+    "ext_similarity_lsh",
+    "ext_skew_salted_join",
+    "ext_snapshot_diff",
+    "ext_sq8_ivf_topk",
+    "ext_text_fingerprint",
+    "ext_text_length_quantiles",
+    "ext_text_stats",
+    "ext_train_test_split",
+    "ext_weighted_sample",
+    "gold_customer_360",
+    "op_agg_sales",
+    "op_dedupe_latest",
+    "op_project_silver_customers",
+    "op_project_silver_orders",
+    "op_sql_named_params",
+    "stream_interval_join",
+    "stream_session_stateful",
+    "stream_session_window",
+    "stream_time_window_rollup",
 )
 
 

@@ -284,6 +284,147 @@ def ext_delta_merge_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ext_delta_widened_read",
+    # Three write eras under one logical schema: %3==0 rows landed as
+    # (int, float) BEFORE the widening, %3==1 as (bigint, double)
+    # through the widening merge, %3==2 as (int, float) again AFTER it
+    # (the enforcement-not-evolution upcast). The read must surface
+    # every era under the WIDE types with bit-exact values — the
+    # oracle states the mixed-era relation's aggregate directly from
+    # the fixtures. rate*4 is integral by construction (quarters), so
+    # the sums stay in exact BIGINT arithmetic in both engines; a scan
+    # that dropped narrow-era precision, double-read an era, or
+    # resolved the wrong schema era-by-era shifts a sum and
+    # hash-mismatches.
+    oracle=f"""
+    WITH s AS ({_SILVER_ORDERS_SQL}),
+    rows_ AS (
+      SELECT status, CAST(order_id AS BIGINT) AS k,
+        CASE WHEN CAST(order_id AS BIGINT) % 3 = 1
+             THEN CAST(order_id AS BIGINT) + 5000000000
+             ELSE CAST(order_id AS BIGINT) % 1000 END AS qty,
+        CASE WHEN CAST(order_id AS BIGINT) % 3 = 1
+             THEN (CAST(order_id AS BIGINT) % 11) * 4 + 2
+             ELSE (CAST(order_id AS BIGINT) % 7) * 4 + 1
+        END AS rate_quarters
+      FROM s
+    )
+    SELECT status, COUNT(*) AS n_orders,
+      CAST(SUM(qty) AS BIGINT) AS sum_qty,
+      CAST(SUM(rate_quarters) AS BIGINT) AS sum_rate_quarters
+    FROM rows_ GROUP BY status
+    """,
+)
+def ext_delta_widened_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type widening across write eras (the public Delta protocol's
+    "Type Widening" table feature, ``deltalog.enable_type_widening``):
+    write a third of silver orders with NARROW measure types (v0:
+    ``qty`` int, ``rate`` float), enable the feature (v1), append a
+    batch that WIDENS both columns (v2: bigint values past 2^32,
+    double rates — ``mergeSchema`` records ``delta.typeChanges``),
+    then append narrow-typed values again (v3 — enforcement upcasts
+    them silently, no schema commit). The aggregate runs over the
+    read-back table, so the era-spanning scan — old files keep their
+    narrow PHYSICAL type, every read pins the wide LOGICAL schema and
+    upcasts in-scan (BENCH_SF1.md: the upcast is free at sf1) — sits
+    on the value-checked path. rate is quarter-integral so the double
+    arithmetic is exact cross-engine (micro-unit rule)."""
+    base = _silver_orders(spark, sf_dir).select(
+        "status", F.col("order_id").cast("long").alias("k")
+    )
+    mod = F.col("k") % 3
+    narrow = lambda df: df.select(  # noqa: E731
+        "status",
+        "k",
+        (F.col("k") % 1000).cast("int").alias("qty"),
+        ((F.col("k") % 7) + F.lit(0.25)).cast("float").alias("rate"),
+    )
+    path = _fresh_dir("minidelta_tw_") + "/orders"
+    tbl = MiniDeltaTable(spark, path)
+    tbl.write(narrow(base.filter(mod == 0)))  # v0: narrow era
+    tbl.enable_type_widening()  # v1
+    wide = base.filter(mod == 1).select(
+        "status",
+        "k",
+        (F.col("k") + F.lit(5_000_000_000)).alias("qty"),  # bigint
+        ((F.col("k") % 11) + F.lit(0.5)).cast("double").alias("rate"),
+    )
+    tbl.write(wide, mode="append", merge_schema=True)  # v2: widens
+    # v3: narrow-typed batch AFTER the widening — enforcement, not
+    # evolution (no metaData action; values upcast in-scan)
+    tbl.write(narrow(base.filter(mod == 2)), mode="append",
+              merge_schema=True)
+    got = tbl.read()
+    if dict(got.dtypes)["qty"] != "bigint":
+        raise RuntimeError("type widening did not take")
+    return got.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("qty").alias("sum_qty"),
+        F.sum((F.col("rate") * 4).cast("long")).alias("sum_rate_quarters"),
+    )
+
+
+@query(
+    "ext_delta_identity",
+    # Identity values are writer-assigned in sparse per-partition
+    # blocks (the real feature's task reservation — gaps allowed), so
+    # the raw ids are partitioning-dependent; the CONTRACT is what the
+    # oracle states: every row got a value, values never repeat across
+    # appends or survive-the-checkpoint replays, every value sits on
+    # the (start, step) grid, and the second append's values are
+    # strictly past the first's watermark. Each invariant failing
+    # moves a count or flips the flag.
+    oracle=f"""
+    WITH s AS ({_SILVER_ORDERS_SQL})
+    SELECT COUNT(*) AS n_rows, COUNT(*) AS n_distinct_ids,
+      CAST(0 AS BIGINT) AS n_off_grid,
+      TRUE AS batches_disjoint
+    FROM s
+    """,
+)
+def ext_delta_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED ALWAYS AS IDENTITY under append + checkpoint replay
+    (``deltalog.add_identity_column``): create an empty silver-orders
+    table, add ``row_id`` (start=1000, step=7), append the even-key
+    half (writer assigns values map-side in sparse blocks — one
+    narrow projection, no shuffle, BENCH_SF1.md's 1.35×-of-plain
+    design), CHECKPOINT (the advanced watermark must survive replay
+    from the checkpoint, not just the JSON tail), then append the odd
+    half. The read-back summary externally gates the identity
+    contract: all-assigned, all-distinct, all-on-grid, and the second
+    batch strictly past the first's watermark — a stale or
+    non-replayed watermark mints duplicate or off-grid ids and flips
+    the checked columns."""
+    base = _silver_orders(spark, sf_dir)
+    parity = F.col("order_id").cast("long") % 2
+    path = _fresh_dir("minidelta_id_") + "/orders"
+    tbl = MiniDeltaTable(spark, path)
+    tbl.write(base.limit(0))  # v0: zero rows (identity add requires it)
+    tbl.add_identity_column("row_id", start=1000, step=7)  # v1
+    tbl.write(base.filter(parity == 0), mode="append")  # v2: assigns
+    tbl.checkpoint()  # watermark must survive checkpoint replay
+    tbl.write(base.filter(parity == 1), mode="append")  # v3: past hwm
+    got = tbl.read().select(
+        "row_id", (F.col("order_id").cast("long") % 2).alias("parity")
+    )
+    return got.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("row_id").alias("n_distinct_ids"),
+        F.sum(
+            F.when(
+                (F.col("row_id") < 1000)
+                | ((F.col("row_id") - 1000) % 7 != 0),
+                1,
+            ).otherwise(0)
+        ).alias("n_off_grid"),
+        (
+            F.max(F.when(F.col("parity") == 0, F.col("row_id")))
+            < F.min(F.when(F.col("parity") == 1, F.col("row_id")))
+        ).alias("batches_disjoint"),
+    )
+
+
 # ext_delta_restore RETIRED (r10) to free this capacity slot for
 # stream_cdf_source: its RESTORE semantics remain pinned by
 # tests/test_deltalog.py::test_restore_commits_old_snapshot_forward,

@@ -235,39 +235,12 @@ def ext_setops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Histogram, per-group top-k, correlated scalar subquery
 # ---------------------------------------------------------------------------
 
-@query(
-    "ext_histogram_totals",
-    oracle="""
-    SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bin,
-      CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) * 25000.0 AS bin_lo,
-      (CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) + 1) * 25000.0 AS bin_hi,
-      COUNT(*) AS n_orders,
-      CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS bin_revenue
-    FROM orders GROUP BY 1
-    """,
-)
-def ext_histogram_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-width histogram of order totals (width-bucket binning):
-    one partial+final agg over floor(x/width) — the profiling pass
-    behind outlier fences and price-band dashboards. Fixed origin 0
-    keeps it single-pass (a data-dependent min would need a second
-    scan); the bin arithmetic is identical IEEE ops in both engines."""
-    orders = _t(spark, sf_dir, "orders")
-    bin_ = F.floor(F.col("o_totalprice") / 25000.0).cast("long")
-    return (
-        orders.groupBy(bin_.alias("bin"))
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            dec_sum(F.col("o_totalprice")).alias("bin_revenue"),
-        )
-        .select(
-            "bin",
-            (F.col("bin") * 25000.0).alias("bin_lo"),
-            ((F.col("bin") + 1) * 25000.0).alias("bin_hi"),
-            "n_orders",
-            "bin_revenue",
-        )
-    )
+# ext_histogram_totals RETIRED (r12) to free a capacity slot for
+# ext_delta_widened_read: its fixed-width floor-bin + partial/final
+# aggregate shape is strictly subsumed by ext_groupwise_stats /
+# ext_winsorized_stats (both stay externally gated), and the binning
+# arithmetic is pinned by
+# tests/test_dq_and_cleaning.py::test_histogram_fixed_width_bins.
 
 
 @query(
@@ -767,36 +740,12 @@ def ext_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ext_profile_orders",
-    oracle="""
-    SELECT COUNT(*) AS n_rows,
-      CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderkey_nulls,
-      CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_custkey_nulls,
-      CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_totalprice_nulls,
-      CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderstatus_nulls,
-      MIN(o_totalprice) AS o_totalprice_min,
-      MAX(o_totalprice) AS o_totalprice_max,
-      MIN(CAST(o_orderdate AS DATE)) AS order_date_min,
-      MAX(CAST(o_orderdate AS DATE)) AS order_date_max
-    FROM orders
-    """,
-)
-def ext_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-pass table profile (operators/profile.py): row count,
-    per-column null counts, numeric/date min-max — a single
-    partial+final aggregate, the systematic replacement for the
-    reference's display(limit(5)) eyeballing."""
-    from .operators.profile import profile_table
-
-    orders = _t(spark, sf_dir, "orders").withColumn(
-        "order_date", F.col("o_orderdate").cast("date")
-    )
-    return profile_table(
-        orders,
-        null_cols=["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"],
-        minmax_cols=["o_totalprice", "order_date"],
-    )
+# ext_profile_orders RETIRED (r12) to free a capacity slot for
+# ext_delta_identity: its single partial+final aggregate shape is
+# strictly subsumed by the externally-gated ext_groupwise_stats /
+# ext_winsorized_stats, and operators/profile.py's one-pass
+# nulls/min-max contract is pinned by
+# tests/test_dq_and_cleaning.py::test_profile_table_one_pass.
 
 
 # ---------------------------------------------------------------------------

@@ -57,3 +57,62 @@ def test_expect_gate_raises(spark):
     assert res.failures == 1 and not res.passed
     ok = expect(df, "bounded", F.col("v") > 100)
     assert ok.passed
+
+
+def test_profile_table_one_pass(spark):
+    """Pytest anchor for operators/profile.py after ext_profile_orders
+    retired from the oracle registry (r12): one-row profile values are
+    exact, and the whole profile is a SINGLE partial+final aggregate
+    over one scan — no per-column jobs, no joins (profiling a 100 TB
+    table costs one pass)."""
+    from ecommerce_lakehouse_platform_spark.operators.profile import (
+        profile_table,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (None, 3.5), (4, 7.0)], "k int, v double"
+    )
+    row = profile_table(
+        df, null_cols=["k", "v"], minmax_cols=["v"]
+    ).collect()[0]
+    assert (
+        row.n_rows,
+        row.k_nulls,
+        row.v_nulls,
+        row.v_min,
+        row.v_max,
+    ) == (4, 1, 1, 3.5, 10.0)
+    plan = (
+        profile_table(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") <= 2, plan  # one partial+final pair
+
+
+def test_histogram_fixed_width_bins(spark):
+    """Pytest anchor for the fixed-width floor-bin histogram after
+    ext_histogram_totals retired from the oracle registry (r12): the
+    bin arithmetic (floor(x/width), fixed origin 0 — single pass, no
+    data-dependent second scan) stays pinned."""
+    df = spark.createDataFrame(
+        [(5.0,), (24999.0,), (25000.0,), (77000.0,)], "x double"
+    )
+    got = {
+        r.bin: (r.bin_lo, r.bin_hi, r.n)
+        for r in df.groupBy(
+            F.floor(F.col("x") / 25000.0).cast("long").alias("bin")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            (F.col("bin") * 25000.0).alias("bin_lo"),
+            ((F.col("bin") + 1) * 25000.0).alias("bin_hi"),
+            "n",
+        )
+        .collect()
+    }
+    assert got == {
+        0: (0.0, 25000.0, 2),
+        1: (25000.0, 50000.0, 1),
+        3: (75000.0, 100000.0, 1),
+    }

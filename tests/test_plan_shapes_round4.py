@@ -190,18 +190,19 @@ def test_changed_queries_sit_inside_driver_window():
     went green in CORRECTNESS_r10 and rotated out on schedule.)"""
     from ecommerce_lakehouse_platform_spark import registry
 
-    # r11 has NO new/changed-query slots by construction (the
-    # zero-slack staleness round: 6 forced r7 keys + 44 of the r8
-    # cohort). This round's deltalog changes (type widening,
-    # explicit-schema evolved reads, the concurrency matrix, v2
-    # checkpoints) ride every ext_delta_* query's read/commit path —
-    # ext_delta_merge_cdf is the in-window canary — and are re-proven
-    # locally by the full differential.
-    changed_r11: set[str] = set()
-    canaries = {"ext_delta_merge_cdf"}
+    # r12's new queries are the externally-gated deltalog protocol
+    # features (type widening, identity columns) — never green, so
+    # the staleness invariant itself forces them into the window.
+    # Perf-only changes (ext_delta_cdf_fold replay batching,
+    # ext_dedup_keep_best pair-chain reuse) leave output values
+    # untouched and ride the local 150-query differential; their
+    # forced rotations (r13, r14) re-gate them externally on
+    # schedule. The new deltalog queries double as the read/commit
+    # canaries for this round's deltalog fixes (DV protocol restate,
+    # explicit-identity watermark, sidecar GC grace).
+    changed_r12 = {"ext_delta_widened_read", "ext_delta_identity"}
     window = set(registry._DRIVER_WINDOW)
-    assert changed_r11 <= window, sorted(changed_r11 - window)
-    assert canaries <= window, sorted(canaries - window)
+    assert changed_r12 <= window, sorted(changed_r12 - window)
 
 
 def test_bench_headline_names_are_registered():
