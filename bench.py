@@ -260,6 +260,69 @@ def flag_for_requeue(
     return flagged
 
 
+def requeue_outliers(
+    flagged: list[tuple[str, float]],
+    timings: dict[str, float],
+    sentinel_med: float,
+    run_query,
+    sentinel_once,
+    settle,
+    attempts: int = 3,
+    threshold: float = 1.5,
+) -> dict[str, dict]:
+    """Isolated re-runs for flagged queries, NOISE-GATED: a retry
+    reading taken while the sentinel probe reads > ``threshold``× the
+    run's baseline is a degraded-box reading, not evidence (the r11
+    driver bench recorded three false regressions whose requeue
+    retries all ran during a sentinel storm — sentinel_retry 2.30s vs
+    baseline 0.87s). Each attempt probes the sentinel BEFORE timing
+    and again AFTER; only a retry bracketed by two healthy probes is
+    recorded as evidence (``sentinel_ok``) and allowed to replace the
+    headline median (min of first/retry). Degraded attempts settle
+    and try again, bounded by ``attempts``; if every attempt is
+    degraded the entry records ``sentinel_ok: false`` and the
+    original reading stands — a reader of BENCH_DETAIL can see the
+    retry proved nothing."""
+    requeued: dict[str, dict] = {}
+    for name, ratio in flagged:
+        entry: dict = {
+            "first": timings[name],
+            "normalized_ratio_vs_prior": ratio,
+            "sentinel_ok": False,
+        }
+        for attempt in range(1, attempts + 1):
+            settle()
+            pre = sentinel_once()
+            entry.update({"sentinel_retry": pre, "attempts": attempt})
+            if pre > threshold * sentinel_med:
+                print(
+                    f"[bench] requeue {name} attempt {attempt}: sentinel "
+                    f"degraded ({pre:.3f}s vs baseline {sentinel_med:.3f}s)"
+                    " — not evidence, retrying",
+                    file=sys.stderr,
+                )
+                continue
+            retry_med = run_query(name)
+            post = sentinel_once()
+            ok = post <= threshold * sentinel_med
+            entry.update(
+                {"retry": retry_med, "sentinel_post": post, "sentinel_ok": ok}
+            )
+            print(
+                f"[bench] requeue {name}: normalized {ratio}x vs prior; "
+                f"first={timings[name]}s retry={retry_med}s "
+                f"(sentinel pre={pre}s post={post}s ok={ok})",
+                file=sys.stderr,
+            )
+            if ok:
+                timings[name] = min(timings[name], retry_med)
+                break
+            # storm started mid-retry: the reading is recorded but not
+            # trusted — settle and try again
+        requeued[name] = entry
+    return requeued
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -292,8 +355,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     # intra-run ambient series: one sentinel sample before query 0,
-    # after every 8th query, and after the last — `pos` indexes into
-    # the queries map's key order (run order)
+    # after every 4th query, and after the last — `pos` indexes into
+    # the queries map's key order (run order). Every-8 left gaps an
+    # ambient burst could hide in: the r11 driver run's three false
+    # flags all sat BETWEEN samples
     sentinel_series: list[dict[str, float]] = []
 
     def _sample_sentinel(pos: int) -> None:
@@ -305,7 +370,7 @@ def main() -> None:
         (i for i, n in enumerate(names) if n in SINK_QUERIES), None
     )
     for qi, name in enumerate(names):
-        if qi % 8 == 0 or qi == first_sink:
+        if qi % 4 == 0 or qi == first_sink:
             # the extra boundary sample timestamps the ambient level
             # right before the sink group starts writing
             _sample_sentinel(qi)
@@ -400,13 +465,11 @@ def main() -> None:
             prior = json.load(fh)
     except (OSError, json.JSONDecodeError):
         pass
-    requeued: dict[str, dict] = {}
-    # cap the retries: a fully-contaminated run should not double its
-    # own wall time chasing every query
-    for name, ratio in flag_for_requeue(prior, timings, sentinel_series, sf)[:5]:
+    def _settle() -> None:
         os.sync()
         time.sleep(5)  # let writeback drain OUTSIDE any timer
-        retry_sentinel = round(_sentinel_once(spark, sf_dir), 4)
+
+    def _run_isolated(name: str) -> float:
         runs = []
         for _ in range(3):
             spark.catalog.clearCache()
@@ -417,20 +480,19 @@ def main() -> None:
             runs.append(time.perf_counter() - start)
             if name in SINK_QUERIES:
                 os.sync()
-        retry_med = round(statistics.median(runs), 3)
-        print(
-            f"[bench] requeue {name}: normalized {ratio}x vs prior; "
-            f"first={timings[name]}s retry={retry_med}s "
-            f"(sentinel {retry_sentinel}s)",
-            file=sys.stderr,
-        )
-        requeued[name] = {
-            "first": timings[name],
-            "retry": retry_med,
-            "normalized_ratio_vs_prior": ratio,
-            "sentinel_retry": retry_sentinel,
-        }
-        timings[name] = min(timings[name], retry_med)
+        return round(statistics.median(runs), 3)
+
+    # cap the retries: a fully-contaminated run should not double its
+    # own wall time chasing every query. Each retry is noise-gated by
+    # sentinel probes on both sides (see requeue_outliers).
+    requeued = requeue_outliers(
+        flag_for_requeue(prior, timings, sentinel_series, sf)[:5],
+        timings,
+        sentinel_med,
+        _run_isolated,
+        lambda: round(_sentinel_once(spark, sf_dir), 4),
+        _settle,
+    )
 
     total = round(sum(timings.values()), 3)
     detail = {

@@ -287,9 +287,16 @@ def ext_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.cluster import dedup_clusters
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = neardup.ngram_jaccard_pairs(docs, threshold=0.2).select(
-        "doc_a", "doc_b"
-    )
+    # materialize=True — the same r10 fix ext_dedup_clusters carries:
+    # the component step consumes the pair relation TWICE (both
+    # branches of the symmetrizing union), so an eager checkpoint
+    # runs the capped-shingle joins once instead of twice and
+    # releases the shingle-group cache before the join-heavy CC
+    # stage (sf1 probe: keep_best ran 5.9x at 10x data with the
+    # chain re-evaluated; clusters holds ~4x with it materialized)
+    pairs = neardup.ngram_jaccard_pairs(
+        docs, threshold=0.2, materialize=True
+    ).select("doc_a", "doc_b")
     clustered = dedup_clusters(
         docs.select("doc_id", "n_chars"), pairs, id_col="doc_id"
     )

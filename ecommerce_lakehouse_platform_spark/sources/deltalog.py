@@ -104,7 +104,7 @@ from dataclasses import dataclass, field
 from typing import Any
 from urllib.parse import unquote
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -614,6 +614,11 @@ class MiniDeltaTable:
     # sidecar layout; files per sidecar bucket is the write-size knob
     _CKPT_POLICY_KEY = "delta.checkpointPolicy"
     _SIDECAR_FILES = 512
+    # sidecar GC grace (ms): expire_log skips unreferenced sidecars
+    # younger than this — checkpoint() writes sidecars before
+    # publishing the manifest, so a concurrent expire must not reap
+    # the files an in-flight checkpoint is about to reference
+    _SIDECAR_GC_GRACE_MS = 15 * 60 * 1000
     _TW_KEY = "delta.enableTypeWidening"
     # identity columns (the protocol's "Identity Columns" writer
     # feature): declaration + the assignment high watermark live in
@@ -1210,9 +1215,18 @@ class MiniDeltaTable:
         # GENERATED ALWAYS rejects writer-provided values, BY DEFAULT
         # accepts them and bumps the watermark past them
         identity_hwms: dict[str, int] = {}
-        # identity columns whose watermark derives from the staged
-        # files' stats after the write lands (sparse assignment)
+        # identity columns whose watermark derives from the STAGED
+        # files' footer stats after the write lands — both the
+        # writer-assigned (sparse-assignment) and the BY DEFAULT
+        # explicit-value cases: a pre-write aggregate job would
+        # re-evaluate the frame, and a non-deterministic input
+        # (rand(), sampling, unstable shuffle) could stage values
+        # past the collected extreme, leaving the watermark behind
+        # and letting a later identity-omitting append mint
+        # duplicate ids. Deriving from what was actually staged also
+        # removes the extra aggregate job.
         identity_pending: dict[str, dict] = {}
+        identity_explicit: dict[str, dict] = {}
         if prior is not None and not (overwrite_schema and mode == "overwrite"):
             for iname, fmeta in self._identity_fields(prior.schema).items():
                 if iname not in df.columns:
@@ -1226,17 +1240,7 @@ class MiniDeltaTable:
                         "allow_explicit=True for BY DEFAULT semantics)"
                     )
                 else:
-                    step = int(fmeta[self._ID_STEP])
-                    ext = df.agg(
-                        F.max(iname) if step > 0 else F.min(iname)
-                    ).collect()[0][0]
-                    hwm = fmeta.get(self._ID_HWM)
-                    if ext is not None and (
-                        hwm is None
-                        or (step > 0 and int(ext) > int(hwm))
-                        or (step < 0 and int(ext) < int(hwm))
-                    ):
-                        identity_hwms[iname] = int(ext)
+                    identity_explicit[iname] = fmeta
             if (identity_hwms or identity_pending) and set(
                 df.columns
             ) == {f.name for f in prior.schema}:
@@ -1399,9 +1403,10 @@ class MiniDeltaTable:
             else (prior.schema if prior is not None else df.schema),
             partition_by,
         )
-        for iname, fmeta in identity_pending.items():
+        for iname, fmeta in {**identity_pending, **identity_explicit}.items():
             # the staged files' own footer stats carry the extreme
-            # assigned value — the watermark advance costs zero jobs
+            # assigned/provided value — the watermark advance costs
+            # zero jobs and reflects exactly what was committed
             step = int(fmeta[self._ID_STEP])
             key = "maxValues" if step > 0 else "minValues"
             pname = self._phys_column(prior.schema, iname)
@@ -1411,15 +1416,28 @@ class MiniDeltaTable:
                 if int(st.get("numRecords", 0) or 0) > 0:
                     v = st.get(key, {}).get(pname)
                     if v is None:
+                        if iname in identity_explicit:
+                            # a provided column may be all-NULL in a
+                            # file (legal for BY DEFAULT) — no stat,
+                            # nothing to advance past
+                            continue
                         raise RuntimeError(
                             "identity watermark needs per-file stats "
                             f"for {iname!r}; missing on {a['path']!r}"
                         )
                     vals.append(int(v))
             if vals:
-                identity_hwms[iname] = (
-                    max(vals) if step > 0 else min(vals)
-                )
+                ext = max(vals) if step > 0 else min(vals)
+                hwm = fmeta.get(self._ID_HWM)
+                # only-advance: explicit values BELOW the watermark
+                # must not rewind it (assigned values are always past
+                # it, so the guard is a no-op for that case)
+                if (
+                    hwm is None
+                    or (step > 0 and ext > int(hwm))
+                    or (step < 0 and ext < int(hwm))
+                ):
+                    identity_hwms[iname] = ext
         version = (prior.version + 1) if prior is not None else 0
         now_ms = int(time.time() * 1000)
         actions: list[dict[str, Any]] = [
@@ -1841,6 +1859,9 @@ class MiniDeltaTable:
         on disk and still valid) or raise the matching typed conflict:
 
         * ``protocol`` action        → :class:`ProtocolChangedError`
+          (unless it restates exactly the gates this transaction's
+          read snapshot already held — a no-op restate changes
+          nothing the loser depended on)
         * ``metaData`` action        → :class:`MetadataChangedError`
         * ``txn`` for our app id     → :class:`ConcurrentTransactionError`
         * remove ∩ our removes       → :class:`ConcurrentDeleteDeleteError`
@@ -1886,6 +1907,22 @@ class MiniDeltaTable:
                 for w in range(version, latest + 1):
                     for a in self._read_actions(w):
                         if "protocol" in a:
+                            # a protocol action that merely RESTATES
+                            # the gates this transaction already read
+                            # is not a protocol change — only an
+                            # actual upgrade invalidates the loser's
+                            # snapshot (belt to _dv_commit_inner's
+                            # emit-only-on-upgrade braces: a foreign
+                            # writer's restate must not break the
+                            # conflict matrix either)
+                            won = a["protocol"]
+                            if (
+                                int(won.get("minReaderVersion", 1))
+                                == snap.min_reader
+                                and int(won.get("minWriterVersion", 1))
+                                == snap.min_writer
+                            ):
+                                continue
                             raise ProtocolChangedError(
                                 f"{operation} lost to a protocol "
                                 f"upgrade at version {w}",
@@ -3845,10 +3882,22 @@ class MiniDeltaTable:
         if touched:
             # DVs gate on reader 3 / writer 7 in the real protocol:
             # older readers must refuse the table rather than
-            # resurrect deleted rows by scanning files directly
-            actions.append(
-                {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}}
-            )
+            # resurrect deleted rows by scanning files directly.
+            # Emit the upgrade ONLY when the table is not already
+            # there — a restated no-op protocol action would make
+            # every concurrent loser raise ProtocolChangedError where
+            # the conflict matrix promises a rebase (DML/OPTIMIZE
+            # over untouched files), and the real writer only logs
+            # protocol on an actual upgrade too.
+            if snap.min_reader < 3 or snap.min_writer < 7:
+                actions.append(
+                    {
+                        "protocol": {
+                            "minReaderVersion": 3,
+                            "minWriterVersion": 7,
+                        }
+                    }
+                )
             pos_all = positions
             if existing is not None:
                 pos_all = pos_all.unionByName(
@@ -4267,6 +4316,21 @@ class MiniDeltaTable:
 
         merge = self._needs_schema_merge(self.snapshot(ending_version))
 
+        # plain (DV-less, table-rooted) change files BATCH into one
+        # scan per schema era instead of one scan per (version,
+        # change) group: schema.json() -> {"schema", "rows": [(rel,
+        # change, version, ts), ...]}. A K-commit fold used to build
+        # K parquet relations whose per-relation footer reads and
+        # plan nodes dominated the query (the same one-at-a-time
+        # shape the v2-checkpoint replay fix removed, 0.54s→0.13s —
+        # BENCH_SF1.md); now the files read in ONE scan and a
+        # broadcast membership join stamps each row's change
+        # type/version/timestamp. A file carrying events in several
+        # versions (insert v0, delete v3) simply has two membership
+        # rows — the join fans its rows out once per event, exactly
+        # the replay semantics.
+        batched: dict[str, dict] = {}
+
         def reconstruct(
             rel_dv: dict[str, dict | None],
             schema: T.StructType,
@@ -4278,14 +4342,25 @@ class MiniDeltaTable:
             maps each file to the deletionVector descriptor ACTIVE on
             it at event time (or None): DV'd positions are excluded —
             those rows already got their delete events when the DV
-            committed, so replaying them here would double-count."""
+            committed, so replaying them here would double-count.
+            Plain table-rooted files are deferred to the batched
+            per-schema scan (``batched`` above); DV'd files and a
+            clone's absolute source references keep their dedicated
+            scans (per-sidecar anti-joins / no shared basePath)."""
             out: list[DataFrame] = []
             plain = sorted(r for r, dv in rel_dv.items() if not dv)
-            if plain:
+            direct = [r for r in plain if os.path.isabs(r)]
+            rooted = [r for r in plain if not os.path.isabs(r)]
+            if rooted:
+                grp = batched.setdefault(
+                    schema.json(), {"schema": schema, "rows": []}
+                )
+                grp["rows"].extend((r, change, v, ts) for r in rooted)
+            if direct:
                 df = self._reader(
-                    plain, merge, self._tw_schema(schema, merge)
+                    direct, merge, self._tw_schema(schema, merge)
                 ).parquet(
-                    *[os.path.join(self.path, r) for r in plain]
+                    *[os.path.join(self.path, r) for r in direct]
                 )
                 out.append(
                     df.select(
@@ -4499,6 +4574,50 @@ class MiniDeltaTable:
                         ts,
                     )
                 )
+
+        for grp in batched.values():
+            schema_g: T.StructType = grp["schema"]
+            rows = grp["rows"]
+            rels_g = sorted({row[0] for row in rows})
+            scan = self._reader(
+                rels_g, merge, self._tw_schema(schema_g, merge)
+            ).parquet(*[os.path.join(self.path, r) for r in rels_g])
+            avail = set(scan.columns)
+            # row -> event stamp: match each row's source file against
+            # the membership table. Writer-generated parquet basenames
+            # are uuid-unique, so one substring_index is the whole
+            # per-row key (the full-rel alternative costs a per-row
+            # url_decode+substring chain — measured 1.5x slower on
+            # the fold); the guarded fallback keeps correctness if a
+            # log ever carries colliding basenames across directories
+            base_of = {r: r.rsplit("/", 1)[-1] for r in rels_g}
+            if len(set(base_of.values())) == len(rels_g):
+                key_col = F.substring_index(
+                    F.col("_metadata.file_path"), "/", -1
+                )
+                memb_rows = [
+                    (base_of[r], c, v, ts) for r, c, v, ts in rows
+                ]
+            else:
+                key_col = self._rel_from("_metadata.file_path")
+                memb_rows = rows
+            membership = self.spark.createDataFrame(
+                memb_rows,
+                "`_cdf_key` string, `_change_type` string, "
+                "`_commit_version` int, `_ts` long",
+            )
+            parts.append(
+                scan.withColumn("_cdf_key", key_col)
+                .join(F.broadcast(membership), "_cdf_key")
+                .select(
+                    *self._logical_casts(schema_g, avail),
+                    F.col("_change_type"),
+                    F.col("_commit_version"),
+                    F.timestamp_millis(F.col("_ts")).alias(
+                        "_commit_timestamp"
+                    ),
+                )
+            )
 
         if not parts:
             empty = T.StructType(
@@ -5018,9 +5137,25 @@ class MiniDeltaTable:
                     for sc in t.column("sidecar").to_pylist():
                         if sc is not None:
                             live.add(sc["path"])
+            # grace window: checkpoint() writes sidecars BEFORE
+            # publishing the manifest that references them, so a
+            # concurrent expire could see a just-written sidecar as
+            # unreferenced and break the about-to-publish checkpoint's
+            # replay. Anything young enough to belong to an in-flight
+            # checkpoint survives this pass; a truly orphaned young
+            # sidecar is reclaimed by the next expire after the
+            # window.
+            cutoff = time.time() - self._SIDECAR_GC_GRACE_MS / 1000.0
             for name in os.listdir(sidecar_dir):
-                if name.endswith(".parquet") and name not in live:
-                    os.unlink(os.path.join(sidecar_dir, name))
+                p = os.path.join(sidecar_dir, name)
+                if not name.endswith(".parquet") or name in live:
+                    continue
+                try:
+                    if os.path.getmtime(p) > cutoff:
+                        continue
+                    os.unlink(p)
+                except OSError:
+                    continue  # concurrently reclaimed — fine
         return expired
 
     def _remove_timestamps(self) -> dict[str, int]:

@@ -123,11 +123,17 @@ def compact_keep_latest(
         w2 = w2.partitionBy(partition_by)
     w2.parquet(path)
     n = spark.read.parquet(path).count()
-    # staging dir cleanup is best-effort (local/DFS-agnostic)
+    # staging dir cleanup is best-effort (local/DFS-agnostic) — but
+    # LOG failures: a staging disk filling up with undeleted stages
+    # would otherwise present as an unexplained hang later
     try:
         import shutil
 
-        shutil.rmtree(staged, ignore_errors=True)
-    except OSError:
-        pass
+        shutil.rmtree(staged)
+    except OSError as exc:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "best-effort staging cleanup of %s failed: %s", staged, exc
+        )
     return n

@@ -149,3 +149,73 @@ def test_flag_for_requeue_orders_worst_first():
     assert flagged[0] == ("q6", 4.0)
     # ties broken by name for determinism
     assert [n for n, _ in flagged[1:]] == [f"q{i}" for i in range(6)]
+
+
+def _load_bench():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(ROOT, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    return bench
+
+
+def test_requeue_outliers_noise_gated():
+    """r12: a retry reading taken while the sentinel is degraded is
+    NOT evidence — bench must re-settle and try again (bounded), and
+    every recorded requeue entry carries a sentinel_ok bit. The r11
+    driver run recorded three false regressions exactly this way:
+    the requeue retries ran during a 2.6x sentinel storm and the
+    contaminated readings were recorded as if isolated."""
+    bench = _load_bench()
+    baseline = 0.4
+
+    # attempt 1: storm (1.2 > 1.5*0.4); attempt 2: healthy both sides
+    sentinels = iter([1.2, 0.41, 0.42])
+    timings = {"q": 5.0}
+    requeued = bench.requeue_outliers(
+        [("q", 3.0)],
+        timings,
+        baseline,
+        run_query=lambda name: 1.5,
+        sentinel_once=lambda: next(sentinels),
+        settle=lambda: None,
+    )
+    e = requeued["q"]
+    assert e["sentinel_ok"] is True and e["attempts"] == 2
+    assert e["retry"] == 1.5 and timings["q"] == 1.5  # better reading taken
+
+    # every attempt degraded: the entry says so and the original
+    # reading STANDS (no contaminated min())
+    sentinels = iter([2.0, 2.0, 2.0])
+    timings = {"q": 5.0}
+    requeued = bench.requeue_outliers(
+        [("q", 3.0)],
+        timings,
+        baseline,
+        run_query=lambda name: 0.1,  # would flatter if ever trusted
+        sentinel_once=lambda: next(sentinels),
+        settle=lambda: None,
+    )
+    e = requeued["q"]
+    assert e["sentinel_ok"] is False and e["attempts"] == 3
+    assert "retry" not in e and timings["q"] == 5.0
+
+    # storm starting MID-retry (pre healthy, post degraded): the
+    # reading is recorded but untrusted; a later healthy attempt wins
+    sentinels = iter([0.4, 2.0, 0.4, 0.41])
+    timings = {"q": 5.0}
+    retries = iter([9.0, 2.0])  # contaminated slow read, then clean
+    requeued = bench.requeue_outliers(
+        [("q", 3.0)],
+        timings,
+        baseline,
+        run_query=lambda name: next(retries),
+        sentinel_once=lambda: next(sentinels),
+        settle=lambda: None,
+    )
+    e = requeued["q"]
+    assert e["sentinel_ok"] is True and e["attempts"] == 2
+    assert e["retry"] == 2.0 and timings["q"] == 2.0

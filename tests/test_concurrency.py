@@ -153,6 +153,71 @@ def test_dv_delete_conflict_and_rebase(spark, base):
     assert got.filter(F.col("k").isin("3", "25")).count() == 0
 
 
+def test_dml_rebases_past_disjoint_dv_winner(spark, base):
+    """A DV-based winner on an ALREADY reader-3/writer-7 table must
+    not block disjoint losers: the first DV delete upgrades the
+    protocol once; later DV commits emit NO protocol action (nothing
+    to upgrade), so a logically disjoint copy-on-write DELETE losing
+    the race REBASES per the conflict matrix instead of raising a
+    spurious ProtocolChangedError."""
+    t = _two_file_table(spark, base)
+    assert t.delete(F.col("k") == "0", use_dv=True) == 2  # → 3/7
+    rival = MiniDeltaTable(spark, t.path)
+    _race(t, lambda: rival.delete(F.col("k") == "25", use_dv=True))  # B
+    v = t.delete(F.col("k") == "3")  # copy-on-write, file A only
+    assert v == 4  # rebased past the rival's v3
+    # the already-upgraded rival restated no protocol action
+    assert not any("protocol" in a for a in t._read_actions(3))
+    got = t.read()
+    assert got.count() == 37
+    assert got.filter(F.col("k").isin("0", "3", "25")).count() == 0
+
+
+def test_foreign_protocol_restate_rebases_but_upgrade_raises(spark, base):
+    """Belt to the emit-only-on-upgrade braces: a FOREIGN writer that
+    restates the exact protocol gates the loser's snapshot already
+    held does not invalidate anything — the disjoint loser still
+    rebases; an actual upgrade keeps raising ProtocolChangedError."""
+    from ecommerce_lakehouse_platform_spark.sources.deltalog import (
+        ProtocolChangedError,
+    )
+    import json as _json
+
+    t = _two_file_table(spark, base)
+    assert t.delete(F.col("k") == "0", use_dv=True) == 2  # → 3/7
+    rival = MiniDeltaTable(spark, t.path)
+
+    def append_with_restate():
+        v = rival.write(_df(spark, 100, 103), mode="append")
+        path = rival._version_file(v)
+        with open(path, "a", encoding="utf-8") as fh:
+            fh.write(
+                _json.dumps(
+                    {
+                        "protocol": {
+                            "minReaderVersion": 3,
+                            "minWriterVersion": 7,
+                        }
+                    },
+                    separators=(",", ":"),
+                )
+                + "\n"
+            )
+
+    _race(t, append_with_restate)
+    v = t.delete(F.col("k") == "3")
+    assert v == 4  # rebased past the restating winner
+    assert t.read().count() == 41  # 40 - 1(dv) + 3 - 1
+
+    # a GENUINE upgrade still conflicts, even when file-disjoint:
+    # first-DV-delete winner moves 1/2 → 3/7 under the loser
+    t2 = _two_file_table(spark, os.path.join(base, "b"))
+    rival2 = MiniDeltaTable(spark, t2.path)
+    _race(t2, lambda: rival2.delete(F.col("k") == "25", use_dv=True))
+    with pytest.raises(ProtocolChangedError):
+        t2.delete(F.col("k") == "3")  # file A only — still raises
+
+
 def test_optimize_rebases_past_append(spark, base):
     """Compaction losing to an append rebases; the appended file is
     untouched and stays active alongside the compacted layout."""

@@ -2798,8 +2798,17 @@ def test_v2_checkpoint_roundtrip_and_sidecar_reuse(spark, tmp_table):
     assert tmp_table.read().count() == 43
 
     # once the old manifest is gone (retention cleanup), expire_log
-    # reclaims sidecars no remaining manifest references
+    # reclaims sidecars no remaining manifest references — but only
+    # PAST the grace window: checkpoint() writes sidecars before
+    # publishing its manifest, so a concurrent expire must not reap
+    # files an in-flight checkpoint is about to reference. These
+    # orphans are seconds old, so the default grace keeps them:
     os.unlink(tmp_table._checkpoint_path(1))
+    tmp_table.expire_log()
+    assert len(os.listdir(sidecar_dir)) == n_files_before, (
+        "young unreferenced sidecars survive the grace window"
+    )
+    tmp_table._SIDECAR_GC_GRACE_MS = 0  # age past the window
     tmp_table.expire_log()
     left = set(os.listdir(sidecar_dir))
     assert left == set(names2)

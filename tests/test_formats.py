@@ -126,3 +126,44 @@ def test_iceberg_overwrite_round_trip(spark):
         assert _canon(back) == _canon(base)
     finally:
         spark.sql("DROP TABLE IF EXISTS local.fmt_probe.orders")
+
+
+def test_real_delta_parity_with_minidelta(spark):
+    """r12 (VERDICT task 6): the moment the real delta-spark runtime
+    is on the classpath, round-trip one silver table through real
+    ``format("delta")`` AND through the in-repo minidelta protocol
+    sink, and assert the two reads are value-identical — the
+    substitution documented in sources/writers.py is only honest
+    while this parity holds. SKIPS in this sandbox (no delta-spark);
+    a CI image that ships the jar exercises it automatically."""
+    if not _table_format_available(spark, "delta"):
+        pytest.skip("delta-spark runtime not on the classpath")
+    from ecommerce_lakehouse_platform_spark.sources.writers import (
+        read_table,
+        write_table,
+    )
+
+    base = silver_orders(load_table(spark, SF_SMOKE, "orders")).drop("order_ts")
+    real_dir = tempfile.mkdtemp(prefix="fmt_delta_real_")
+    mini_dir = tempfile.mkdtemp(prefix="fmt_delta_mini_")
+    try:
+        write_table(base, real_dir, fmt="delta")
+        write_table(base, mini_dir, fmt="minidelta")
+        real = read_table(spark, real_dir, fmt="delta")
+        mini = read_table(spark, mini_dir, fmt="minidelta")
+        assert real.schema == mini.schema
+        assert _canon(real) == _canon(mini)
+        # overwrite-with-evolution parity too (the reference's blanket
+        # overwriteSchema contract): both sinks must land the widened
+        # relation
+        evolved = base.withColumn("load_round", F.lit(2))
+        write_table(evolved, real_dir, fmt="delta")
+        write_table(evolved, mini_dir, fmt="minidelta")
+        real2 = read_table(spark, real_dir, fmt="delta")
+        mini2 = read_table(spark, mini_dir, fmt="minidelta")
+        assert set(real2.columns) == set(mini2.columns)
+        assert _canon(real2) == _canon(mini2)
+        assert real2.count() == mini2.count() == base.count()
+    finally:
+        shutil.rmtree(real_dir, ignore_errors=True)
+        shutil.rmtree(mini_dir, ignore_errors=True)
