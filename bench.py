@@ -186,14 +186,14 @@ def _sentinel_once(spark, sf_dir: str) -> float:
 
 def _sentinel_seconds(spark, sf_dir: str) -> tuple[float, float]:
     """(median, stddev) of 3 frozen-probe runs (`_sentinel_once` —
-    one shared plan, so the scalar and the series can never diverge).
-    Its drift measures SANDBOX drift: r5→r6 every comparable query
-    moved +21% uniformly and the artifact couldn't distinguish
-    ambient load from regression — normalizing per-query medians by
-    this probe can. Call it BEFORE the query loop: the Delta sink
-    queries run last and their page-cache writeback would contaminate
-    an end-of-run calibration (the exact failure the probe exists to
-    detect would corrupt the probe)."""
+    one shared plan, so every sentinel reading is comparable). Probe
+    drift measures SANDBOX drift: r5→r6 every comparable query moved
+    +21% uniformly and the artifact couldn't distinguish ambient
+    load from regression — normalizing per-query medians by the
+    probe can. Since r12 this pre-run burst only WARMS the probe and
+    logs an estimate; the run scalar is the intra-run series median
+    (see main) — burst-robust where three consecutive start runs
+    were not."""
     runs: list[float] = []
     for _ in range(3):
         runs.append(_sentinel_once(spark, sf_dir))
@@ -348,9 +348,16 @@ def main() -> None:
         "noop"
     ).save()
 
-    # calibration scalar FIRST: taken at the end it would sit in the
-    # Delta sink queries' writeback shadow (they run last by design)
-    sentinel_med, sentinel_sd = _sentinel_seconds(spark, sf_dir)
+    # warm the frozen probe and log a pre-run estimate. The RUN
+    # SCALAR `sentinel_sec` is the median of the INTRA-RUN series
+    # (computed after the query loop): three consecutive runs at the
+    # start used to be the scalar, and an ambient burst parked on
+    # them poisoned the whole run's normalization (r12: scalar 3.06s
+    # while every later sample sat at ~0.5s). The series spans the
+    # run, samples before the sink group starts writing, so its
+    # median is burst-robust; the probe plan itself stays frozen, so
+    # cross-round division still cancels box speed.
+    _sentinel_seconds(spark, sf_dir)
 
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
@@ -399,6 +406,9 @@ def main() -> None:
         timings[name] = round(statistics.median(runs), 3)
         spreads[name] = round(statistics.stdev(runs), 3)
     _sample_sentinel(len(names))
+    sentinel_vals = [s["sec"] for s in sentinel_series]
+    sentinel_med = round(statistics.median(sentinel_vals), 4)
+    sentinel_sd = round(statistics.stdev(sentinel_vals), 4)
 
     # per-iteration attribution for the iterative-graph queries: a
     # slow aggregate time should name WHICH iteration absorbed the
@@ -484,9 +494,11 @@ def main() -> None:
 
     # cap the retries: a fully-contaminated run should not double its
     # own wall time chasing every query. Each retry is noise-gated by
-    # sentinel probes on both sides (see requeue_outliers).
+    # sentinel probes on both sides (see requeue_outliers). Cap 8
+    # (was 5): the r12 storm run flagged 5 spurious readings ABOVE a
+    # genuine 2.96x outlier, and the cap ate every slot before it.
     requeued = requeue_outliers(
-        flag_for_requeue(prior, timings, sentinel_series, sf)[:5],
+        flag_for_requeue(prior, timings, sentinel_series, sf)[:8],
         timings,
         sentinel_med,
         _run_isolated,
@@ -507,7 +519,8 @@ def main() -> None:
         "requeued": requeued,
         # frozen scan-agg probe for cross-round normalization: divide
         # any two rounds' per-query medians by their sentinels before
-        # calling a delta a regression (see _sentinel_seconds)
+        # calling a delta a regression. Since r12 the scalar is the
+        # intra-run series median (burst-robust; same frozen plan)
         "sentinel_sec": sentinel_med,
         "sentinel_stddev": sentinel_sd,
         # intra-run ambient samples (single sentinel runs at query

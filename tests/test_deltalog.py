@@ -253,6 +253,31 @@ def test_changes_feed_reconstructs_row_level_cdc(spark, tmp_table):
     assert versions == {0, 1, 2}
 
 
+def test_changes_replay_scan_count_independent_of_commits(spark, tmp_table):
+    """r12 replay batching: a K-commit feed over one schema era must
+    plan ONE parquet scan of the plain change files (+ the broadcast
+    membership stamp), never one relation per (version, change) group
+    — at incremental-consumer commit counts the per-relation footer
+    reads and plan weight dominated the fold (60-commit probe:
+    11.4s → 1.9s, BENCH_SF1.md)."""
+    orders = _orders(spark)
+    for i in range(6):
+        tmp_table.write(
+            orders.orderBy("order_id").limit(5 * (i + 1)),
+            mode="append" if i else "overwrite",
+        )
+    feed = tmp_table.changes(0)
+    plan = feed._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    assert feed.count() == sum(5 * (i + 1) for i in range(6))
+    # and the stamps still attribute rows to the right commits
+    per_v = {
+        r["_commit_version"]: r["count"]
+        for r in feed.groupBy("_commit_version").count().collect()
+    }
+    assert per_v == {i: 5 * (i + 1) for i in range(6)}
+
+
 def test_optimize_compacts_invisibly(spark, tmp_table):
     orders = _orders(spark).withColumn(
         "order_month", F.date_format("order_date", "yyyy-MM")
