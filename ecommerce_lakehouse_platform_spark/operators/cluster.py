@@ -90,6 +90,14 @@ def connected_components(
     ``small_graph_limit=0`` to force the loop.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # materialize BEFORE symmetrizing: both union branches reference
+    # the edge relation, so an un-checkpointed pair generator (a
+    # bucketed cosine join, a capped shingle chain) would evaluate
+    # twice — exchange reuse shares the shuffles but not the map-side
+    # scoring. One eager checkpoint makes single evaluation a
+    # property of the CC kernel instead of a per-caller discipline
+    # (r12; the same fix callers applied ad hoc via materialize=True)
+    e = e.localCheckpoint(eager=True)
     und = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     und = und.localCheckpoint(eager=True)
     if und.count() <= small_graph_limit:
