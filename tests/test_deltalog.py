@@ -3057,3 +3057,59 @@ def test_identity_dml_guards(spark, tmp_table):
     assert after == {
         "one": before["1"], "2": before["2"], "3": before["3"]
     }
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_cdf_fold_equals_snapshot_random_sequences(spark, tmp_table, seed):
+    """Randomized model check for the (r12-batched) change-feed
+    replay: after an ARBITRARY seeded interleaving of write / append
+    / overwrite / copy-on-write DELETE / DV DELETE / OPTIMIZE /
+    MERGE, folding ``changes(0)`` — Σ(insert=+1, delete=−1) per row,
+    keep net>0, counted with multiplicity — must equal the live
+    snapshot as a multiset. The scripted model test walks one
+    sequence; this walks two seeded ones, so the batched one-scan
+    membership join is exercised across event multiplicities,
+    DV-carrying removes, and dataChange=false noise in arbitrary
+    order."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(seed)
+    orders = _orders(spark)
+    pool = orders.orderBy("order_id").limit(40).localCheckpoint(eager=True)
+    key = F.col("order_id").cast("long")
+
+    def chunk():
+        lo = rng.randrange(0, 30)
+        return pool.filter((key % 40 >= lo) & (key % 40 < lo + 10))
+
+    tmp_table.checkpoint_interval = 3  # checkpoints land mid-sequence
+    tmp_table.write(chunk())  # v0
+    ops = ["append", "overwrite", "delete", "dv_delete", "optimize", "merge"]
+    for _ in range(6):
+        op = rng.choice(ops)
+        if op == "append":
+            tmp_table.write(chunk(), mode="append")
+        elif op == "overwrite":
+            tmp_table.write(chunk())
+        elif op == "delete":
+            tmp_table.delete(key % 7 == rng.randrange(7))
+        elif op == "dv_delete":
+            tmp_table.delete(key % 5 == rng.randrange(5), use_dv=True)
+        elif op == "optimize":
+            tmp_table.optimize()
+        elif op == "merge":
+            src = chunk().withColumn("status", F.lit(f"m{rng.randrange(9)}"))
+            tmp_table.merge(src, keys=["order_id"])
+
+    cdf = tmp_table.changes(0)
+    cols = sorted(c for c in cdf.columns if not c.startswith("_"))
+    net: Counter = Counter()
+    for row in cdf.collect():
+        delta = 1 if row["_change_type"] == "insert" else -1
+        net[tuple(row[c] for c in cols)] += delta
+    assert not any(v < 0 for v in net.values()), "over-deleted rows"
+    live = Counter(
+        tuple(r[c] for c in cols) for r in tmp_table.read().collect()
+    )
+    assert +net == live
