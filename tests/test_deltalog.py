@@ -3113,3 +3113,43 @@ def test_cdf_fold_equals_snapshot_random_sequences(spark, tmp_table, seed):
         tuple(r[c] for c in cols) for r in tmp_table.read().collect()
     )
     assert +net == live
+
+
+def test_identity_by_default_null_values_and_staged_watermark(spark, tmp_table):
+    """r12: the BY DEFAULT explicit-value watermark derives from the
+    STAGED files' footer stats, not a pre-write aggregate. Explicit
+    NULL ids are legal (BY DEFAULT stores what the writer provided):
+    an all-NULL batch advances nothing — its files carry no stat for
+    the column — and a mixed batch advances past its non-null
+    extreme only; later identity-omitting appends keep assigning
+    unique on-grid values past whatever was actually committed."""
+    tmp_table.write(spark.createDataFrame([], "k string"))
+    tmp_table.add_identity_column("id", start=10, step=5, allow_explicit=True)
+    # all-NULL explicit batch: no stat, no watermark motion, no crash
+    tmp_table.write(
+        spark.createDataFrame([("a", None), ("b", None)], "k string, id long")
+        .coalesce(1),
+        mode="append",
+    )
+    # omitting append: assignment starts at START (nothing advanced)
+    tmp_table.write(
+        spark.createDataFrame([("c",)], "k string").coalesce(1), mode="append"
+    )
+    vals = {r["k"]: r["id"] for r in tmp_table.read().collect()}
+    assert vals["a"] is None and vals["b"] is None
+    assert vals["c"] == 10
+    # mixed batch: NULLs pass, watermark jumps past the provided 90
+    tmp_table.write(
+        spark.createDataFrame(
+            [("d", 90), ("e", None)], "k string, id long"
+        ).coalesce(1),
+        mode="append",
+    )
+    tmp_table.write(
+        spark.createDataFrame([("f",)], "k string").coalesce(1), mode="append"
+    )
+    vals = {r["k"]: r["id"] for r in tmp_table.read().collect()}
+    assert vals["d"] == 90 and vals["e"] is None
+    assert vals["f"] > 90 and (vals["f"] - 10) % 5 == 0
+    non_null = [v for v in vals.values() if v is not None]
+    assert len(set(non_null)) == len(non_null)
