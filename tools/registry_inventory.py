@@ -218,10 +218,12 @@ PYTEST_ONLY = [
     (
         "Identity columns (GENERATED ALWAYS / BY DEFAULT AS IDENTITY: "
         "watermark in schema metadata, sparse map-side block "
-        "assignment with the watermark derived from the staged "
-        "files' footer stats in the same atomic commit, ALWAYS "
-        "rejects explicit values, race surfaces instead of minting "
-        "duplicate ids)",
+        "assignment; r12: BOTH the assigned and the BY DEFAULT "
+        "explicit-value watermark derive from the staged files' "
+        "footer stats in the same atomic commit (only-advance; "
+        "explicit NULLs legal), ALWAYS rejects explicit values, "
+        "race surfaces instead of minting duplicate ids; externally "
+        "gated by ext_delta_identity since r12)",
         "ecommerce_lakehouse_platform_spark/sources/deltalog.py",
         "tests/test_deltalog.py::"
         "test_identity_column_assignment_and_guards",
@@ -244,7 +246,10 @@ PYTEST_ONLY = [
         "(serializable only), ConcurrentDeleteRead, "
         "ConcurrentDeleteDelete, MetadataChanged, ProtocolChanged, "
         "ConcurrentTransaction; retries re-inject row-id watermarks "
-        "and in-commit timestamps against the winner's chain)",
+        "and in-commit timestamps against the winner's chain; r12: "
+        "a protocol action restating exactly the loser's snapshot "
+        "gates rebases instead of raising, and DV commits emit the "
+        "3/7 upgrade only when the table is not already there)",
         "ecommerce_lakehouse_platform_spark/sources/deltalog.py",
         "tests/test_concurrency.py::"
         "test_dml_rebases_past_disjoint_append",
@@ -256,7 +261,8 @@ PYTEST_ONLY = [
         "explicit-schema scan — no rewrite, no per-era branches; "
         "narrower batches upcast on write; composes with DML, CDF, "
         "OPTIMIZE, row tracking, stats skipping, checkpoint/expiry, "
-        "and full-history streaming replays)",
+        "and full-history streaming replays; externally gated by "
+        "ext_delta_widened_read since r12)",
         "ecommerce_lakehouse_platform_spark/sources/deltalog.py",
         "tests/test_deltalog.py::test_type_widening_append_read_dml_cdf",
     ),
