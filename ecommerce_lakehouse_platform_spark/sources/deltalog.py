@@ -198,6 +198,11 @@ class Snapshot:
     # configuration string per domain (row tracking keeps its row-id
     # high watermark in domain "delta.rowTracking")
     domain_metadata: dict[str, str] = field(default_factory=dict)
+    # table features (PROTOCOL.md "Table Features"): the feature-name
+    # lists a reader-3/writer-7 protocol action carries; empty on
+    # legacy-version tables
+    reader_features: frozenset = frozenset()
+    writer_features: frozenset = frozenset()
 
     def file_paths(self, base: str) -> list[str]:
         return [os.path.join(base, p) for p in sorted(self.files)]
@@ -351,6 +356,10 @@ def _checkpoint_arrow_schema():
                     [
                         ("minReaderVersion", pa.int32()),
                         ("minWriterVersion", pa.int32()),
+                        # table-feature lists (null on legacy-version
+                        # tables; old checkpoints simply lack them)
+                        ("readerFeatures", pa.list_(pa.string())),
+                        ("writerFeatures", pa.list_(pa.string())),
                     ]
                 ),
             ),
@@ -484,16 +493,28 @@ class MiniDeltaTable:
         domain_metadata: dict[str, str] = {}
         min_reader = 1
         min_writer = 1
+        reader_features: frozenset = frozenset()
+        writer_features: frozenset = frozenset()
 
         def apply(action: dict[str, Any]) -> None:
             nonlocal schema, partition_columns, configuration
             nonlocal min_reader, min_writer
+            nonlocal reader_features, writer_features
             if "protocol" in action:
                 min_reader = int(
                     action["protocol"].get("minReaderVersion", 1)
                 )
                 min_writer = int(
                     action["protocol"].get("minWriterVersion", 1)
+                )
+                # a protocol action REPLACES the feature lists (it is
+                # the complete new protocol, not a delta); writers
+                # here always emit cumulative lists
+                reader_features = frozenset(
+                    action["protocol"].get("readerFeatures") or ()
+                )
+                writer_features = frozenset(
+                    action["protocol"].get("writerFeatures") or ()
                 )
             elif "metaData" in action:
                 meta = action["metaData"]
@@ -550,9 +571,20 @@ class MiniDeltaTable:
                 f"table requires minReaderVersion {min_reader}; this "
                 "reader supports up to 3 (deletion vectors)"
             )
+        unknown_r = reader_features - self._READER_FEATURES_SUPPORTED
+        if unknown_r:
+            # same contract at FEATURE granularity (Table Features):
+            # an unrecognized reader feature means this reader would
+            # misinterpret the data — refuse, never misread
+            raise NotImplementedError(
+                f"table requires reader features {sorted(unknown_r)} "
+                "this reader does not support (supported: "
+                f"{sorted(self._READER_FEATURES_SUPPORTED)})"
+            )
         return Snapshot(
             version, schema, partition_columns, files, app_versions,
             configuration, min_reader, min_writer, domain_metadata,
+            reader_features, writer_features,
         )
 
     def history(self) -> list[dict[str, Any]]:
@@ -628,6 +660,37 @@ class MiniDeltaTable:
     _ID_HWM = "delta.identity.highWaterMark"
     _ID_EXPLICIT = "delta.identity.allowExplicitInsert"
     _TYPE_CHANGES_META = "delta.typeChanges"
+
+    # Table features (PROTOCOL.md "Table Features"): the feature
+    # names this implementation READS correctly / WRITES correctly.
+    # A reader-3/writer-7 protocol action must enumerate every
+    # feature the table uses; readers refuse unknown readerFeatures,
+    # writers refuse to commit under unknown writerFeatures.
+    _READER_FEATURES_SUPPORTED = frozenset(
+        {
+            "deletionVectors",
+            "columnMapping",
+            "typeWidening",
+            "v2Checkpoint",
+            "timestampNtz",
+        }
+    )
+    _WRITER_FEATURES_SUPPORTED = frozenset(
+        {
+            "deletionVectors",
+            "columnMapping",
+            "typeWidening",
+            "v2Checkpoint",
+            "timestampNtz",
+            "identityColumns",
+            "rowTracking",
+            "domainMetadata",
+            "inCommitTimestamp",
+            "checkConstraints",
+            "generatedColumns",
+            "allowColumnDefaults",
+        }
+    )
 
     # the protocol's widening lattice, integral ranks
     _TW_INT_RANK = {"tinyint": 1, "smallint": 2, "int": 3, "bigint": 4}
@@ -781,6 +844,8 @@ class MiniDeltaTable:
             "numTxnApps": len(snap.app_versions),
             "minReaderVersion": snap.min_reader,
             "minWriterVersion": snap.min_writer,
+            "readerFeatures": sorted(snap.reader_features),
+            "writerFeatures": sorted(snap.writer_features),
         }
 
     def version_at_timestamp(self, ts_ms: int) -> int:
@@ -1132,6 +1197,8 @@ class MiniDeltaTable:
             raise ValueError("merge_schema applies to mode='append' only")
         tbl_exists = self.exists()
         prior = self.snapshot() if tbl_exists else None
+        if prior is not None:
+            self._assert_writer_features(prior)
         evolved_append: T.StructType | None = None
         # True only when the evolution ADDED columns (footer-merge /
         # null-fill territory) — a pure type widening sets
@@ -1885,6 +1952,7 @@ class MiniDeltaTable:
                 "isolation must be 'write_serializable' or "
                 f"'serializable', got {isolation!r}"
             )
+        self._assert_writer_features(snap)
         removed = {
             a["remove"]["path"] for a in actions if "remove" in a
         }
@@ -1921,6 +1989,14 @@ class MiniDeltaTable:
                                 == snap.min_reader
                                 and int(won.get("minWriterVersion", 1))
                                 == snap.min_writer
+                                and frozenset(
+                                    won.get("readerFeatures") or ()
+                                )
+                                == snap.reader_features
+                                and frozenset(
+                                    won.get("writerFeatures") or ()
+                                )
+                                == snap.writer_features
                             ):
                                 continue
                             raise ProtocolChangedError(
@@ -2488,6 +2564,9 @@ class MiniDeltaTable:
             dict(snap.configuration),
             "SET COLUMN DEFAULT",
             {"name": name, "expr": sql},
+            # column defaults are feature-only in the real protocol —
+            # no legacy writer version carries them
+            protocol=self._tf_upgrade(snap, set(), {"allowColumnDefaults"}),
         )
 
     def drop_column_default(self, name: str) -> int | None:
@@ -2543,7 +2622,94 @@ class MiniDeltaTable:
             config,
             "SET TBLPROPERTIES",
             {"properties": json.dumps({self._ICT_KEY: "true"})},
+            protocol=self._tf_upgrade(snap, set(), {"inCommitTimestamp"}),
         )
+
+    @classmethod
+    def _features_in_use(cls, snap: Snapshot) -> tuple[set, set]:
+        """(readerFeatures, writerFeatures) the table's CURRENT state
+        depends on — the enumeration a protocol upgrade to reader 3 /
+        writer 7 must carry: the protocol requires a v7 protocol
+        action to list EVERY feature in use, including ones that were
+        riding legacy writer versions (check constraints, generated
+        columns) before the upgrade. Seeds from the snapshot's
+        existing lists so repeated upgrades stay cumulative."""
+        r, w = set(snap.reader_features), set(snap.writer_features)
+        cfg, schema = snap.configuration, snap.schema
+        if any(a.get("deletionVector") for a in snap.files.values()):
+            r.add("deletionVectors")
+        if cfg.get("delta.columnMapping.mode") == "name":
+            r.add("columnMapping")
+        if cfg.get(cls._TW_KEY) == "true" or any(
+            (f.metadata or {}).get(cls._TYPE_CHANGES_META) for f in schema
+        ):
+            r.add("typeWidening")
+        if cfg.get(cls._CKPT_POLICY_KEY) == "v2":
+            r.add("v2Checkpoint")
+        if any(f.dataType.simpleString() == "timestamp_ntz" for f in schema):
+            r.add("timestampNtz")
+        if cfg.get(cls._ICT_KEY) == "true":
+            w.add("inCommitTimestamp")
+        if cfg.get(cls._RT_KEY) == "true":
+            w.add("rowTracking")
+        if snap.domain_metadata:
+            w.add("domainMetadata")
+        if cls._identity_fields(schema):
+            w.add("identityColumns")
+        if any(k.startswith("delta.constraints.") for k in cfg):
+            w.add("checkConstraints")
+        meta = [dict(f.metadata or {}) for f in schema]
+        if any("delta.generationExpression" in m for m in meta):
+            w.add("generatedColumns")
+        if any("CURRENT_DEFAULT" in m for m in meta):
+            w.add("allowColumnDefaults")
+        # every reader feature is implicitly a writer feature too
+        # (a writer that cannot maintain it would corrupt the table)
+        return r, w | r
+
+    def _tf_upgrade(
+        self,
+        snap: Snapshot,
+        add_reader: set | frozenset = frozenset(),
+        add_writer: set | frozenset = frozenset(),
+    ) -> dict[str, Any] | None:
+        """Protocol-action PAYLOAD moving the table to reader 3 /
+        writer 7 with cumulative feature lists (the named features
+        plus everything already in use), or ``None`` when the snapshot
+        already carries both the versions and every requested name —
+        emitting a no-op restate would make concurrent losers raise
+        ProtocolChangedError where the conflict matrix promises a
+        rebase."""
+        r, w = self._features_in_use(snap)
+        r |= set(add_reader)
+        w |= set(add_writer) | r
+        if (
+            (snap.min_reader, snap.min_writer) == (3, 7)
+            and r <= snap.reader_features
+            and w <= snap.writer_features
+        ):
+            return None
+        return {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": sorted(r),
+            "writerFeatures": sorted(w),
+        }
+
+    def _assert_writer_features(self, snap: Snapshot) -> None:
+        """The write-side half of the Table Features contract: a
+        writer that does not understand every writerFeature would
+        corrupt the invariants those features maintain (stale
+        identity watermarks, unmaintained row ids, unenforced
+        constraints) — refuse to commit, loudly."""
+        unknown = frozenset(snap.writer_features) - self._WRITER_FEATURES_SUPPORTED
+        if unknown:
+            raise NotImplementedError(
+                f"table requires writer features {sorted(unknown)} "
+                "this writer does not support (supported: "
+                f"{sorted(self._WRITER_FEATURES_SUPPORTED)}); "
+                "reading the table is still allowed"
+            )
 
     @classmethod
     def _identity_fields(cls, schema: T.StructType) -> dict[str, dict]:
@@ -2624,6 +2790,7 @@ class MiniDeltaTable:
                     [{"name": name, "identity": md}], sort_keys=True
                 )
             },
+            protocol=self._tf_upgrade(snap, set(), {"identityColumns"}),
         )
 
     def _assign_identity(
@@ -2709,6 +2876,9 @@ class MiniDeltaTable:
             config,
             "SET TBLPROPERTIES",
             {"properties": json.dumps({self._CKPT_POLICY_KEY: "v2"})},
+            protocol=self._tf_upgrade(
+                snap, {"v2Checkpoint"}, {"v2Checkpoint"}
+            ),
         )
 
     def enable_type_widening(self) -> int:
@@ -2733,6 +2903,9 @@ class MiniDeltaTable:
             config,
             "SET TBLPROPERTIES",
             {"properties": json.dumps({self._TW_KEY: "true"})},
+            protocol=self._tf_upgrade(
+                snap, {"typeWidening"}, {"typeWidening"}
+            ),
         )
 
     def enable_row_tracking(self) -> int:
@@ -2790,7 +2963,13 @@ class MiniDeltaTable:
                     },
                 }
             },
-            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}},
+        ]
+        up = self._tf_upgrade(
+            snap, set(), {"rowTracking", "domainMetadata"}
+        )
+        if up is not None:
+            actions.append({"protocol": up})
+        actions += [
             {
                 "metaData": {
                     "id": str(uuid.uuid4()),
@@ -2874,9 +3053,12 @@ class MiniDeltaTable:
         configuration: dict[str, str],
         operation: str,
         parameters: dict[str, Any],
+        protocol: dict[str, Any] | None = None,
     ) -> int:
         """Metadata-only commit restating the CURRENT schema/layout
-        with a new configuration map."""
+        with a new configuration map (and optionally a protocol
+        upgrade — table-feature enables ride the same commit)."""
+        self._assert_writer_features(snap)
         now_ms = int(time.time() * 1000)
         actions: list[dict[str, Any]] = [
             {
@@ -2886,6 +3068,10 @@ class MiniDeltaTable:
                     "operationParameters": parameters,
                 }
             },
+        ]
+        if protocol is not None:
+            actions.append({"protocol": protocol})
+        actions += [
             {
                 "metaData": {
                     "id": str(uuid.uuid4()),
@@ -3221,10 +3407,11 @@ class MiniDeltaTable:
         configuration: dict[str, str],
         operation: str,
         parameters: dict[str, Any],
-        protocol: dict[str, int] | None = None,
+        protocol: dict[str, Any] | None = None,
     ) -> int:
         """Metadata-only commit of a new schema/configuration (and
         optionally a protocol bump) — zero data files touched."""
+        self._assert_writer_features(snap)
         now_ms = int(time.time() * 1000)
         actions: list[dict[str, Any]] = [
             {
@@ -3275,11 +3462,23 @@ class MiniDeltaTable:
             )
         config = dict(snap.configuration)
         config["delta.columnMapping.mode"] = "name"
-        protocol = (
-            {"minReaderVersion": 3, "minWriterVersion": 7}
-            if snap.min_reader >= 3
-            else {"minReaderVersion": 2, "minWriterVersion": 5}
-        )
+        if snap.min_reader >= 3:
+            # the table is already on table-feature versions: the
+            # upgrade must enumerate columnMapping alongside
+            # everything already in use
+            tmp = Snapshot(
+                snap.version, snap.schema, snap.partition_columns,
+                snap.files, snap.app_versions, config,
+                snap.min_reader, snap.min_writer, snap.domain_metadata,
+                snap.reader_features, snap.writer_features,
+            )
+            protocol = self._tf_upgrade(
+                tmp, {"columnMapping"}, {"columnMapping"}
+            )
+        else:
+            # legacy versions carry column mapping without feature
+            # lists — the real reader-2/writer-5 gate
+            protocol = {"minReaderVersion": 2, "minWriterVersion": 5}
         return self._commit_schema(
             snap,
             T.StructType(fields),
@@ -3880,24 +4079,22 @@ class MiniDeltaTable:
             }
         ]
         if touched:
-            # DVs gate on reader 3 / writer 7 in the real protocol:
+            # DVs gate on reader 3 / writer 7 with the
+            # "deletionVectors" table feature in the real protocol:
             # older readers must refuse the table rather than
             # resurrect deleted rows by scanning files directly.
-            # Emit the upgrade ONLY when the table is not already
-            # there — a restated no-op protocol action would make
-            # every concurrent loser raise ProtocolChangedError where
-            # the conflict matrix promises a rebase (DML/OPTIMIZE
-            # over untouched files), and the real writer only logs
+            # _tf_upgrade emits the upgrade ONLY when the table is
+            # not already there (versions AND feature names) — a
+            # restated no-op protocol action would make every
+            # concurrent loser raise ProtocolChangedError where the
+            # conflict matrix promises a rebase (DML/OPTIMIZE over
+            # untouched files), and the real writer only logs
             # protocol on an actual upgrade too.
-            if snap.min_reader < 3 or snap.min_writer < 7:
-                actions.append(
-                    {
-                        "protocol": {
-                            "minReaderVersion": 3,
-                            "minWriterVersion": 7,
-                        }
-                    }
-                )
+            up = self._tf_upgrade(
+                snap, {"deletionVectors"}, {"deletionVectors"}
+            )
+            if up is not None:
+                actions.append({"protocol": up})
             pos_all = positions
             if existing is not None:
                 pos_all = pos_all.unionByName(
@@ -5065,13 +5262,33 @@ class MiniDeltaTable:
                 }
             },
             # a clone carrying DV references inherits the DV protocol
-            # gate: readers that would scan the files raw (and
-            # resurrect deleted rows) must refuse the table
+            # gate (versions AND the feature lists — readers that
+            # would scan the files raw and resurrect deleted rows
+            # must refuse the table); a DV-free clone of a
+            # feature-bearing source still carries the source's lists
             {
                 "protocol": (
-                    {"minReaderVersion": 3, "minWriterVersion": 7}
+                    {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": sorted(
+                            set(snap.reader_features) | {"deletionVectors"}
+                        ),
+                        "writerFeatures": sorted(
+                            set(snap.writer_features) | {"deletionVectors"}
+                        ),
+                    }
                     if has_dv
-                    else {"minReaderVersion": 1, "minWriterVersion": 2}
+                    else (
+                        {
+                            "minReaderVersion": snap.min_reader,
+                            "minWriterVersion": snap.min_writer,
+                            "readerFeatures": sorted(snap.reader_features),
+                            "writerFeatures": sorted(snap.writer_features),
+                        }
+                        if snap.min_reader >= 3
+                        else {"minReaderVersion": 1, "minWriterVersion": 2}
+                    )
                 )
             },
             {

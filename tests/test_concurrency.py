@@ -121,13 +121,26 @@ def test_delete_rebases_past_disjoint_delete(spark, base):
 
 
 def test_metadata_change_conflicts_dml(spark, base):
-    """A winner that changes table metadata (here: enabling a table
-    feature) invalidates any in-flight DML plan: MetadataChangedError."""
+    """A winner that changes table metadata (here: adding a CHECK
+    constraint — config-only, no protocol action) invalidates any
+    in-flight DML plan: MetadataChangedError. A winner that enables a
+    TABLE FEATURE (type widening) now also upgrades the protocol
+    (r12), so the loser surfaces the stronger ProtocolChangedError."""
     t = _two_file_table(spark, base)
     rival = MiniDeltaTable(spark, t.path)
-    _race(t, lambda: rival.enable_type_widening())
+    _race(t, lambda: rival.set_constraint("vnn", "v IS NOT NULL"))
     with pytest.raises(MetadataChangedError):
         t.delete(F.col("k") == "3")
+
+    from ecommerce_lakehouse_platform_spark.sources.deltalog import (
+        ProtocolChangedError,
+    )
+
+    t2 = _two_file_table(spark, os.path.join(base, "b"))
+    rival2 = MiniDeltaTable(spark, t2.path)
+    _race(t2, lambda: rival2.enable_type_widening())
+    with pytest.raises(ProtocolChangedError):
+        t2.delete(F.col("k") == "3")
 
 
 def test_dv_delete_conflict_and_rebase(spark, base):
@@ -197,6 +210,11 @@ def test_foreign_protocol_restate_rebases_but_upgrade_raises(spark, base):
                         "protocol": {
                             "minReaderVersion": 3,
                             "minWriterVersion": 7,
+                            # must restate the FEATURE LISTS too —
+                            # a lists-dropping "restate" is a real
+                            # protocol change and still conflicts
+                            "readerFeatures": ["deletionVectors"],
+                            "writerFeatures": ["deletionVectors"],
                         }
                     },
                     separators=(",", ":"),

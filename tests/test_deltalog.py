@@ -1318,7 +1318,14 @@ def test_protocol_gating_for_deletion_vectors(spark, tmp_table):
     with open(tmp_table._version_file(1), encoding="utf-8") as fh:
         actions = [json.loads(line) for line in fh]
     proto = next(a["protocol"] for a in actions if "protocol" in a)
-    assert proto == {"minReaderVersion": 3, "minWriterVersion": 7}
+    # r12: the 3/7 upgrade carries the table-feature lists the real
+    # protocol requires at those versions
+    assert proto == {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["deletionVectors"],
+        "writerFeatures": ["deletionVectors"],
+    }
     assert tmp_table.read().count() == 9  # still readable by us
     # forward-compat refusal: a hypothetical newer table is rejected
     tmp_table._commit(2, [

@@ -255,6 +255,24 @@ PYTEST_ONLY = [
         "test_dml_rebases_past_disjoint_append",
     ),
     (
+        "Table features (PROTOCOL.md 'Table Features', r12: protocol "
+        "upgrades to reader 3 / writer 7 carry CUMULATIVE "
+        "readerFeatures/writerFeatures name lists — every feature in "
+        "use enumerated, including legacy-version ones; feature "
+        "enables (type widening, v2 checkpoints, in-commit "
+        "timestamps, identity columns, column defaults, row "
+        "tracking, column mapping, DV DML) each ride their enabling "
+        "commit; readers refuse unknown readerFeatures loudly, "
+        "writers refuse to commit under unknown writerFeatures while "
+        "reads keep working; lists survive checkpoint/expiry replay "
+        "and the streaming sources' schema resolution; a winner "
+        "restating versions AND lists exactly still rebases "
+        "concurrent losers)",
+        "ecommerce_lakehouse_platform_spark/sources/deltalog.py",
+        "tests/test_table_features.py::"
+        "test_feature_enables_upgrade_cumulatively",
+    ),
+    (
         "Type widening (protocol 'Type Widening': merge-schema "
         "appends accept the widening lattice, delta.typeChanges "
         "provenance per column, narrow-era files upcast in ONE "
