@@ -645,6 +645,9 @@ class MiniDeltaTable:
     # "v2" routes checkpoint() to the manifest + content-hash-named
     # sidecar layout; files per sidecar bucket is the write-size knob
     _CKPT_POLICY_KEY = "delta.checkpointPolicy"
+    # delta.appendOnly: the protocol's append-only table property —
+    # row-removing commits (overwrite, DELETE, UPDATE, MERGE) refuse
+    _APPEND_ONLY_KEY = "delta.appendOnly"
     _SIDECAR_FILES = 512
     # sidecar GC grace (ms): expire_log skips unreferenced sidecars
     # younger than this — checkpoint() writes sidecars before
@@ -689,6 +692,7 @@ class MiniDeltaTable:
             "checkConstraints",
             "generatedColumns",
             "allowColumnDefaults",
+            "appendOnly",
         }
     )
 
@@ -1199,6 +1203,8 @@ class MiniDeltaTable:
         prior = self.snapshot() if tbl_exists else None
         if prior is not None:
             self._assert_writer_features(prior)
+            if mode == "overwrite":
+                self._assert_not_append_only(prior, "overwrite")
         evolved_append: T.StructType | None = None
         # True only when the evolution ADDED columns (footer-merge /
         # null-fill territory) — a pure type widening sets
@@ -2658,6 +2664,8 @@ class MiniDeltaTable:
             w.add("identityColumns")
         if any(k.startswith("delta.constraints.") for k in cfg):
             w.add("checkConstraints")
+        if cfg.get(cls._APPEND_ONLY_KEY) == "true":
+            w.add("appendOnly")
         meta = [dict(f.metadata or {}) for f in schema]
         if any("delta.generationExpression" in m for m in meta):
             w.add("generatedColumns")
@@ -2710,6 +2718,48 @@ class MiniDeltaTable:
                 f"{sorted(self._WRITER_FEATURES_SUPPORTED)}); "
                 "reading the table is still allowed"
             )
+
+    def _assert_not_append_only(self, snap: Snapshot, operation: str) -> None:
+        """``delta.appendOnly=true`` (the protocol's append-only
+        property, legacy writer 2 / table feature "appendOnly"): any
+        commit that REMOVES rows — overwrite, DELETE, UPDATE, MERGE —
+        must refuse; appends, OPTIMIZE (dataChange=false), and
+        metadata commits stay allowed."""
+        if snap.configuration.get(self._APPEND_ONLY_KEY) == "true":
+            raise ValueError(
+                f"{operation} is not allowed: this table is "
+                f"configured {self._APPEND_ONLY_KEY}=true (only "
+                "appends are accepted; unset the property to mutate)"
+            )
+
+    def set_table_property(self, key: str, value: str) -> int:
+        """ALTER TABLE ... SET TBLPROPERTIES (key = value): the
+        generic property commit. ``delta.appendOnly=true`` starts
+        refusing row-removing commits from the NEXT version on (this
+        is the real property's contract; it also joins the
+        writerFeatures enumeration on any later 3/7 upgrade)."""
+        snap = self.snapshot()
+        config = dict(snap.configuration)
+        config[str(key)] = str(value)
+        return self._commit_configuration(
+            snap,
+            config,
+            "SET TBLPROPERTIES",
+            {"properties": json.dumps({str(key): str(value)})},
+        )
+
+    def unset_table_property(self, key: str) -> int | None:
+        """ALTER TABLE ... UNSET TBLPROPERTIES; None when absent."""
+        snap = self.snapshot()
+        if key not in snap.configuration:
+            return None
+        config = {k: v for k, v in snap.configuration.items() if k != key}
+        return self._commit_configuration(
+            snap,
+            config,
+            "UNSET TBLPROPERTIES",
+            {"properties": json.dumps([key])},
+        )
 
     @classmethod
     def _identity_fields(cls, schema: T.StructType) -> dict[str, dict]:
@@ -3814,6 +3864,7 @@ class MiniDeltaTable:
         removes with the new adds. Returns the new version, or None if
         nothing matched (a no-op, like the real commands)."""
         snap = self.snapshot()
+        self._assert_not_append_only(snap, operation)
         if not snap.files:
             return None
         if any(os.path.isabs(r) for r in snap.files):
@@ -4174,6 +4225,7 @@ class MiniDeltaTable:
         self, cond: Column, isolation: str = "write_serializable"
     ) -> int | None:
         snap = self.snapshot()
+        self._assert_not_append_only(snap, "DELETE")
         if not snap.files:
             return None
         if any(os.path.isabs(r) for r in snap.files):
@@ -4215,6 +4267,7 @@ class MiniDeltaTable:
         columns are enforced on the rewritten rows before anything
         commits."""
         snap = self.snapshot()
+        self._assert_not_append_only(snap, "UPDATE")
         snap_schema = {f.name: f.dataType for f in snap.schema}
         unknown = sorted(set(assignments) - set(snap_schema))
         if unknown:
@@ -4353,6 +4406,7 @@ class MiniDeltaTable:
             F.min(key).alias("lo"), F.max(key).alias("hi")
         ).collect()[0]
         snap = self.snapshot()
+        self._assert_not_append_only(snap, "MERGE")
         touched = set(self.files_for_range(key, bounds["lo"], bounds["hi"]))
         touched_rels = sorted(
             rel
@@ -4411,6 +4465,7 @@ class MiniDeltaTable:
         isolation: str = "write_serializable",
     ) -> int | None:
         snap = self.snapshot()
+        self._assert_not_append_only(snap, "MERGE")
         if snap.files and any(os.path.isabs(r) for r in snap.files):
             raise NotImplementedError(
                 "deletion vectors on tables with absolute file "

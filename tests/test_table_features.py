@@ -6,7 +6,6 @@ lists survive checkpoint + expiry replay."""
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
 import tempfile
@@ -170,3 +169,36 @@ def test_feature_lists_survive_checkpoint_and_expiry(spark, base_dir):
     assert fresh.read().count() == 19
     detail = fresh.detail()
     assert "deletionVectors" in detail["readerFeatures"]
+
+
+def test_append_only_property_enforced(spark, base_dir):
+    """``delta.appendOnly=true`` (the protocol's append-only property):
+    appends and OPTIMIZE keep working; overwrite, DELETE (both
+    copy-on-write and DV), UPDATE, and MERGE refuse loudly; the
+    property joins the writerFeatures enumeration on a later 3/7
+    upgrade; UNSET restores mutability."""
+    t = _table(spark, base_dir)
+    t.set_table_property("delta.appendOnly", "true")
+    t.write(_df(spark, 20, 30).coalesce(1), mode="append")  # allowed
+    assert t.read().count() == 30
+    assert t.optimize() is not None  # dataChange=false: allowed
+    with pytest.raises(ValueError, match="appendOnly"):
+        t.write(_df(spark, 0, 5), mode="overwrite")
+    with pytest.raises(ValueError, match="appendOnly"):
+        t.delete(F.col("k") == "3")
+    with pytest.raises(ValueError, match="appendOnly"):
+        t.delete(F.col("k") == "3", use_dv=True)
+    with pytest.raises(ValueError, match="appendOnly"):
+        t.update(F.col("k") == "3", {"v": F.lit(0)})
+    with pytest.raises(ValueError, match="appendOnly"):
+        t.merge(_df(spark, 0, 2), keys=["k"])
+    assert t.read().count() == 30  # nothing mutated
+
+    # the property is enumerated on the next table-feature upgrade
+    v = t.enable_type_widening()
+    assert "appendOnly" in _proto(t, v)["writerFeatures"]
+
+    assert t.unset_table_property("delta.appendOnly") is not None
+    assert t.delete(F.col("k") == "3") is not None
+    assert t.read().count() == 29
+    assert t.unset_table_property("delta.appendOnly") is None  # gone

@@ -267,7 +267,9 @@ PYTEST_ONLY = [
         "reads keep working; lists survive checkpoint/expiry replay "
         "and the streaming sources' schema resolution; a winner "
         "restating versions AND lists exactly still rebases "
-        "concurrent losers)",
+        "concurrent losers; delta.appendOnly enforced via "
+        "set/unset_table_property — overwrite/DELETE/UPDATE/MERGE "
+        "refuse, appends and OPTIMIZE pass)",
         "ecommerce_lakehouse_platform_spark/sources/deltalog.py",
         "tests/test_table_features.py::"
         "test_feature_enables_upgrade_cumulatively",
