@@ -64,7 +64,8 @@ HEADLINE = [
     "ext_pivot_events",
     "ext_topk_per_group",
     "ext_scd2_user_state",
-    "ext_moving_revenue",
+    # ext_moving_revenue retired r13 (capacity swap for
+    # ext_delta_v2_checkpoint, which joins the sink group below)
     # round 2 additions
     "ext_dedup_prefix_filter",
     "ext_dup_span_coverage",
@@ -136,6 +137,9 @@ HEADLINE = [
     # round 10: ext_delta_restore retired for the streaming CDF
     # source drain (writes v0–v3 then a real writeStream parquet sink)
     "stream_cdf_source",
+    # round 13: v2-checkpoint recovery path (write + DV delete +
+    # checkpoint + expiry + post-expiry append — a real sink)
+    "ext_delta_v2_checkpoint",
 ]
 
 # Queries that WRITE real files during their timed runs (everything
@@ -147,6 +151,7 @@ SINK_QUERIES = {
     "ext_delta_cdf_fold",
     "ext_delta_merge_cdf",
     "stream_cdf_source",
+    "ext_delta_v2_checkpoint",
 }
 
 

@@ -871,61 +871,79 @@ resolve_deferred_oracles()
 #   python tools/staleness_ledger.py --plan
 # for the next round's FORCED set, the oldest-first FILL, and the
 # deferral-pressure list.
+#
+# Round-13 rotation (r12 went green 50/50, CORRECTNESS_r12.json) —
+# the planned 2 + 48 layout, amended by the capacity swap the r12
+# verdict asked for: ext_moving_revenue RETIRED (its explicit-frame
+# surface is subsumed by ext_window_funcs / ext_running_gold_totals;
+# the range-frame gap arithmetic keeps a pytest anchor in
+# test_dq_and_cleaning.py), freeing 1 of the 150 capacity slots for
+# ext_delta_v2_checkpoint — the deltalog protocol feature most
+# likely to corrupt reads silently (after log expiry the checkpoint
+# IS the history; nothing remains to disagree with it), previously
+# pytest-only. The new key has no green row so it MUST occupy a
+# window slot now; its slot comes from the retirement, and the two
+# r9 deferrals (op_clean_id, op_filter_range — forced here, may not
+# slip again) displace 2 of the 49 remaining r10-cohort keys
+# (ext_join_semi_anti, ext_scalar_subquery — trivial single-join SQL
+# shapes the local differential re-proves every session) to r14,
+# where they are FORCED. r14 = those 2 + the 48-key r11 cohort =
+# exactly 50; steady state holds.
 _DRIVER_WINDOW: tuple[str, ...] = (
     # --- NEW this round (never externally green: first row now) ---
-    "ext_delta_widened_read",
-    "ext_delta_identity",
-    # --- Newest external row is r8: deferred from r11, forced now ---
-    "op_agg_pivotcount",
-    "op_agg_reviews",
-    "op_join_left_enrich_items",
-    # --- Newest external row is r9: 45 of 47 (op_clean_id and
-    # --- op_filter_range slip to r13, where they are forced) ---
-    "dash_product_performance",
-    "ext_bm25_topk",
-    "ext_decontamination",
-    "ext_dedup_containment",
-    "ext_dedup_embedding",
-    "ext_dedup_ngram_jaccard",
-    "ext_dedup_prefix_filter",
-    "ext_dedup_semantic_clusters",
-    "ext_dup_span_coverage",
-    "ext_embedding_centroids",
-    "ext_embedding_covariance",
-    "ext_event_paths",
-    "ext_fuzzy_blocked_join",
-    "ext_incremental_rollup",
-    "ext_knn_label_predict",
-    "ext_lang_temperature_sample",
-    "ext_langid_confusion",
-    "ext_media_frames",
-    "ext_media_phash_dedup",
-    "ext_merge_upsert",
-    "ext_ordered_funnel",
-    "ext_outlier_iqr",
-    "ext_pii_pseudonymize",
-    "ext_sample_stratified",
-    "ext_scd2_user_state",
-    "ext_shard_packing",
-    "ext_similarity_lsh",
-    "ext_skew_salted_join",
-    "ext_snapshot_diff",
-    "ext_sq8_ivf_topk",
-    "ext_text_fingerprint",
-    "ext_text_length_quantiles",
-    "ext_text_stats",
-    "ext_train_test_split",
-    "ext_weighted_sample",
-    "gold_customer_360",
-    "op_agg_sales",
-    "op_dedupe_latest",
-    "op_project_silver_customers",
-    "op_project_silver_orders",
-    "op_sql_named_params",
-    "stream_interval_join",
-    "stream_session_stateful",
-    "stream_session_window",
-    "stream_time_window_rollup",
+    "ext_delta_v2_checkpoint",
+    # --- Newest external row is r9: deferred twice, forced now ---
+    "op_clean_id",
+    "op_filter_range",
+    # --- Newest external row is r10: 47 of 49 (ext_join_semi_anti
+    # --- and ext_scalar_subquery slip to r14, where they are forced)
+    "ext_ann_recall",
+    "ext_bpe_apply_merge",
+    "ext_bpe_pair_counts",
+    "ext_compaction_bins",
+    "ext_corpus_mixture",
+    "ext_cube_returns",
+    "ext_dedup_clusters",
+    "ext_dedup_incremental",
+    "ext_dedup_minhash_lsh",
+    "ext_dedup_simhash",
+    "ext_dedup_sorted_neighborhood",
+    "ext_delta_cdf_fold",
+    "ext_delta_time_travel",
+    "ext_doc_chunking",
+    "ext_dup_span_islands",
+    "ext_event_transitions",
+    "ext_graph_khop",
+    "ext_hard_negative_mining",
+    "ext_heavy_hitters",
+    "ext_kmeans_embedding",
+    "ext_label_propagation",
+    "ext_length_bucket_batching",
+    "ext_media_embed_topk",
+    "ext_multitouch_attribution",
+    "ext_negative_edges",
+    "ext_pagerank_copurchase",
+    "ext_quality_band_filter",
+    "ext_rollup_revenue",
+    "ext_running_gold_totals",
+    "ext_similarity_ivf",
+    "ext_similarity_topk",
+    "ext_sketch_profile",
+    "ext_skew_diagnosis",
+    "ext_text_langid",
+    "ext_text_postings",
+    "ext_text_repetition",
+    "ext_text_subword_stats",
+    "ext_text_unk_replace",
+    "ext_time_decayed_ltv",
+    "ext_topk_per_group",
+    "ext_triangle_count",
+    "ext_window_funcs",
+    "ext_zorder_layout",
+    "stream_cdf_source",
+    "stream_dedup_exactly_once",
+    "stream_dedup_index_maintenance",
+    "stream_interval_join_outer",
 )
 
 

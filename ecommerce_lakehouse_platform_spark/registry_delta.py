@@ -425,6 +425,77 @@ def ext_delta_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ext_delta_v2_checkpoint",
+    # After the v2 checkpoint + log expiry, EVERY byte of table state
+    # the final read sees for versions ≤3 comes from the manifest +
+    # sidecars (+ the DV sidecar it references): the JSON commits are
+    # gone. Expected relation: all rows except the DV-erased %9==4
+    # slice keep their original priority; that slice reappears only
+    # as the post-expiry REVIVED append. A replay that loses a
+    # sidecar bucket drops a count; one that loses the DV reference
+    # resurrects the erased slice into its original priority groups;
+    # one that misses the post-checkpoint JSON tail loses the REVIVED
+    # group entirely. sum_key is exact BIGINT arithmetic.
+    oracle=f"""
+    WITH s AS ({_SILVER_ORDERS_SQL}),
+    k AS (SELECT priority, CAST(order_id AS BIGINT) AS key FROM s)
+    SELECT priority, COUNT(*) AS n_orders,
+      CAST(SUM(key) AS BIGINT) AS sum_key
+    FROM (
+      SELECT priority, key FROM k WHERE key % 9 != 4
+      UNION ALL
+      SELECT 'REVIVED' AS priority, key FROM k WHERE key % 9 = 4
+    )
+    GROUP BY priority
+    """,
+)
+def ext_delta_v2_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2 checkpoint replay under log expiry (the public Delta
+    protocol's "V2 Checkpoint Table Feature": a manifest whose file
+    actions live in content-hash-named SIDECAR parquet files —
+    ``deltalog.enable_v2_checkpoints``): write two-thirds of silver
+    orders (v0), enable the feature (v1), append the rest (v2), erase
+    the %9==4 slice with a DELETION-VECTOR delete (v3 — the DV
+    reference must survive inside the checkpointed add action), take
+    a v2 CHECKPOINT, EXPIRE the JSON history, then append a REVIVED
+    restatement of the erased slice (v4 — replay must compose the
+    manifest+sidecars with the post-checkpoint JSON tail). The final
+    aggregate externally value-gates the whole recovery path: after
+    expiry this is the only way any reader ever sees versions ≤3
+    again, which is why checkpoint corruption is the silent kind —
+    the log for those commits no longer exists to disagree with it.
+    Models the reference's managed-Delta silver sink under log
+    retention (02_silver/02_silver_transform.py:29-37); the sidecar
+    byte-reuse economics are pinned separately by
+    tests/test_deltalog.py::test_v2_checkpoint_roundtrip_and_sidecar_reuse."""
+    base = _silver_orders(spark, sf_dir)
+    key = F.col("order_id").cast("long")
+    path = _fresh_dir("minidelta_v2c_") + "/orders"
+    tbl = MiniDeltaTable(spark, path, checkpoint_interval=0)  # manual only
+    tbl.write(base.filter((key % 3).isin(0, 1)))  # v0
+    tbl.enable_v2_checkpoints()  # v1
+    tbl.write(base.filter(key % 3 == 2), mode="append")  # v2
+    if tbl.delete(key % 9 == 4, use_dv=True) is None:  # v3: DV erase
+        raise RuntimeError("DV delete matched nothing")
+    if tbl.checkpoint() != 3:
+        raise RuntimeError("v2 checkpoint did not land at v3")
+    if tbl.expire_log() != [0, 1, 2]:  # history gone: replay is real
+        raise RuntimeError("log expiry did not remove the JSON history")
+    revived = base.filter(key % 9 == 4).withColumn(
+        "priority", F.lit("REVIVED")
+    )
+    tbl.write(revived, mode="append")  # v4: post-expiry JSON tail
+    return (
+        tbl.read()
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("order_id").cast("long")).alias("sum_key"),
+        )
+    )
+
+
 # ext_delta_restore RETIRED (r10) to free this capacity slot for
 # stream_cdf_source: its RESTORE semantics remain pinned by
 # tests/test_deltalog.py::test_restore_commits_old_snapshot_forward,

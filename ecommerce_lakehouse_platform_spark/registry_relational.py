@@ -829,47 +829,12 @@ def ext_fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Window frames: moving + cumulative aggregates
 # ---------------------------------------------------------------------------
 
-@query(
-    "ext_moving_revenue",
-    oracle="""
-    WITH daily AS (
-      SELECT CAST(o_orderdate AS DATE) AS order_date,
-        datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
-        SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS rev
-      FROM orders GROUP BY 1, 2
-    )
-    SELECT order_date,
-      CAST(rev AS DOUBLE) AS daily_revenue,
-      CAST(SUM(rev) OVER (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_7d_revenue,
-      CAST(COUNT(*) OVER (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing_7d_days,
-      CAST(SUM(rev) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cumulative_revenue
-    FROM daily
-    """,
-)
-def ext_moving_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Moving 7-day and cumulative revenue via explicit window FRAMES
-    (``rangeBetween`` on integer epoch-days + ``rowsBetween``) — the
-    frame surface the reference never touches. The frame sums stay in
-    DECIMAL so accumulation order (running scan in Spark vs segment
-    tree in DuckDB) cannot change the result. The unpartitioned window
-    is safe by construction: it runs AFTER the daily rollup, whose
-    cardinality is days-not-rows (bounded at any data scale)."""
-    orders = _t(spark, sf_dir, "orders")
-    d = F.col("o_orderdate").cast("date")
-    daily = (
-        orders.groupBy(d.alias("order_date"))
-        .agg(F.sum(F.col("o_totalprice").cast(_DEC)).alias("rev"))
-        .withColumn("day", F.unix_date(F.col("order_date")))
-    )
-    w7 = Window.orderBy("day").rangeBetween(-6, 0)
-    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    return daily.select(
-        "order_date",
-        F.col("rev").cast("double").alias("daily_revenue"),
-        F.sum("rev").over(w7).cast("double").alias("trailing_7d_revenue"),
-        F.count(F.lit(1)).over(w7).cast("long").alias("trailing_7d_days"),
-        F.sum("rev").over(wcum).cast("double").alias("cumulative_revenue"),
-    )
+# ext_moving_revenue RETIRED (r13) to free a capacity slot for
+# ext_delta_v2_checkpoint: its explicit-frame surface (rangeBetween
+# on integer epoch-days + rowsBetween over a days-not-rows rollup) is
+# subsumed by ext_window_funcs / ext_running_gold_totals (both stay
+# externally gated), and the trailing-frame arithmetic is pinned by
+# tests/test_dq_and_cleaning.py::test_moving_frame_range_between.
 
 
 @query(

@@ -317,6 +317,39 @@ def _file_stats_json(path: str) -> str | None:
     )
 
 
+def _column_nonnull_count(path: str, name: str) -> int | None:
+    """Non-null value count of top-level column ``name`` from the
+    parquet FOOTER alone (no data scan): Σ over row groups of
+    ``num_rows − null_count``. Returns ``None`` when the footer is
+    unreadable or any row group lacks a null_count stat — callers
+    must treat that as "unknown", NOT as zero: the distinction
+    between "column verifiably all-NULL" and "stat unavailable" is
+    exactly what the identity watermark needs (a missing min/max with
+    non-null values present means the watermark would silently stay
+    behind the committed ids). A column absent from every row group
+    is 0 — structurally no values."""
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(path).metadata
+    except Exception:
+        return None
+    total = 0
+    found = False
+    for r in range(md.num_row_groups):
+        rg = md.row_group(r)
+        for c in range(rg.num_columns):
+            col = rg.column(c)
+            if col.path_in_schema != name:
+                continue
+            found = True
+            st = col.statistics
+            if st is None or st.null_count is None:
+                return None
+            total += rg.num_rows - st.null_count
+    return total if found else 0
+
+
 def _stats_overlap(add: dict[str, Any], column: str, lo, hi) -> bool:
     """Can this add action's file contain a value of ``column`` in
     [lo, hi]? Conservative: no stats (or incomparable domains) → True.
@@ -1314,7 +1347,16 @@ class MiniDeltaTable:
                     )
                 else:
                     identity_explicit[iname] = fmeta
-            if (identity_hwms or identity_pending) and set(
+            # realign column ORDER for any identity-bearing batch —
+            # including BY DEFAULT batches that PROVIDE values
+            # (identity_explicit): those add no new columns, so a
+            # writer listing the same columns in a different order
+            # must get the positional realign here, not fall through
+            # to the schema comparison and a spurious
+            # SchemaMismatchError (identity_hwms is always empty at
+            # this point — explicit columns classify into
+            # identity_explicit now)
+            if (identity_pending or identity_explicit) and set(
                 df.columns
             ) == {f.name for f in prior.schema}:
                 df = df.select(*[f.name for f in prior.schema])
@@ -1485,19 +1527,50 @@ class MiniDeltaTable:
             pname = self._phys_column(prior.schema, iname)
             vals = []
             for a in adds:
-                st = json.loads(a["stats"]) if a.get("stats") else {}
-                if int(st.get("numRecords", 0) or 0) > 0:
-                    v = st.get(key, {}).get(pname)
-                    if v is None:
+                st = json.loads(a["stats"]) if a.get("stats") else None
+                if st is not None and int(st.get("numRecords", 0) or 0) == 0:
+                    continue  # verifiably empty file
+                v = None if st is None else st.get(key, {}).get(pname)
+                if v is None:
+                    # No usable min/max for this file. "All-NULL"
+                    # (legal for BY DEFAULT explicit values — nothing
+                    # to advance past) must be DISTINGUISHED from
+                    # "stat unavailable" (footer-read error, or one
+                    # stat-less row group poisoning the column in
+                    # _file_stats_json): silently treating the latter
+                    # as all-NULL leaves the watermark behind the
+                    # committed values, and a later identity-omitting
+                    # append would mint duplicate ids.
+                    apath = os.path.join(self.path, a["path"])
+                    nonnull = _column_nonnull_count(apath, pname)
+                    if nonnull == 0:
                         if iname in identity_explicit:
-                            # a provided column may be all-NULL in a
-                            # file (legal for BY DEFAULT) — no stat,
-                            # nothing to advance past
-                            continue
+                            continue  # verifiably all-NULL file
                         raise RuntimeError(
-                            "identity watermark needs per-file stats "
-                            f"for {iname!r}; missing on {a['path']!r}"
+                            f"assigned identity column {iname!r} came "
+                            f"back all-NULL in staged file "
+                            f"{a['path']!r} — writer bug"
                         )
+                    # non-null values exist (or the footer can't say):
+                    # recover the true extreme with one bounded
+                    # single-file aggregate over the staged file —
+                    # O(one file), only on this rare fallback path
+                    agg = F.max if step > 0 else F.min
+                    row = (
+                        self.spark.read.parquet(apath)
+                        .agg(agg(F.col(pname)))
+                        .first()
+                    )
+                    if row is None or row[0] is None:
+                        if iname in identity_explicit:
+                            continue  # all-NULL after all
+                        raise RuntimeError(
+                            "identity watermark needs a value for "
+                            f"{iname!r}; none recoverable from "
+                            f"{a['path']!r}"
+                        )
+                    vals.append(int(row[0]))
+                else:
                     vals.append(int(v))
             if vals:
                 ext = max(vals) if step > 0 else min(vals)
@@ -2741,11 +2814,32 @@ class MiniDeltaTable:
         snap = self.snapshot()
         config = dict(snap.configuration)
         config[str(key)] = str(value)
+        protocol = None
+        if (
+            str(key) == self._APPEND_ONLY_KEY
+            and str(value) == "true"
+            and (snap.min_reader, snap.min_writer) == (3, 7)
+        ):
+            # a v7 table's writerFeatures must list EVERY feature in
+            # use — a 3/7 table gaining appendOnly enumerates it on
+            # THIS commit, not on some later unrelated upgrade (an
+            # external feature-honoring writer would otherwise not
+            # see it and keep deleting). Legacy-version tables stay
+            # legacy: delta.appendOnly is a writer-2 property there,
+            # and _features_in_use folds it in on any later upgrade.
+            tmp = Snapshot(
+                snap.version, snap.schema, snap.partition_columns,
+                snap.files, snap.app_versions, config,
+                snap.min_reader, snap.min_writer, snap.domain_metadata,
+                snap.reader_features, snap.writer_features,
+            )
+            protocol = self._tf_upgrade(tmp, set(), {"appendOnly"})
         return self._commit_configuration(
             snap,
             config,
             "SET TBLPROPERTIES",
             {"properties": json.dumps({str(key): str(value)})},
+            protocol=protocol,
         )
 
     def unset_table_property(self, key: str) -> int | None:
@@ -5237,6 +5331,17 @@ class MiniDeltaTable:
                     "was vacuumed"
                 )
         current = self.snapshot()
+        # RESTORE is a WRITE: a writer facing unknown writerFeatures
+        # must not mutate the table through this path either (it
+        # commits removes/adds via _commit directly, so the write()
+        # guard does not cover it)
+        self._assert_writer_features(current)
+        removed = sorted(set(current.files) - set(target.files))
+        if removed:
+            # rolling back PAST committed rows removes them — exactly
+            # what delta.appendOnly forbids; a restore that removes no
+            # files (pure metadata/schema rollback) stays allowed
+            self._assert_not_append_only(current, "RESTORE")
         now_ms = int(time.time() * 1000)
         actions: list[dict[str, Any]] = [
             {
@@ -5262,7 +5367,7 @@ class MiniDeltaTable:
                 }
             },
         ]
-        for rel in sorted(set(current.files) - set(target.files)):
+        for rel in removed:
             actions.append(
                 {
                     "remove": {

@@ -3160,3 +3160,166 @@ def test_identity_by_default_null_values_and_staged_watermark(spark, tmp_table):
     assert vals["f"] > 90 and (vals["f"] - 10) % 5 == 0
     non_null = [v for v in vals.values() if v is not None]
     assert len(set(non_null)) == len(non_null)
+
+
+def test_identity_watermark_distinguishes_no_stat_from_all_null(
+    spark, tmp_table, monkeypatch
+):
+    """r13 (ADVICE): a staged file whose footer stat for the identity
+    column is UNAVAILABLE (one stat-less row group poisons the column
+    in _file_stats_json; a footer-read error drops the whole stats
+    string) must NOT be silently treated as all-NULL — the watermark
+    would stay behind the committed values and a later
+    identity-omitting append would mint duplicate ids. The writer
+    falls back to the footer's null_count and, when values exist, one
+    bounded single-file aggregate."""
+    from ecommerce_lakehouse_platform_spark.sources import deltalog as dl
+
+    tmp_table.write(spark.createDataFrame([], "k string"))
+    tmp_table.add_identity_column("id", start=10, step=5, allow_explicit=True)
+
+    real = dl._file_stats_json
+
+    def strip_id_stats(path):
+        raw = real(path)
+        if raw is None:
+            return None
+        st = json.loads(raw)
+        st.get("minValues", {}).pop("id", None)
+        st.get("maxValues", {}).pop("id", None)
+        return json.dumps(st, separators=(",", ":"))
+
+    # explicit batch carrying 200, staged WITHOUT a min/max for `id`
+    monkeypatch.setattr(dl, "_file_stats_json", strip_id_stats)
+    tmp_table.write(
+        spark.createDataFrame([("a", 200)], "k string, id long").coalesce(1),
+        mode="append",
+    )
+    # footer-read-error simulation: NO stats string at all — the
+    # numRecords guard must not skip a file that really has rows
+    monkeypatch.setattr(dl, "_file_stats_json", lambda path: None)
+    tmp_table.write(
+        spark.createDataFrame([("b", 300)], "k string, id long").coalesce(1),
+        mode="append",
+    )
+    monkeypatch.setattr(dl, "_file_stats_json", real)
+
+    # omitting append: values must land PAST 300, not restart at 10
+    tmp_table.write(
+        spark.createDataFrame([("c",), ("d",)], "k string").coalesce(1),
+        mode="append",
+    )
+    vals = {r["k"]: r["id"] for r in tmp_table.read().collect()}
+    assert vals["a"] == 200 and vals["b"] == 300
+    assert vals["c"] > 300 and vals["d"] > 300
+    non_null = list(vals.values())
+    assert len(set(non_null)) == len(non_null), vals
+    assert all((v - 10) % 5 == 0 for v in non_null)
+
+    # all-NULL explicit batch under the stat-stripper: STILL advances
+    # nothing and does not crash (null_count proves it's empty of
+    # values — the legal BY DEFAULT case keeps working)
+    monkeypatch.setattr(dl, "_file_stats_json", strip_id_stats)
+    tmp_table.write(
+        spark.createDataFrame([("e", None)], "k string, id long").coalesce(1),
+        mode="append",
+    )
+    monkeypatch.setattr(dl, "_file_stats_json", real)
+    before = max(non_null)
+    tmp_table.write(
+        spark.createDataFrame([("f",)], "k string").coalesce(1), mode="append"
+    )
+    vals2 = {r["k"]: r["id"] for r in tmp_table.read().collect()}
+    assert vals2["e"] is None
+    assert vals2["f"] > before
+
+
+def test_identity_explicit_reordered_columns_realign(spark, tmp_table):
+    """r13 (ADVICE): a BY DEFAULT batch PROVIDING identity values with
+    its columns in a different order than the table schema must get
+    the positional realign (df.select), not fall through to the
+    schema comparison and a spurious SchemaMismatchError."""
+    tmp_table.write(spark.createDataFrame([], "k string"))
+    tmp_table.add_identity_column("id", start=10, step=5, allow_explicit=True)
+    # table schema is (k, id); write (id, k)
+    tmp_table.write(
+        spark.createDataFrame([(40, "a")], "id long, k string").coalesce(1),
+        mode="append",
+    )
+    vals = {r["k"]: r["id"] for r in tmp_table.read().collect()}
+    assert vals == {"a": 40}
+    # and the watermark advanced past the reordered batch's value
+    tmp_table.write(
+        spark.createDataFrame([("b",)], "k string").coalesce(1), mode="append"
+    )
+    vals = {r["k"]: r["id"] for r in tmp_table.read().collect()}
+    assert vals["b"] > 40 and (vals["b"] - 10) % 5 == 0
+
+
+def test_cdf_basename_collision_falls_back_to_full_path(spark, tmp_table):
+    """r13 (VERDICT task 5): the CDF fold keys row→event membership by
+    parquet BASENAME (uuid-unique for writer-generated files — one
+    substring_index per row). A foreign/hand-built log CAN carry the
+    same basename under different directories; the guarded fallback
+    must switch to the full relative path, or d1's rows would join
+    BOTH versions' membership rows and every event count doubles."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = tmp_table.path
+    for sub, rows in (
+        ("d1", [(0, "alpha"), (1, "bravo")]),
+        ("d2", [(2, "charlie")]),
+    ):
+        os.makedirs(os.path.join(root, sub), exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "k": pa.array([r[0] for r in rows], pa.int64()),
+                    "s": pa.array([r[1] for r in rows]),
+                }
+            ),
+            os.path.join(root, sub, "part-000.snappy.parquet"),
+        )
+    schema_string = (
+        '{"type":"struct","fields":['
+        '{"name":"k","type":"long","nullable":true,"metadata":{}},'
+        '{"name":"s","type":"string","nullable":true,"metadata":{}}]}'
+    )
+
+    def _add(rel, ts):
+        return {
+            "add": {
+                "path": rel,
+                "partitionValues": {},
+                "size": os.path.getsize(os.path.join(root, rel)),
+                "modificationTime": ts,
+                "dataChange": True,
+            }
+        }
+
+    tmp_table._commit(0, [
+        {"commitInfo": {"timestamp": 1000, "operation": "WRITE"}},
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {
+            "id": "0a", "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_string, "partitionColumns": [],
+            "configuration": {}, "createdTime": 1000,
+        }},
+        _add("d1/part-000.snappy.parquet", 1000),
+    ])
+    tmp_table._commit(1, [
+        {"commitInfo": {"timestamp": 2000, "operation": "WRITE"}},
+        _add("d2/part-000.snappy.parquet", 2000),
+    ])
+
+    got = {
+        (r.k, r._change_type, r._commit_version)
+        for r in tmp_table.changes(0).collect()
+    }
+    # exactly one insert event per row, stamped with the version that
+    # actually added its file — no cross-directory duplication
+    assert got == {
+        (0, "insert", 0), (1, "insert", 0), (2, "insert", 1),
+    }
+    assert tmp_table.changes(0).count() == 3

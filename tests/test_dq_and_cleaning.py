@@ -116,3 +116,32 @@ def test_histogram_fixed_width_bins(spark):
         1: (25000.0, 50000.0, 1),
         3: (75000.0, 100000.0, 1),
     }
+
+
+def test_moving_frame_range_between(spark):
+    """Pytest anchor for the trailing-window frame arithmetic after
+    ext_moving_revenue retired from the oracle registry (r13): a
+    rangeBetween(-6, 0) frame over integer epoch-days must honor
+    CALENDAR gaps (days 0, 3, 8, 9: day 8's trailing-7d window spans
+    days 2..8, so day 0 falls out), where a rowsBetween frame would
+    wrongly keep the last 3 ROWS regardless of gap width."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(0, 10.0), (3, 20.0), (8, 40.0), (9, 80.0)], "day int, rev double"
+    )
+    w7 = Window.orderBy("day").rangeBetween(-6, 0)
+    got = {
+        r.day: (r.t7, r.n7)
+        for r in df.select(
+            "day",
+            F.sum("rev").over(w7).alias("t7"),
+            F.count(F.lit(1)).over(w7).alias("n7"),
+        ).collect()
+    }
+    assert got == {
+        0: (10.0, 1),
+        3: (30.0, 2),
+        8: (60.0, 2),  # day 0 aged out of the 7-day range (2..8)
+        9: (140.0, 3),  # range 3..9 still holds day 3
+    }

@@ -167,3 +167,79 @@ def test_real_delta_parity_with_minidelta(spark):
     finally:
         shutil.rmtree(real_dir, ignore_errors=True)
         shutil.rmtree(mini_dir, ignore_errors=True)
+
+
+def test_minidelta_reader_replays_vendored_real_log(spark):
+    """r13 (VERDICT task 4): reader interop WITHOUT the delta-spark
+    runtime. tests/fixtures/real_delta_table carries a ``_delta_log``
+    hand-assembled in the PUBLIC delta-spark on-disk dialect
+    (tools/make_real_delta_fixture.py — commitInfo with
+    engineInfo/isBlindAppend/txnId/operationMetrics, adds with
+    partitionValues + stats incl. nullCount, a remove with
+    extendedFileMetadata: fields MiniDeltaTable itself never writes).
+    The minidelta reader must replay snapshot, time travel, the CDF
+    fold, timestamp resolution, and stats-based data skipping from
+    that FOREIGN log. Copy-on-read into a temp dir: the vendored
+    fixture stays byte-pristine."""
+    import os
+
+    from ecommerce_lakehouse_platform_spark.sources.deltalog import (
+        MiniDeltaTable,
+    )
+
+    src = os.path.join(
+        os.path.dirname(__file__), "fixtures", "real_delta_table"
+    )
+    tmp = tempfile.mkdtemp(prefix="real_delta_interop_")
+    try:
+        dst = os.path.join(tmp, "t")
+        shutil.copytree(src, dst)
+        t = MiniDeltaTable(spark, dst)
+
+        # latest snapshot: v2 removed part-00001 (k=2,3) and rewrote
+        # the surviving row (k=3)
+        latest = {(r.k, r.s) for r in t.read().collect()}
+        assert latest == {
+            (0, "alpha"), (1, "bravo"), (3, "delta"), (4, "echo")
+        }
+        # time travel: v0 pre-append pre-delete, v1 adds k=4
+        assert {r.k for r in t.read(version=0).collect()} == {0, 1, 2, 3}
+        assert {r.k for r in t.read(version=1).collect()} == {0, 1, 2, 3, 4}
+        # TIMESTAMP AS OF from the foreign commitInfo timestamps
+        assert t.version_at_timestamp(1700000060000) == 1
+        assert t.version_at_timestamp(1700000119999) == 1
+
+        # CDF fold: k=2 nets out (insert v0 + delete v2); k=3 has 3
+        # row events (insert v0, delete+reinsert v2); k=0,1,4 one each
+        cdf = t.changes(0)
+        fold = {
+            r.k: (r.net, r.n)
+            for r in cdf.groupBy("k")
+            .agg(
+                F.sum(
+                    F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+                ).alias("net"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        }
+        assert fold == {
+            0: (1, 1), 1: (1, 1), 2: (0, 2), 3: (1, 3), 4: (1, 1)
+        }
+
+        # data skipping reads the FOREIGN stats strings: k ∈ [4, 9]
+        # can only live in part-00002
+        plan_files = t.files_for_range("k", 4, 9)
+        assert len(plan_files) == 1 and "part-00002" in plan_files[0]
+        assert {r.k for r in t.read(where=("k", 4, 9)).collect()} == {4}
+
+        # and the minidelta WRITER can extend the foreign log: an
+        # append composes (the real writer's protocol 1/2 accepted)
+        t.write(
+            spark.createDataFrame([(9, "foxtrot")], "k long, s string")
+            .coalesce(1),
+            mode="append",
+        )
+        assert {r.k for r in t.read().collect()} == {0, 1, 3, 4, 9}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -190,19 +190,22 @@ def test_changed_queries_sit_inside_driver_window():
     went green in CORRECTNESS_r10 and rotated out on schedule.)"""
     from ecommerce_lakehouse_platform_spark import registry
 
-    # r12's new queries are the externally-gated deltalog protocol
-    # features (type widening, identity columns) — never green, so
-    # the staleness invariant itself forces them into the window.
-    # Perf-only changes (ext_delta_cdf_fold replay batching,
-    # ext_dedup_keep_best pair-chain reuse) leave output values
-    # untouched and ride the local 150-query differential; their
-    # forced rotations (r13, r14) re-gate them externally on
-    # schedule. The new deltalog queries double as the read/commit
-    # canaries for this round's deltalog fixes (DV protocol restate,
-    # explicit-identity watermark, sidecar GC grace).
-    changed_r12 = {"ext_delta_widened_read", "ext_delta_identity"}
+    # r13's new query is the externally-gated v2-checkpoint recovery
+    # path — never green, so the staleness invariant itself forces it
+    # into the window. It doubles as the commit/replay canary for
+    # this round's deltalog fixes (identity watermark footer-stat
+    # hardening, RESTORE feature guards, appendOnly feature
+    # enumeration at 3/7): every fix sits under deltalog commit or
+    # replay machinery this query drives end-to-end. The r12 keys
+    # (ext_delta_widened_read, ext_delta_identity) went green in
+    # CORRECTNESS_r12 and rotated out on schedule; their forced
+    # rotation (r15) re-gates the r13 identity/appendOnly fixes
+    # externally on schedule, and ext_delta_identity's semantics are
+    # unchanged by them (the fixes close failure corners, not the
+    # happy path the query takes).
+    changed_r13 = {"ext_delta_v2_checkpoint"}
     window = set(registry._DRIVER_WINDOW)
-    assert changed_r12 <= window, sorted(changed_r12 - window)
+    assert changed_r13 <= window, sorted(changed_r13 - window)
 
 
 def test_bench_headline_names_are_registered():

@@ -202,3 +202,59 @@ def test_append_only_property_enforced(spark, base_dir):
     assert t.delete(F.col("k") == "3") is not None
     assert t.read().count() == 29
     assert t.unset_table_property("delta.appendOnly") is None  # gone
+
+
+def test_append_only_enumerated_when_already_at_3_7(spark, base_dir):
+    """r13 (ADVICE): setting ``delta.appendOnly=true`` on a table
+    ALREADY at reader 3 / writer 7 must enumerate ``appendOnly`` in
+    writerFeatures on THAT commit — the protocol requires a v7
+    table's list to name every feature in use, and an external
+    feature-honoring writer that doesn't see it would keep deleting.
+    (On a legacy-version table the property is writer-2 legacy and
+    joins the list on the next upgrade — the other test.) Idempotent:
+    re-setting emits no protocol restate."""
+    t = _table(spark, base_dir)
+    t.enable_type_widening()  # moves the table to 3/7 first
+    v = t.set_table_property("delta.appendOnly", "true")
+    p = _proto(t, v)
+    assert "appendOnly" in p["writerFeatures"]
+    assert "typeWidening" in p["writerFeatures"]  # cumulative
+    snap = t.snapshot()
+    assert "appendOnly" in snap.writer_features
+    # re-set: config commit, but NO protocol action (no-op restate
+    # would make concurrent losers raise ProtocolChangedError)
+    v2 = t.set_table_property("delta.appendOnly", "true")
+    assert not any("protocol" in a for a in t._read_actions(v2))
+
+
+def test_restore_honors_append_only_and_writer_features(spark, base_dir):
+    """r13 (ADVICE): RESTORE is a write — it must refuse to remove
+    rows from a ``delta.appendOnly=true`` table (it rolls back PAST
+    committed appends) and must refuse entirely under unknown
+    writerFeatures (it commits via _commit directly, bypassing the
+    write() guard)."""
+    t = _table(spark, base_dir)  # v0: 20 rows
+    t.write(_df(spark, 20, 30).coalesce(1), mode="append")  # v1
+    t.set_table_property("delta.appendOnly", "true")  # v2
+    with pytest.raises(ValueError, match="appendOnly"):
+        t.restore(0)  # would remove v1's appended rows
+    assert t.read().count() == 30  # nothing landed
+    # a restore that removes NO files (metadata-only rollback target
+    # = superset of current files) stays allowed: restoring to v1
+    # removes nothing (v2 was a pure property commit)
+    assert t.restore(1) is not None
+    assert t.read().count() == 30
+
+    t2 = _table(spark, base_dir, name="t2")
+    t2.write(_df(spark, 20, 25).coalesce(1), mode="append")
+    t2._commit(2, [
+        {"commitInfo": {"operation": "UPGRADE"}},
+        {"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": [],
+            "writerFeatures": ["futureConstraintDialect"],
+        }},
+    ])
+    with pytest.raises(NotImplementedError, match="futureConstraint"):
+        t2.restore(0)
+    assert t2.read().count() == 25  # reads fine, nothing mutated
