@@ -14,7 +14,7 @@ document's shingle array), with the classic guarantee: false
 positives at the chosen rate, false negatives never.
 
 The bit/hash arithmetic is byte-identical to the table-format bloom
-index (sources/deltalog.py): positions are
+index (sources/deltalog/): positions are
 ``conv(substr(md5('bloom<i>:' || value), 1, 15), 16, 10) % bits``,
 so the same filter can be built by either side and probed by the
 other. Sizing is the standard m = −n·ln p ∕ ln²2, k = (m/n)·ln 2.

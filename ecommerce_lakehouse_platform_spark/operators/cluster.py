@@ -56,6 +56,11 @@ __all__ = ["connected_components", "dedup_clusters"]
 # already eager (each round localCheckpoints and runs a convergence
 # probe), so recording costs nothing extra; benchmarks read this to
 # attribute iterative-query variance to a specific round.
+# CAVEAT: module-global, single-caller telemetry only — two
+# connected_components calls running concurrently in one process
+# interleave their entries (bench and the registry run queries
+# serially, so this never bites there; do not build product logic on
+# it).
 LAST_ITER_TIMES: list[float] = []
 
 

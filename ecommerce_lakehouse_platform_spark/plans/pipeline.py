@@ -41,7 +41,7 @@ def run_pipeline(
     and gold are written out, facts partitioned by date.
 
     ``table_format="minidelta"`` materializes every layer as a
-    Delta-protocol-logged table (sources/deltalog.py) instead of raw
+    Delta-protocol-logged table (sources/deltalog/) instead of raw
     parquet — versioned overwrites, time travel, and CDF on the
     pipeline outputs, which is the reference's managed-Delta
     deployment shape (02_silver_transform.py:29-37).

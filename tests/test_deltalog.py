@@ -3173,7 +3173,11 @@ def test_identity_watermark_distinguishes_no_stat_from_all_null(
     identity-omitting append would mint duplicate ids. The writer
     falls back to the footer's null_count and, when values exist, one
     bounded single-file aggregate."""
-    from ecommerce_lakehouse_platform_spark.sources import deltalog as dl
+    # patch the HELPER module (call sites late-bind via _base.<name>,
+    # so the patch reaches the staging path after the r13 package split)
+    from ecommerce_lakehouse_platform_spark.sources.deltalog import (
+        _base as dl,
+    )
 
     tmp_table.write(spark.createDataFrame([], "k string"))
     tmp_table.add_identity_column("id", start=10, step=5, allow_explicit=True)
@@ -3323,3 +3327,90 @@ def test_cdf_basename_collision_falls_back_to_full_path(spark, tmp_table):
         (0, "insert", 0), (1, "insert", 0), (2, "insert", 1),
     }
     assert tmp_table.changes(0).count() == 3
+
+
+def test_add_column_exists_default_read_and_write_halves(spark, tmp_table):
+    """r13 stretch (VERDICT task 8): ADD COLUMN ... DEFAULT freezes
+    BOTH halves of the public column-defaults feature. Read half
+    (EXISTS_DEFAULT): rows in files that physically predate the
+    column surface the default, per-file presence deciding — a
+    post-add file's explicitly stored NULL stays NULL. Write half
+    (CURRENT_DEFAULT): later writes omitting the column fill it.
+    ALTER ... SET DEFAULT re-points only the write half (Spark
+    freezes EXISTS_DEFAULT at ADD time). Composes with DV deletes,
+    and OPTIMIZE MATERIALIZES the default into rewritten files."""
+    import pyarrow.parquet as pq
+
+    tmp_table.checkpoint_interval = 0
+    tmp_table.write(
+        spark.createDataFrame(
+            [("a", 1), ("b", 2), ("c", 3), ("d", 4)], "k string, v int"
+        ).repartition(2)
+    )  # v0: two pre-column files
+    tmp_table.add_column("score", "int", default_sql="7")  # v1
+    got = {r.k: r.score for r in tmp_table.read().collect()}
+    assert got == {"a": 7, "b": 7, "c": 7, "d": 7}  # EXISTS_DEFAULT
+
+    # post-add file with explicit values INCLUDING NULL: stored
+    # values win; the stored NULL must NOT be filled
+    tmp_table.write(
+        spark.createDataFrame(
+            [("e", 5, 50), ("f", 6, None)], "k string, v int, score int"
+        ).coalesce(1),
+        mode="append",
+    )  # v2
+    # post-add file OMITTING the column: CURRENT_DEFAULT fills it
+    tmp_table.write(
+        spark.createDataFrame([("g", 9)], "k string, v int").coalesce(1),
+        mode="append",
+    )  # v3
+    got = {r.k: r.score for r in tmp_table.read().collect()}
+    assert got == {
+        "a": 7, "b": 7, "c": 7, "d": 7, "e": 50, "f": None, "g": 7
+    }
+
+    # SET DEFAULT re-points the WRITE half only; the read half stays
+    # frozen at the ADD-time expression
+    tmp_table.set_column_default("score", "9")  # v4
+    tmp_table.write(
+        spark.createDataFrame([("h", 10)], "k string, v int").coalesce(1),
+        mode="append",
+    )  # v5
+    got = {r.k: r.score for r in tmp_table.read().collect()}
+    assert got["h"] == 9
+    assert got["a"] == 7  # pre-add rows keep the frozen default
+
+    # DV delete composes: erase one PRE-ADD row, the rest keep filling
+    assert tmp_table.delete(F.col("k") == "b", use_dv=True) is not None
+    got = {r.k: r.score for r in tmp_table.read().collect()}
+    assert "b" not in got and got["a"] == 7 and got["f"] is None
+
+    # OPTIMIZE materializes: rewritten files physically CONTAIN the
+    # column with the filled values; the read is unchanged
+    assert tmp_table.optimize() is not None
+    snap = tmp_table.snapshot()
+    for rel in snap.files:
+        cols = {
+            n.split(".", 1)[0]
+            for n in pq.ParquetFile(
+                os.path.join(tmp_table.path, rel)
+            ).schema.names
+        }
+        assert "score" in cols, rel
+    got2 = {r.k: r.score for r in tmp_table.read().collect()}
+    assert got2 == got
+
+    # time travel: v0 predates the column entirely
+    assert "score" not in tmp_table.read(version=0).columns
+
+    # plain ADD COLUMN without a default: merge-schema NULL fill for
+    # the old files is preserved (no spurious filling)
+    tmp_table.add_column("note", "string")
+    got3 = {r.k: r.note for r in tmp_table.read().collect()}
+    assert set(got3.values()) == {None}
+
+    # guards: duplicate name, non-constant default
+    with pytest.raises(SchemaMismatchError):
+        tmp_table.add_column("score", "int")
+    with pytest.raises(ValueError, match="constant-foldable"):
+        tmp_table.add_column("bad", "int", default_sql="v + 1")

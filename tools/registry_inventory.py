@@ -36,33 +36,33 @@ PYTEST_ONLY = [
     (
         "Delta CHECK constraints (ADD/DROP CONSTRAINT, write-path and "
         "DML-path enforcement)",
-        "ecommerce_lakehouse_platform_spark/sources/deltalog.py",
+        "ecommerce_lakehouse_platform_spark/sources/deltalog/",
         "tests/test_deltalog.py::test_check_constraints_enforced_on_write",
     ),
     (
         "Delta generated columns (declare, compute-when-omitted, "
         "enforce-when-provided, evolution drop)",
-        "ecommerce_lakehouse_platform_spark/sources/deltalog.py",
+        "ecommerce_lakehouse_platform_spark/sources/deltalog/",
         "tests/test_deltalog.py::test_generated_columns_computed_and_enforced",
     ),
     (
         "Deletion vectors (position-sidecar DELETE, per-file sidecar "
         "layout, DV-aware CDF, DV clone, protocol gate)",
-        "ecommerce_lakehouse_platform_spark/sources/deltalog.py",
+        "ecommerce_lakehouse_platform_spark/sources/deltalog/",
         "tests/test_deltalog.py::test_deletion_vectors_delete_without_rewrite",
     ),
     (
         "DV-backed UPDATE (matched positions die under a sidecar, "
         "rewritten rows append in the same commit — zero file "
         "rewrites; CDF delete+insert; constraints gate)",
-        "ecommerce_lakehouse_platform_spark/sources/deltalog.py",
+        "ecommerce_lakehouse_platform_spark/sources/deltalog/",
         "tests/test_deltalog.py::test_dv_update_without_rewrite",
     ),
     (
         "DV-backed MERGE (stats-pruned match discovery, source lands "
         "as new files, neighbors emit no CDF events; streamed feed "
         "== batch feed)",
-        "ecommerce_lakehouse_platform_spark/sources/deltalog.py",
+        "ecommerce_lakehouse_platform_spark/sources/deltalog/",
         "tests/test_deltalog.py::test_dv_merge_upsert_without_rewrite",
     ),
     (
@@ -86,23 +86,23 @@ PYTEST_ONLY = [
         "rewriting only the DV-carrying files (clean neighbors keep "
         "their add entries verbatim, fully-dead files leave the "
         "layout, dataChange=false, vacuum reclaims the sidecars)",
-        "ecommerce_lakehouse_platform_spark/sources/deltalog.py",
+        "ecommerce_lakehouse_platform_spark/sources/deltalog/",
         "tests/test_deltalog.py::test_reorg_purge_materializes_dvs",
     ),
     (
         "DESCRIBE DETAIL (metadata-only table profile)",
-        "ecommerce_lakehouse_platform_spark/sources/deltalog.py",
+        "ecommerce_lakehouse_platform_spark/sources/deltalog/",
         "tests/test_deltalog.py::test_describe_detail",
     ),
     (
         "TIMESTAMP AS OF time travel (+ clock-skew monotonizing)",
-        "ecommerce_lakehouse_platform_spark/sources/deltalog.py",
+        "ecommerce_lakehouse_platform_spark/sources/deltalog/",
         "tests/test_deltalog.py::test_timestamp_as_of_monotonizes_clock_skew",
     ),
     (
         "In-commit timestamps (monotonic authoritative commit time "
         "under writer clock skew; time travel + CDF stamp by it)",
-        "ecommerce_lakehouse_platform_spark/sources/deltalog.py",
+        "ecommerce_lakehouse_platform_spark/sources/deltalog/",
         "tests/test_deltalog.py::"
         "test_in_commit_timestamps_monotonic_and_authoritative",
     ),
@@ -119,16 +119,22 @@ PYTEST_ONLY = [
         "evolve the schema, older files read/stream as NULL via "
         "marker-gated footer merging + availability-aware casts; DML/"
         "OPTIMIZE/CDF compose across the evolution)",
-        "ecommerce_lakehouse_platform_spark/sources/deltalog.py",
+        "ecommerce_lakehouse_platform_spark/sources/deltalog/",
         "tests/test_deltalog.py::"
         "test_merge_schema_append_evolves_and_reads_null",
     ),
     (
         "Column DEFAULT values (CURRENT_DEFAULT metadata; omitted "
         "columns fill at write, provided values pass as-is, "
-        "constant-foldable-only, DROP DEFAULT)",
-        "ecommerce_lakehouse_platform_spark/sources/deltalog.py",
-        "tests/test_deltalog.py::test_column_defaults_fill_omitted_writes",
+        "constant-foldable-only, DROP DEFAULT; r13: add_column(..., "
+        "default_sql=) freezes the EXISTS_DEFAULT read half — files "
+        "physically predating the column surface the frozen default "
+        "via per-file footer presence + a broadcast membership join, "
+        "post-add stored NULLs stay NULL, rewrites materialize the "
+        "default, SET DEFAULT re-points only the write half)",
+        "ecommerce_lakehouse_platform_spark/sources/deltalog/",
+        "tests/test_deltalog.py::"
+        "test_add_column_exists_default_read_and_write_halves",
     ),
     (
         "Row tracking (baseRowId per add + domainMetadata high "
@@ -136,7 +142,7 @@ PYTEST_ONLY = [
         "deletes, copy-on-write DELETE/UPDATE, OPTIMIZE, ZORDER, and "
         "REORG PURGE via the hidden materialized column; "
         "checkpoint/expiry-safe)",
-        "ecommerce_lakehouse_platform_spark/sources/deltalog.py",
+        "ecommerce_lakehouse_platform_spark/sources/deltalog/",
         "tests/test_row_tracking.py::"
         "test_ids_stable_across_every_preserving_rewrite",
     ),
@@ -145,13 +151,13 @@ PYTEST_ONLY = [
         "restore, file-set + schema rebind, configuration carried; "
         "externally gated r5–r8 as `ext_delta_restore`, retired r10 "
         "for `stream_cdf_source`)",
-        "ecommerce_lakehouse_platform_spark/sources/deltalog.py",
+        "ecommerce_lakehouse_platform_spark/sources/deltalog/",
         "tests/test_deltalog.py::test_restore_commits_old_snapshot_forward",
     ),
     (
         "replaceWhere partition-scoped overwrite with "
         "disjoint-partition conflict rebase",
-        "ecommerce_lakehouse_platform_spark/sources/deltalog.py",
+        "ecommerce_lakehouse_platform_spark/sources/deltalog/",
         "tests/test_deltalog.py::test_replace_where_disjoint_race_rebases",
     ),
     (
@@ -164,7 +170,7 @@ PYTEST_ONLY = [
     (
         "OPTIMIZE ZORDER BY (Morton-curve clustering + stats "
         "tightening for data skipping)",
-        "ecommerce_lakehouse_platform_spark/sources/deltalog.py",
+        "ecommerce_lakehouse_platform_spark/sources/deltalog/",
         "tests/test_deltalog.py::test_optimize_zorder_clusters_both_dimensions",
     ),
     (
@@ -176,20 +182,20 @@ PYTEST_ONLY = [
     (
         "Column mapping mode=name (metadata-only RENAME/DROP COLUMN, "
         "physical-name staging, stats translation, mapped DML)",
-        "ecommerce_lakehouse_platform_spark/sources/deltalog.py",
+        "ecommerce_lakehouse_platform_spark/sources/deltalog/",
         "tests/test_deltalog.py::"
         "test_column_mapping_rename_and_drop_without_rewrite",
     ),
     (
         "Bloom filter file index (point-lookup pruning on unordered "
         "high-cardinality columns; add-action tags, CDF-invisible)",
-        "ecommerce_lakehouse_platform_spark/sources/deltalog.py",
+        "ecommerce_lakehouse_platform_spark/sources/deltalog/",
         "tests/test_deltalog.py::test_bloom_index_point_lookup_pruning",
     ),
     (
         "VACUUM retention window (RETAIN N: time travel inside the "
         "window survives reclamation)",
-        "ecommerce_lakehouse_platform_spark/sources/deltalog.py",
+        "ecommerce_lakehouse_platform_spark/sources/deltalog/",
         "tests/test_deltalog.py::test_vacuum_retention_window",
     ),
     (
@@ -224,7 +230,7 @@ PYTEST_ONLY = [
         "explicit NULLs legal), ALWAYS rejects explicit values, "
         "race surfaces instead of minting duplicate ids; externally "
         "gated by ext_delta_identity since r12)",
-        "ecommerce_lakehouse_platform_spark/sources/deltalog.py",
+        "ecommerce_lakehouse_platform_spark/sources/deltalog/",
         "tests/test_deltalog.py::"
         "test_identity_column_assignment_and_guards",
     ),
@@ -234,7 +240,7 @@ PYTEST_ONLY = [
         "unchanged buckets reuse their sidecar byte-for-byte, so "
         "checkpoint write cost is the changed slice, not the table; "
         "v1 chaining, expiry GC, pyarrow-only reads)",
-        "ecommerce_lakehouse_platform_spark/sources/deltalog.py",
+        "ecommerce_lakehouse_platform_spark/sources/deltalog/",
         "tests/test_deltalog.py::"
         "test_v2_checkpoint_roundtrip_and_sidecar_reuse",
     ),
@@ -250,7 +256,7 @@ PYTEST_ONLY = [
         "a protocol action restating exactly the loser's snapshot "
         "gates rebases instead of raising, and DV commits emit the "
         "3/7 upgrade only when the table is not already there)",
-        "ecommerce_lakehouse_platform_spark/sources/deltalog.py",
+        "ecommerce_lakehouse_platform_spark/sources/deltalog/",
         "tests/test_concurrency.py::"
         "test_dml_rebases_past_disjoint_append",
     ),
@@ -270,7 +276,7 @@ PYTEST_ONLY = [
         "concurrent losers; delta.appendOnly enforced via "
         "set/unset_table_property — overwrite/DELETE/UPDATE/MERGE "
         "refuse, appends and OPTIMIZE pass)",
-        "ecommerce_lakehouse_platform_spark/sources/deltalog.py",
+        "ecommerce_lakehouse_platform_spark/sources/deltalog/",
         "tests/test_table_features.py::"
         "test_feature_enables_upgrade_cumulatively",
     ),
@@ -283,7 +289,7 @@ PYTEST_ONLY = [
         "OPTIMIZE, row tracking, stats skipping, checkpoint/expiry, "
         "and full-history streaming replays; externally gated by "
         "ext_delta_widened_read since r12)",
-        "ecommerce_lakehouse_platform_spark/sources/deltalog.py",
+        "ecommerce_lakehouse_platform_spark/sources/deltalog/",
         "tests/test_deltalog.py::test_type_widening_append_read_dml_cdf",
     ),
 ]
