@@ -70,7 +70,14 @@ class _CoreMixin:
         return sorted(out)
 
     def exists(self) -> bool:
-        return bool(self.versions())
+        # a real writer's log retention may delete every JSON commit
+        # up to AND INCLUDING the checkpoint version — the checkpoint
+        # plus _last_checkpoint then IS the table (the minidelta's
+        # own expire_log always keeps the checkpoint version's JSON,
+        # but foreign logs need not)
+        return bool(self.versions()) or (
+            self._latest_checkpoint_version() is not None
+        )
 
     def _version_file(self, version: int) -> str:
         return os.path.join(self.log_dir, f"{version:020d}.json")
@@ -81,12 +88,17 @@ class _CoreMixin:
 
     def snapshot(self, version: int | None = None) -> Snapshot:
         versions = self.versions()
-        if not versions:
+        # checkpoint versions are addressable even when their JSON
+        # commit was retention-deleted (real delta-spark cleanup
+        # removes JSON up to AND INCLUDING the checkpoint version;
+        # the checkpoint is then the only record of that state)
+        addressable = sorted(set(versions) | set(self._checkpoint_versions()))
+        if not addressable:
             raise FileNotFoundError(f"not a table (no {_LOG_DIR}): {self.path}")
-        latest = versions[-1]
+        latest = addressable[-1]
         if version is None:
             version = latest
-        if version not in versions:
+        if version not in addressable:
             raise ValueError(
                 f"version {version} not in table history 0..{latest}"
             )
@@ -155,11 +167,11 @@ class _CoreMixin:
             for action in self._read_checkpoint(ckpt):
                 apply(action)
             start = ckpt + 1
-        elif versions[0] > 0:
+        elif not versions or versions[0] > 0:
             raise ValueError(
-                f"cannot reconstruct version {version}: commits before "
-                f"{versions[0]} were expired (expire_log) and no "
-                "checkpoint at-or-before it exists"
+                f"cannot reconstruct version {version}: the commits "
+                "before the first retained JSON version were expired "
+                "and no checkpoint at-or-before it exists"
             )
         for v in versions:
             if v < start or v > version:

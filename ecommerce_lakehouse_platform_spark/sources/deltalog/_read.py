@@ -962,6 +962,14 @@ class _ReadMixin:
         incremental consumer reads the delta, never the table."""
         versions = self.versions()
         if not versions:
+            if self._latest_checkpoint_version() is not None:
+                # checkpoint-only history (foreign retention deleted
+                # every JSON commit): snapshots replay fine, but a
+                # change feed needs the commit records themselves
+                raise ValueError(
+                    "the entire JSON history was expired; the change "
+                    "feed cannot be reconstructed from a checkpoint"
+                )
             raise FileNotFoundError(f"not a table (no {_LOG_DIR}): {self.path}")
         latest = versions[-1]
         if ending_version is None:

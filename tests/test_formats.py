@@ -243,3 +243,72 @@ def test_minidelta_reader_replays_vendored_real_log(spark):
         assert {r.k for r in t.read().collect()} == {0, 1, 3, 4, 9}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_minidelta_replays_foreign_classic_checkpoint(spark):
+    """r13: the vendored real-dialect log also carries a CLASSIC
+    delta-spark checkpoint (txn/add/remove/metaData/protocol struct
+    columns, a remove TOMBSTONE row, add fields like stats/tags the
+    minidelta writer never checkpoints) plus ``_last_checkpoint``.
+    With the JSON history deleted (log retention), snapshot replay
+    must seed ENTIRELY from the foreign checkpoint: rows, schema, the
+    tombstone skipped, and the streaming txn ledger recovered."""
+    import os
+
+    from ecommerce_lakehouse_platform_spark.sources.deltalog import (
+        MiniDeltaTable,
+    )
+
+    src = os.path.join(
+        os.path.dirname(__file__), "fixtures", "real_delta_table"
+    )
+    tmp = tempfile.mkdtemp(prefix="real_delta_ckpt_")
+    try:
+        dst = os.path.join(tmp, "t")
+        shutil.copytree(src, dst)
+        for v in range(3):  # expire the JSON history
+            os.unlink(os.path.join(dst, "_delta_log", f"{v:020d}.json"))
+        t = MiniDeltaTable(spark, dst)
+        assert {(r.k, r.s) for r in t.read().collect()} == {
+            (0, "alpha"), (1, "bravo"), (3, "delta"), (4, "echo")
+        }
+        # the foreign checkpoint's txn row survives into the ledger
+        assert t.last_txn_version("some-stream") == 4
+        # and the minidelta writer composes on top of the foreign
+        # checkpoint: append lands at v3
+        t.write(
+            spark.createDataFrame([(9, "foxtrot")], "k long, s string")
+            .coalesce(1),
+            mode="append",
+        )
+        assert t.read().count() == 5
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_minidelta_reads_foreign_partitioned_log(spark):
+    """r13: hive-partitioned FOREIGN log — partition values live in
+    the log's partitionValues and the paths are hive-encoded (one
+    value carries a space). The reader must restore the partition
+    column (data files do not store it), decode the hive encoding,
+    and prune at log level."""
+    import os
+
+    from ecommerce_lakehouse_platform_spark.sources.deltalog import (
+        MiniDeltaTable,
+    )
+
+    src = os.path.join(
+        os.path.dirname(__file__), "fixtures", "real_delta_partitioned"
+    )
+    tmp = tempfile.mkdtemp(prefix="real_delta_part_")
+    try:
+        dst = os.path.join(tmp, "t")
+        shutil.copytree(src, dst)
+        t = MiniDeltaTable(spark, dst)
+        got = {(r.k, r.part_col) for r in t.read().collect()}
+        assert got == {(10, "red"), (11, "red"), (20, "a b")}
+        pruned = t.files_for({"part_col": "a b"})
+        assert len(pruned) == 1 and "a%20b" in pruned[0]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

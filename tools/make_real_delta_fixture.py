@@ -12,18 +12,26 @@ itself never writes, so the test proves the reader parses a FOREIGN
 log, not its own dialect. tests/test_formats.py asserts snapshot,
 time travel, and the CDF fold replay it byte-for-byte.
 
-Run once; the output (3 JSON commits + 4 parquet parts, ~6 KB) is
-committed. History:
+Run once; the output is committed. Fixture 1 (real_delta_table):
   v0  WRITE (overwrite): part-00000 (k=0,1), part-00001 (k=2,3)
   v1  WRITE (append, blind): part-00002 (k=4)
   v2  DELETE w/ rewrite: remove part-00001, add part-00003 (k=3 only)
+  + a CLASSIC CHECKPOINT at v2 in the delta-spark parquet dialect
+    (one row per action; txn/add/remove/metaData/protocol struct
+    columns — including a remove TOMBSTONE row and add fields the
+    minidelta writer never emits) and the `_last_checkpoint` pointer,
+    so checkpoint-seeded replay of a FOREIGN checkpoint is exercised.
 Expected final relation: k ∈ {0,1,3,4}; v0 relation: k ∈ {0,1,2,3}.
+
+Fixture 2 (real_delta_partitioned): a hive-partitioned table in the
+same dialect — partitionValues in the log, hive-encoded paths
+(`part_col=a%20b/...` for a value with a space), one commit — so
+partition-column restoration from a foreign log is exercised.
 
 Out of scope (documented, not silently skipped): real deletion-vector
 sidecars (delta-spark stores RoaringBitmapArray files under a
 z-ordered path — a different physical format from the minidelta DV
-sidecar) and real checkpoint parquet (column layout differences are
-exactly what the interop test must not hand-wave).
+sidecar).
 """
 
 from __future__ import annotations
@@ -216,7 +224,239 @@ def main() -> None:
         with open(os.path.join(log, f"{v:020d}.json"), "w") as fh:
             for a in actions:
                 fh.write(json.dumps(a, separators=(",", ":")) + "\n")
-    print(f"wrote {ROOT}: {len(PARTS)} parts + 3 commits")
+    _write_classic_checkpoint(log, names, sizes, t2)
+    print(f"wrote {ROOT}: {len(PARTS)} parts + 3 commits + checkpoint")
+    _write_partitioned_fixture()
+
+
+def _write_classic_checkpoint(
+    log: str, names, sizes, ts: int
+) -> None:
+    """00000000000000000002.checkpoint.parquet in the delta-spark
+    classic single-file dialect: one row per consolidated action,
+    non-matching struct columns null. Includes a remove TOMBSTONE row
+    (retained for vacuum in the real layout; state replay must skip
+    it) and add fields (stats, tags, modificationTime) the minidelta
+    writer's own checkpoints do not carry."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [
+            (
+                "txn",
+                pa.struct(
+                    [
+                        ("appId", pa.string()),
+                        ("version", pa.int64()),
+                        ("lastUpdated", pa.int64()),
+                    ]
+                ),
+            ),
+            (
+                "add",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("partitionValues", pa.map_(pa.string(), pa.string())),
+                        ("size", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                        ("stats", pa.string()),
+                        ("tags", pa.map_(pa.string(), pa.string())),
+                    ]
+                ),
+            ),
+            (
+                "remove",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("deletionTimestamp", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                        ("extendedFileMetadata", pa.bool_()),
+                        ("size", pa.int64()),
+                    ]
+                ),
+            ),
+            (
+                "metaData",
+                pa.struct(
+                    [
+                        ("id", pa.string()),
+                        ("name", pa.string()),
+                        ("description", pa.string()),
+                        ("format", pa.struct([
+                            ("provider", pa.string()),
+                            ("options", pa.map_(pa.string(), pa.string())),
+                        ])),
+                        ("schemaString", pa.string()),
+                        ("partitionColumns", pa.list_(pa.string())),
+                        ("configuration", pa.map_(pa.string(), pa.string())),
+                        ("createdTime", pa.int64()),
+                    ]
+                ),
+            ),
+            (
+                "protocol",
+                pa.struct(
+                    [
+                        ("minReaderVersion", pa.int32()),
+                        ("minWriterVersion", pa.int32()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    active = [names[0], names[2], names[3]]  # state as of v2
+    rows = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": "d9c15b2e-9c3a-4f51-8b20-2b2ad3c3f7ab",
+                "name": None,
+                "description": None,
+                "format": {"provider": "parquet", "options": []},
+                "schemaString": SCHEMA_STRING,
+                "partitionColumns": [],
+                "configuration": [],
+                "createdTime": 1700000000000,
+            }
+        },
+        # the real writer checkpoints the streaming txn ledger too
+        {"txn": {"appId": "some-stream", "version": 4,
+                 "lastUpdated": ts}},
+        # tombstone of the v2-removed file: state replay must SKIP it
+        {
+            "remove": {
+                "path": names[1],
+                "deletionTimestamp": ts,
+                "dataChange": True,
+                "extendedFileMetadata": True,
+                "size": sizes[names[1]],
+            }
+        },
+    ] + [
+        {
+            "add": {
+                "path": n,
+                "partitionValues": [],
+                "size": sizes[n],
+                "modificationTime": ts,
+                "dataChange": True,
+                "stats": _stats(PARTS[n]),
+                "tags": [],
+            }
+        }
+        for n in active
+    ]
+    table = pa.Table.from_pylist(rows, schema=schema)
+    pq.write_table(
+        table, os.path.join(log, f"{2:020d}.checkpoint.parquet")
+    )
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": 2, "size": len(rows)}, fh)
+
+
+PART_ROOT = os.path.join(
+    os.path.dirname(ROOT), "real_delta_partitioned"
+)
+
+PART_SCHEMA_STRING = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+            {
+                "name": "part_col",
+                "type": "string",
+                "nullable": True,
+                "metadata": {},
+            },
+        ],
+    }
+)
+
+
+def _write_partitioned_fixture() -> None:
+    """Hive-partitioned foreign table: partition values live in the
+    LOG's partitionValues (data files do NOT store the column — the
+    real layout) and the paths are hive-encoded, including a value
+    with a space."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    shutil.rmtree(PART_ROOT, ignore_errors=True)
+    log = os.path.join(PART_ROOT, "_delta_log")
+    os.makedirs(log)
+    parts = {
+        (
+            "part_col=red/part-00000-5b9ae5f2-0c3e-47a8-9e1a-"
+            "7e92f7b1a001-c000.snappy.parquet"
+        ): ("red", [10, 11]),
+        (
+            "part_col=a%20b/part-00000-9d7c2f10-6c1b-4f23-8c4d-"
+            "1a2b3c4d5e6f-c000.snappy.parquet"
+        ): ("a b", [20]),
+    }
+    adds = []
+    for rel, (pv, ks) in parts.items():
+        dst = os.path.join(PART_ROOT, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        pq.write_table(
+            pa.table({"k": pa.array(ks, pa.int64())}), dst,
+            compression="snappy",
+        )
+        adds.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": {"part_col": pv},
+                    "size": os.path.getsize(dst),
+                    "modificationTime": 1700000000000,
+                    "dataChange": True,
+                    "stats": json.dumps(
+                        {
+                            "numRecords": len(ks),
+                            "minValues": {"k": min(ks)},
+                            "maxValues": {"k": max(ks)},
+                            "nullCount": {"k": 0},
+                        }
+                    ),
+                }
+            }
+        )
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": 1700000000000,
+                "operation": "WRITE",
+                "operationParameters": {
+                    "mode": "Overwrite",
+                    "partitionBy": '["part_col"]',
+                },
+                "isolationLevel": "Serializable",
+                "isBlindAppend": False,
+                "engineInfo": "Apache-Spark/3.5.1 Delta-Lake/3.2.0",
+                "txnId": "9b1deb4d-3b7d-4bad-9bdd-2b0d7b3dcb6d",
+            }
+        },
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": "7e4b2f60-52c1-4b01-9c3e-0d7a8e6f1a2b",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": PART_SCHEMA_STRING,
+                "partitionColumns": ["part_col"],
+                "configuration": {},
+                "createdTime": 1700000000000,
+            }
+        },
+    ] + adds
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a, separators=(",", ":")) + "\n")
+    print(f"wrote {PART_ROOT}: {len(parts)} parts + 1 commit")
 
 
 if __name__ == "__main__":
