@@ -104,10 +104,25 @@ def connected_components(
     # (r12; the same fix callers applied ad hoc via materialize=True)
     e = e.localCheckpoint(eager=True)
     und = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    if small_graph_limit:
+        # ONE bounded job decides the path AND, in the small case,
+        # already holds the whole edge list: collecting limit+1 rows
+        # of the distinct relation either returns every edge (≤ limit
+        # ⇒ union-find on the rows in hand) or proves the graph is
+        # big (limit+1 rows ⇒ fall through to the loop). This fuses
+        # the former checkpoint + count + collect three-job probe
+        # into a single CollectLimit — the driver-traffic bound is
+        # unchanged (≤ limit+1 id pairs, the same class as any
+        # broadcast), and the r13 profile showed the probe jobs were
+        # pure scheduling overhead on every CC-backed dedup query.
+        rows = und.limit(small_graph_limit + 1).collect()
+        if len(rows) <= small_graph_limit:
+            LAST_ITER_TIMES.clear()
+            return _driver_union_find_rows(
+                rows, und.schema["a"].dataType, und.sparkSession,
+                node_col, comp_col,
+            )
     und = und.localCheckpoint(eager=True)
-    if und.count() <= small_graph_limit:
-        LAST_ITER_TIMES.clear()
-        return _driver_union_find(und, node_col, comp_col)
 
     labels = (
         und.select(F.col("a").alias("node"))
@@ -168,6 +183,21 @@ def _driver_union_find(
     caller enforces the size gate). Returns the same (node,
     component) relation as the distributed loop, with the node's
     original Spark type preserved."""
+    return _driver_union_find_rows(
+        und.collect(),
+        und.schema["a"].dataType,
+        und.sparkSession,
+        node_col,
+        comp_col,
+    )
+
+
+def _driver_union_find_rows(
+    edge_rows, node_type, spark, node_col: str, comp_col: str
+) -> DataFrame:
+    """Union-find over an already-collected edge list (see
+    :func:`_driver_union_find`; split out so the small-graph path can
+    reuse the rows its single CollectLimit probe already fetched)."""
     parent: dict = {}
 
     def find(x):
@@ -177,7 +207,7 @@ def _driver_union_find(
             x = parent[x]
         return x
 
-    for a, b in und.collect():
+    for a, b in edge_rows:
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
@@ -185,8 +215,6 @@ def _driver_union_find(
     # parenting the larger root under the smaller, every root IS its
     # component's minimum
     rows = [(x, find(x)) for x in parent]
-    spark = und.sparkSession
-    node_type = und.schema["a"].dataType
     schema = T.StructType(
         [
             T.StructField(node_col, node_type),

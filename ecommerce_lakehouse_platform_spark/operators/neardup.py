@@ -284,6 +284,20 @@ def _capped_shingle_groups(
     """
     ds = _doc_shingles(docs, id_col, text_col, n)
     if max_df is not None or max_df_frac is not None:
+        # materialize the exploded distinct shingle table ONCE: the
+        # drop probe below evaluates it (df aggregate + n_docs
+        # aggregate) and the final collect_set aggregation evaluates
+        # it AGAIN — separate actions, so exchange reuse cannot share
+        # them (r13 phase profile: the explode+distinct pass was
+        # recomputed 3× per invocation). localCheckpoint, not cache():
+        # the callers' materialize=True self-cleaning contract
+        # guarantees no CacheManager entry survives the call, and a
+        # pinned ds entry here would break it — the checkpoint RDD is
+        # GC-cleaned with the frame instead. Downstream grouping needs
+        # a fresh exchange either way (ds is partitioned on (doc_id,
+        # shingle), the consumers group on shingle), so unlike the
+        # grouped-sets frame nothing is lost to the opaque-scan effect.
+        ds = ds.localCheckpoint(eager=True)
         drop = _overcap_shingles(
             ds, max_df, max_df_frac, max_df_floor, max_df_ceil
         ).localCheckpoint(eager=True)

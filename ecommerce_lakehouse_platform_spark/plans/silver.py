@@ -84,13 +84,24 @@ def silver_orders(orders: DataFrame) -> DataFrame:
     )
 
 
-def silver_order_items(lineitem: DataFrame, orders_clean: DataFrame) -> DataFrame:
+def silver_order_items(
+    lineitem: DataFrame, orders_clean: DataFrame | None
+) -> DataFrame:
     """order line items: positive-quantity filter + order_date backfill
     via left join to orders (coalesce to a sentinel when the parent
     order is missing).
 
     Reference model: 02_silver_transform.py:148-174 (order_items_clean,
     incl. the left-join enrichment at :162-166).
+
+    ``orders_clean=None`` skips the enrichment join (the frame then
+    has no ``order_date``): consumers that never read ``order_date``
+    (the per-product sales rollup) pay a whole orders scan + broadcast
+    + probe for a column they drop — Catalyst cannot eliminate the
+    join itself because it cannot prove ``order_id`` unique on the
+    orders side. ``order_id`` IS the orders PK, so the left join is
+    multiplicity-preserving and the pruned frame feeds those consumers
+    identically (their DuckDB oracles never joined orders either).
     """
     items = lineitem.select(
         clean_id("l_orderkey").alias("order_id"),
@@ -100,6 +111,8 @@ def silver_order_items(lineitem: DataFrame, orders_clean: DataFrame) -> DataFram
         F.col("l_extendedprice").cast("double").alias("line_total_usd"),
         F.col("l_discount").cast("double").alias("discount_pct"),
     ).filter(F.col("order_id").isNotNull() & (F.col("quantity") > 0))
+    if orders_clean is None:
+        return items
     enriched = items.join(
         orders_clean.select("order_id", "order_date"), ["order_id"], "left"
     )

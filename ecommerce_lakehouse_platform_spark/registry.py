@@ -393,9 +393,14 @@ def gold_daily_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def gold_product_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sales rollup ⟕ broadcast dim ⟕ rating aggs with UNKNOWN/zero
-    coalesces (03_gold_aggregate.py:57-92)."""
-    orders = silver.silver_orders(_t(spark, sf_dir, "orders"))
-    items = silver.silver_order_items(_t(spark, sf_dir, "lineitem"), orders)
+    coalesces (03_gold_aggregate.py:57-92).
+
+    The items frame skips the orders enrichment join (r13): this
+    rollup never reads ``order_date``, the join is 1:1 on the orders
+    PK, and the oracle above computes from lineitem alone — dropping
+    it removes a whole orders scan + broadcast from the plan with
+    bit-identical output."""
+    items = silver.silver_order_items(_t(spark, sf_dir, "lineitem"), None)
     prods = silver.silver_products(_t(spark, sf_dir, "part"))
     return gold.gold_product_metrics(items, prods)
 
