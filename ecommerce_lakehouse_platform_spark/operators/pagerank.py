@@ -73,11 +73,18 @@ def pagerank_int(
     """
     base = (100 - damping_pct) * scale // 100
     outdeg = edges.groupBy(src_col).agg(F.count(F.lit(1)).alias("_deg"))
+    # outdeg is node-dimension-sized — exactly the bound that
+    # justifies broadcast_ranks — so under that flag the degree
+    # attach is a broadcast too: the edge relation is never sorted or
+    # re-exchanged for a sort-merge join when building the cache (r13;
+    # the SMJ's two sorts + exchange were the top stage of the cache
+    # fill). Without the flag both stay shuffle joins, as at web scale.
+    deg_side = F.broadcast(outdeg) if broadcast_ranks else outdeg
     # cache (not localCheckpoint): the InMemoryRelation keeps the
     # Catalyst plan for the per-iteration joins; lineage depth is fine
     # at small fixed iteration counts (contrast operators/cluster.py,
     # whose unbounded loop does need checkpoint truncation)
-    ed = edges.join(outdeg, [src_col]).cache()
+    ed = edges.join(deg_side, [src_col]).cache()
     # nodes is read once per iteration for the left-join realignment;
     # cache the projected vertex set so each iteration scans the
     # in-memory relation instead of rebuilding the distinct

@@ -541,6 +541,16 @@ def _copurchase_edges(li: DataFrame, dedupe: bool = False) -> DataFrame:
     correctness pass) leak at most one edge-relation per query, which
     dies with the session. Same contract as
     operators/neardup.ngram_jaccard_pairs."""
+    # r13 probe (decision record, OPTIMIZATION_r13.md): rebuilding
+    # this as a per-basket collect_set + double explode (the shape
+    # _copurchase_graph adopted for PageRank) measured ~1.45x SLOWER
+    # here at sf0.1, even with a spread-before-explode repartition —
+    # these consumers never distinct the pairs, so the self-join
+    # formulation generates them with ZERO exchanges locally (the ok
+    # side broadcasts) while the basket build pays its groupBy
+    # exchange with nothing downstream to amortize it. PageRank's
+    # build keeps the basket shape because its mandatory distinct
+    # re-exchanges either way.
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
     edges = (

@@ -133,15 +133,41 @@ def _copurchase_graph(spark: SparkSession, sf_dir: str):
     """(nodes, edges) of the product co-purchase graph: parts are
     vertices, distinct same-order part pairs are directed edges both
     ways. Shared by the registered query and the instrumented
-    per-iteration bench profile."""
+    per-iteration bench profile.
+
+    Edge build (r13): per-order part sets via one map-combined
+    ``collect_set`` aggregation, then a map-side double explode into
+    ordered pairs — the fact table crosses the wire ONCE (grouped,
+    partially aggregated) instead of feeding both sides of a
+    self-join; within-order duplicate parts collapse in the agg
+    buffer instead of surviving into the pair stream. Identical edge
+    SET to the self-join formulation (the trailing distinct is the
+    same), which is what the unrolled-CTE oracles state. Per-group
+    state is bounded by basket size (parts per order — naturally
+    small, the standard market-basket bound), NOT by node degree, so
+    the shape holds at 100 TB where a hot product's degree would blow
+    a per-node buffer."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     nodes = li.select(F.col("l_partkey").alias("node")).distinct()
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    baskets = (
+        li.filter(F.col("l_orderkey").isNotNull())
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("_parts"))
+        .filter(F.size("_parts") >= 2)
+    )
+    # spread-before-explode (same rationale as neardup._spread): the
+    # basket aggregate is compact enough for AQE to coalesce to ~1
+    # partition at bench scale, which would serialize the explode AND
+    # leave the cached edge relation single-partitioned for every
+    # downstream iteration. Hash-repartitioning the COMPACT rows on
+    # the order key is a deterministic, sort-free exchange whose cost
+    # is tiny next to the pair stream it fans out.
+    target = baskets.sparkSession.sparkContext.defaultParallelism
+    baskets = baskets.repartition(target, F.col("l_orderkey"))
     edges = (
-        a.join(b, ["ok"])
+        baskets.select(F.explode("_parts").alias("src"), "_parts")
+        .select("src", F.explode("_parts").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
         .distinct()
     )
     return nodes, edges
