@@ -251,11 +251,30 @@ def assign_ivf_buckets(
         "centroid_id",
         cosine(F.col(vec_col), F.col("_cvec")).alias("_csim"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("_csim").desc(), F.col("centroid_id"))
+    # argmax as a MAP-COMBINED aggregate, not a window (r13): the
+    # row_number window shuffled and sorted all n×C scored rows; the
+    # struct-max aggregate partially reduces each vector's C
+    # candidates map-side, so only n best-so-far rows cross the wire
+    # and the sort disappears. Struct comparison is lexicographic and
+    # ``-centroid_id`` is unique within a vector's group, so the max
+    # is exactly (csim DESC, centroid_id ASC) — the same argmax (and
+    # NaN ordering) as the window and the DuckDB oracle's row_number.
+    best = F.max(
+        F.struct(
+            F.col("_csim").alias("_s"),
+            (-F.col("centroid_id")).alias("_nc"),
+            F.col("centroid_id").alias("_c"),
+            F.col(vec_col).alias("_v"),
+        )
+    ).alias("_best")
     assigned = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, vec_col, F.col("centroid_id").alias("bucket_id"))
+        scored.groupBy(id_col)
+        .agg(best)
+        .select(
+            id_col,
+            F.col("_best._v").alias(vec_col),
+            F.col("_best._c").alias("bucket_id"),
+        )
     )
     return centroids, assigned
 
