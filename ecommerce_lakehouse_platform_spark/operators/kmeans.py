@@ -71,7 +71,14 @@ def _tdiv(s: int, n: int) -> int:
 def quantize_vectors(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """(id, q): the embedding quantized onto the 2^-20 integer grid."""
+    """(id, q): the embedding quantized onto the 2^-20 integer grid.
+
+    Deliberately NOT spread here (r13 decision record): this is the
+    entry projection of the kmeans driver-loop fits, whose per-job
+    compute is trivial — adding an exchange adds a whole AQE stage
+    round to EVERY seed/update job (measured kmeans_fit 1.6s → 2.5s).
+    Compute-dense consumers spread their own input selectively
+    (comoment_cells, pq_encode, assign_ivf_buckets)."""
     return df.select(
         F.col(id_col),
         F.transform(
@@ -326,7 +333,15 @@ def pq_encode(
     vecs_all = F.lit(
         [[[int(x) for x in vec] for _, vec in cb] for cb in codebooks]
     ).cast("array<array<array<bigint>>>")
-    q = quantize_vectors(df, id_col, vec_col)
+    # spread a provably-tiny corpus before the fused per-block encode
+    # (operators/spread.py): the projection folds n_blocks × k × sub
+    # distance terms per row, and a single-row-group source would
+    # serialize the whole encode onto one core. Large corpora keep
+    # their native scan parallelism. The FIT above is deliberately
+    # unspread (see quantize_vectors).
+    from .spread import spread_small
+
+    q = quantize_vectors(spread_small(df, id_col), id_col, vec_col)
 
     def block_code(b):  # b: 0-based block index Column
         cid_arr = F.element_at(cids_all, b + 1)

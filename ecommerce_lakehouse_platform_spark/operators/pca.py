@@ -39,6 +39,14 @@ def comoment_cells(df: DataFrame, dim: int, vec_col: str = "embedding") -> DataF
     shuffle collapses to dim(dim+1)/2 cells; the dim marginals are
     aggregated in their own pass and attached as literals, so the
     result plan is join-free)."""
+    # spread a provably-tiny corpus before the dim(dim+1)/2-way cell
+    # expansion (operators/spread.py): the triangle transform
+    # multiplies per-row work ~2000× at dim 64, and a single-row-group
+    # source would serialize it onto one core (r13 profile: 2.5 s
+    # single-task stages). Large corpora keep native scan parallelism.
+    from .spread import spread_small
+
+    df = spread_small(df, df.columns[0])
     q = quantize_vectors(df, id_col=df.columns[0], vec_col=vec_col).select("q")
     idx = F.sequence(F.lit(0), F.lit(dim - 1))
     cells = q.select(

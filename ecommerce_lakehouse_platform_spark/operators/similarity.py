@@ -245,6 +245,14 @@ def assign_ivf_buckets(
             .limit(n_centroids)
             .drop("_h")
         )
+    # spread a provably-tiny corpus before the C-way scoring fan-out
+    # (operators/spread.py): the cross join multiplies per-row work by
+    # C cosines, and a single-row-group source would serialize it all
+    # onto one core. Large corpora pass through with native scan
+    # parallelism.
+    from .spread import spread_small
+
+    corpus = spread_small(corpus, id_col)
     scored = corpus.crossJoin(F.broadcast(centroids)).select(
         id_col,
         vec_col,
