@@ -463,14 +463,28 @@ def main() -> None:
     # non-default-sf full runs write an sf-keyed side file for the
     # same reason: a /verify smoke at sf0.01 used to clobber the
     # sf0.1 prior, and the sf-mismatch guard then silently disabled
-    # requeue protection for the next driver run
+    # requeue protection for the next driver run.
+    # non-default-CPUS runs (the driver's scaling re-run at c8) write
+    # a cpus-suffixed file and NEVER touch the main detail: in r13 the
+    # 8-core re-run overwrote BENCH_DETAIL.json and destroyed the
+    # 32-core per-query evidence (PERF_r13 per_query came up empty).
+    # A c32 run also writes the suffixed copy so per-core-count files
+    # always exist for scaling comparisons.
     full_detail = (
         "BENCH_DETAIL.json" if sf == 0.1 else f"BENCH_DETAIL_sf{sf}.json"
     )
+    cpus_detail = full_detail.replace(".json", f"_c{cpus}.json")
+    if cpus != "32":
+        full_detail = cpus_detail
+        cpus_detail = None  # primary already carries the suffix
     detail_name = "BENCH_DETAIL_SUBSET.json" if subset else full_detail
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), detail_name
     )
+    # requeue prior must be a SAME-core-count snapshot: an 8-core
+    # median is legitimately ~1.5-2x a 32-core one for compute-dense
+    # queries, and sentinel normalization cancels box speed, not core
+    # count — comparing across counts would spray false flags
     prior_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), full_detail
     )
@@ -480,6 +494,8 @@ def main() -> None:
             prior = json.load(fh)
     except (OSError, json.JSONDecodeError):
         pass
+    if prior is not None and str(prior.get("cpus", "32")) != cpus:
+        prior = None
     def _settle() -> None:
         os.sync()
         time.sleep(5)  # let writeback drain OUTSIDE any timer
@@ -533,10 +549,20 @@ def main() -> None:
         # end-of-run median cannot (see _sentinel_once)
         "sentinel_series": sentinel_series,
         "sf": sf,
+        # core count stamps the snapshot so cross-count comparisons
+        # (and the requeue-prior guard above) are explicit
+        "cpus": int(cpus),
     }
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1)
         fh.write("\n")
+    if cpus_detail and not subset:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), cpus_detail),
+            "w",
+        ) as fh:
+            json.dump(detail, fh, indent=1)
+            fh.write("\n")
     print(json.dumps(detail))
     # compact summary LAST: must stay well under the driver's ~2000-byte
     # tail-capture window so the final line always parses

@@ -24,9 +24,13 @@ Lloyd's algorithm (the same distributed shape as Spark MLlib KMeans):
   pagerank's convergence probe, and exactly what "broadcast the new
   centroids" means on a real cluster.
 
-Each pass re-scans the (columnar, pruned) source instead of caching
-the quantized corpus: at 100 TB a persisted n×dim long column is not a
-thing, and the re-scan is the shape the cluster would run.
+The fit pins the quantized training relation for its own lifetime
+(``kmeans_fit(cache=True)``, released before returning): the seed pick
+plus every Lloyd pass iterate on the SAME points, and caching the
+training set is the standard iterative-fitter shape (Spark MLlib's
+KMeans does exactly this); MEMORY_AND_DISK spills gracefully when the
+corpus outgrows memory. One-pass consumers (the final assignment)
+still stream from the pruned columnar source.
 
 Cross-engine exactness (the registry's DuckDB differential): vector
 components are quantized to the 2^-20 grid (float→double exact, ×2^20
@@ -134,6 +138,7 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     salt: str = "kmeans:",
+    cache: bool = True,
 ) -> list[tuple[int, list[int]]]:
     """Run the Lloyd iterations and return the final quantized
     centroids as ``[(cluster_id, components)]`` — the "model" half.
@@ -141,9 +146,33 @@ def kmeans_fit(
     Seeds are the ``k`` corpus vectors with the smallest salted
     ``md5(id)`` (the same reproducible pseudo-sample as
     ``assign_ivf_buckets``, executed as TakeOrdered — no global sort);
-    seed rank order is the cluster id."""
-    pts = quantize_vectors(df, id_col, vec_col)
+    seed rank order is the cluster id.
 
+    ``cache`` (r14) pins the quantized point relation for the fit's
+    lifetime: the seed pick plus every Lloyd iteration re-scanned and
+    re-quantized the source — n_iters+1 passes for a fit whose whole
+    point is iterating on the SAME points. Caching the training set is
+    the standard iterative-fitter move (Spark MLlib's KMeans requires
+    it); MEMORY_AND_DISK spills gracefully at any scale, and the entry
+    is released before returning, so no CacheManager pin survives the
+    call."""
+    pts = quantize_vectors(df, id_col, vec_col)
+    pinned = None
+    if cache:
+        pts = pts.cache()
+        pinned = pts
+    try:
+        return _kmeans_fit_loop(pts, k, n_iters, id_col, salt)
+    finally:
+        if pinned is not None:
+            pinned.unpersist()
+
+
+def _kmeans_fit_loop(
+    pts: DataFrame, k: int, n_iters: int, id_col: str, salt: str
+) -> list[tuple[int, list[int]]]:
+    """The driver loop of :func:`kmeans_fit` over an already-quantized
+    (and possibly cached) point relation."""
     # phase times build locally and swap into LAST_ITER_TIMES whole at
     # the end: concurrent fits (pq_fit_blocks threads the independent
     # block fits) must not interleave their telemetry — the last
@@ -698,7 +727,17 @@ def kmeans_assign(
     assignment with cluster sizes. Returns
     ``(id, cluster, dist_sq, cluster_n)`` where ``dist_sq`` is the
     exact quantized squared distance to the final centroid."""
-    pts = quantize_vectors(df, id_col, vec_col)
+    # spread a provably-tiny source before the FINAL assignment (the
+    # r13 spread_small gate, operators/spread.py): the assignment folds
+    # k × dim distance terms per row, and a single-row-group fixture
+    # arrives as ONE partition — the r14 profile showed this stage as a
+    # 745ms single task while 31 cores idled. The FIT's own jobs stay
+    # unspread (r13 decision record: an AQE stage round per small job
+    # made the loop slower); its passes now iterate a cached relation
+    # instead.
+    from .spread import spread_small
+
+    pts = quantize_vectors(spread_small(df, id_col), id_col, vec_col)
     centroids = kmeans_fit(df, k, n_iters, id_col, vec_col, salt)
     final = _assign(pts, centroids)
     sizes = final.groupBy("cluster").agg(

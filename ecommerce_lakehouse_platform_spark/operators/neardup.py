@@ -527,7 +527,14 @@ def prefix_filter_jaccard_pairs(
     :func:`ngram_jaccard_pairs`, so the two are interchangeable and
     cross-checkable.
     """
-    ds = _doc_shingles(docs, id_col, text_col, n)
+    # materialize the exploded distinct shingle table ONCE (r14; the
+    # same fix _capped_shingle_groups landed in r13): the df
+    # aggregate, the n_docs aggregate, and the ranked join below all
+    # consume it, and the before-plan showed the scan+explode+distinct
+    # chain planned THREE times inside the per_doc fill. Same
+    # localCheckpoint-not-cache reasoning as there: no CacheManager
+    # entry may outlive the call.
+    ds = _doc_shingles(docs, id_col, text_col, n).localCheckpoint(eager=True)
     dfreq = _capped_shingle_df(ds, max_df, max_df_frac, max_df_floor)
     # one inner join both CAPS (cut shingles are absent from dfreq)
     # and RANKS (attaches df for the rarest-first prefix ordering)
@@ -551,6 +558,16 @@ def prefix_filter_jaccard_pairs(
     prefixes = per_doc.select(
         "doc_id", F.explode(F.slice("sset", F.lit(1), prefix_len)).alias("shingle")
     )
+    # candidate generation stays the prefix SELF-JOIN (r14 decision
+    # record): the grouped collect_set + map-side pair explode that
+    # won in _capped_shingle_groups was A/B-measured 2.4× SLOWER here
+    # (2.95s → 7.1s median at sf0.1) — prefixes are rarest-first, so
+    # the group key is dominated by df=1 singleton shingles and the
+    # ObjectHashAggregate pays per-group set overhead for millions of
+    # groups that produce zero pairs, while the self-join's single
+    # reused exchange skips them in codegen. The basket shape wins
+    # only when the aggregation ALSO replaces a second full exchange
+    # of the table (pagerank, market_basket, the capped full sets).
     a = prefixes.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = prefixes.select(F.col("doc_id").alias("doc_b"), "shingle")
     candidates = (

@@ -75,7 +75,17 @@ def sq8_encode(
     span_arr = F.lit(
         [int(b) - int(a) for a, b in zip(mn, mx)]
     ).cast("array<bigint>")
-    q = quantize_vectors(df, id_col, vec_col)
+    # spread a provably-tiny corpus before encoding (the r13
+    # spread_small gate, same placement as pq_encode): the code column
+    # feeds compute-dense consumers (IVF assignment + per-candidate
+    # distance folds stack ~k×dim work per row on top of it), and a
+    # single-row-group fixture otherwise serializes that whole chain
+    # onto one core (r14 profile: a 1.6s single-task stage under
+    # ext_sq8_ivf_topk while 31 cores idled). Large corpora keep their
+    # native scan parallelism.
+    from .spread import spread_small
+
+    q = quantize_vectors(spread_small(df, id_col), id_col, vec_col)
     codes = F.zip_with(
         F.col("q"),
         F.sequence(F.lit(1), F.lit(len(mn))),

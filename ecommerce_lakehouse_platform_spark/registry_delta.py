@@ -16,12 +16,13 @@ pre-evolution schema; the change feed folds back to the snapshot and
 is blind to OPTIMIZE) are externally value-checked, not just
 pytest-asserted.
 
-Each invocation materializes its table under a fresh temp directory
-(the queries are re-run by the bench loop; a fixed path would make the
-second run read the first run's log). The writes are ordinary
-distributed parquet writes — the log adds O(files) metadata — so the
-queries cost one sink pass at any scale, which is exactly what they
-model.
+Each query's commit-history fixture is materialized under a temp
+directory at most once per process (see ``_memo_fixture`` — the r14
+setup/read split); the declared READ path (log replay, CDF fold,
+time-travel scan, checkpoint recovery, stream drain) re-runs in full
+on every invocation. The writes are ordinary distributed parquet
+writes — the log adds O(files) metadata — so the build costs one sink
+pass at any scale, which is exactly what it models.
 """
 
 from __future__ import annotations
@@ -104,6 +105,60 @@ def _fresh_dir(prefix: str) -> str:
 atexit.register(_reap_at_exit)
 _ORPHANS_REAPED = False
 
+# ---------------------------------------------------------------------------
+# Per-process fixture-build memo (r14 optimization round; the r13
+# verdict's item 4). Before r14 every invocation of a sink query
+# rebuilt its whole multi-commit fixture table (several distributed
+# writes + OPTIMIZE + DV delete), so the bench's timed region measured
+# mostly the harness's table CONSTRUCTION, not the read path the query
+# declares and the oracle checks. The commit history is a
+# deterministic pure function of the fixture parquet inputs, so it is
+# now built at most ONCE PER PROCESS per (query, sf_dir) — a setup
+# phase, not result caching: every invocation still replays the
+# transaction log from disk, scans the table's real parquet files, and
+# computes the declared relation from them in full, and the oracle
+# hash is unchanged. Within the bench's 3 timed runs, run 1 pays the
+# build and the median therefore times the READ path — exactly the
+# measurement split the verdict ordered ("stop re-optimizing reads
+# against a number dominated by setup"). Memoized dirs are reaped at
+# process exit; they deliberately do NOT join _PREVIOUS_DIRS, whose
+# lazy reaper deletes on the next _fresh_dir call.
+# ---------------------------------------------------------------------------
+_FIXTURE_MEMO: dict[tuple[str, str], str] = {}
+_MEMO_DIRS: list[str] = []
+
+
+def _reap_memo_at_exit() -> None:
+    while _MEMO_DIRS:
+        shutil.rmtree(_MEMO_DIRS.pop(), ignore_errors=True)
+
+
+atexit.register(_reap_memo_at_exit)
+
+
+def _memo_fixture(tag: str, sf_dir: str, build) -> str:
+    """Table path for ``(tag, sf_dir)``, built with ``build(path)`` on
+    first use in this process. A vanished dir (external cleanup)
+    rebuilds rather than failing the read."""
+    global _ORPHANS_REAPED
+    key = (tag, sf_dir)
+    path = _FIXTURE_MEMO.get(key)
+    if path is not None and os.path.isdir(os.path.join(path, "_delta_log")):
+        return path
+    if not _ORPHANS_REAPED:
+        _ORPHANS_REAPED = True
+        _reap_orphans()
+    base = tempfile.mkdtemp(prefix=f"minidelta_{tag}_p{os.getpid()}_")
+    path = os.path.join(base, "orders")
+    try:
+        build(path)
+    except BaseException:
+        shutil.rmtree(base, ignore_errors=True)
+        raise
+    _MEMO_DIRS.append(base)
+    _FIXTURE_MEMO[key] = path
+    return path
+
 # the silver-orders relation both queries sink (the raw timestamp is
 # excluded per the registry determinism rules; same projection as
 # op_project_silver_orders)
@@ -142,15 +197,17 @@ def ext_delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle rebuilds v0 straight from the fixtures: the log replay, the
     as-of-version schema resolution, and the parquet round-trip all
     sit on the checked path."""
-    base = _silver_orders(spark, sf_dir)
-    path = _fresh_dir("minidelta_tt_") + "/orders"
-    tbl = MiniDeltaTable(spark, path)
-    tbl.write(base)  # v0: the reference's full-overwrite silver sink
-    restated = base.filter(F.col("status") == "F").withColumn(
-        "priority_flag", F.lit(True)
-    )
-    tbl.write(restated, overwrite_schema=True)  # v1: filtered + evolved
-    return tbl.read(version=0)
+    def build(path: str) -> None:
+        base = _silver_orders(spark, sf_dir)
+        tbl = MiniDeltaTable(spark, path)
+        tbl.write(base)  # v0: the reference's full-overwrite silver sink
+        restated = base.filter(F.col("status") == "F").withColumn(
+            "priority_flag", F.lit(True)
+        )
+        tbl.write(restated, overwrite_schema=True)  # v1: filtered + evolved
+
+    path = _memo_fixture("tt", sf_dir, build)
+    return MiniDeltaTable(spark, path).read(version=0)
 
 
 @query(
@@ -193,27 +250,30 @@ def ext_delta_cdf_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     Delta CDF's ``table_changes`` contract). The oracle states the
     expected net relation and event counts directly from the
     fixtures."""
-    base = _silver_orders(spark, sf_dir)
     key = F.col("order_id").cast("long")
-    key_mod = key % 3
-    path = _fresh_dir("minidelta_cdf_") + "/orders"
-    tbl = MiniDeltaTable(spark, path)
-    tbl.write(base.filter(key_mod.isin(0, 1)))  # v0
-    tbl.write(base.filter(key_mod == 2), mode="append")  # v1
-    # v2: compaction — a plain statement, NOT an assert: under
-    # python -O an assert's side effect vanishes and the query would
-    # silently stop exercising the OPTIMIZE-is-CDF-invisible contract
-    optimized_version = tbl.optimize()  # ≥2 active files by construction
-    if optimized_version is None:
-        raise RuntimeError("OPTIMIZE found nothing to compact")
-    restated = base.filter(key_mod == 0).unionByName(
-        base.filter(key_mod == 1).withColumn("priority", F.lit("RESTATED"))
-    )
-    tbl.write(restated)  # v3: overwrite = delete-all + insert-all
-    # v4: deletion-vector erase of the %9==3 slice — zero rewrites
-    if tbl.delete(key % 9 == 3, use_dv=True) is None:
-        raise RuntimeError("DV delete matched nothing")
-    cdf = tbl.changes(0)
+
+    def build(path: str) -> None:
+        base = _silver_orders(spark, sf_dir)
+        key_mod = key % 3
+        tbl = MiniDeltaTable(spark, path)
+        tbl.write(base.filter(key_mod.isin(0, 1)))  # v0
+        tbl.write(base.filter(key_mod == 2), mode="append")  # v1
+        # v2: compaction — a plain statement, NOT an assert: under
+        # python -O an assert's side effect vanishes and the query would
+        # silently stop exercising the OPTIMIZE-is-CDF-invisible contract
+        optimized_version = tbl.optimize()  # ≥2 active files by construction
+        if optimized_version is None:
+            raise RuntimeError("OPTIMIZE found nothing to compact")
+        restated = base.filter(key_mod == 0).unionByName(
+            base.filter(key_mod == 1).withColumn("priority", F.lit("RESTATED"))
+        )
+        tbl.write(restated)  # v3: overwrite = delete-all + insert-all
+        # v4: deletion-vector erase of the %9==3 slice — zero rewrites
+        if tbl.delete(key % 9 == 3, use_dv=True) is None:
+            raise RuntimeError("DV delete matched nothing")
+
+    path = _memo_fixture("cdf", sf_dir, build)
+    cdf = MiniDeltaTable(spark, path).changes(0)
     cols = [c for c in cdf.columns if not c.startswith("_")]
     return (
         cdf.groupBy(*cols)
@@ -258,18 +318,22 @@ def ext_delta_merge_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the merge's delete+reinsert of untouched rows — the observable
     contract of a full-overwrite MERGE commit. The oracle states the
     net relation and counts directly from the fixtures."""
-    base = _silver_orders(spark, sf_dir)
-    key_mod = F.col("order_id").cast("long") % 3
-    path = _fresh_dir("minidelta_mrg_") + "/orders"
-    tbl = MiniDeltaTable(spark, path)
-    tbl.write(base.filter(key_mod.isin(0, 1)))  # v0
-    source = base.filter(key_mod.isin(1, 2)).withColumn(
-        "priority", F.lit("MERGED")
-    )
-    merged_version = tbl.merge(source, keys=["order_id"])
-    if merged_version != 1:
-        raise RuntimeError(f"merge landed at v{merged_version}, expected v1")
-    cdf = tbl.changes(0)
+    def build(path: str) -> None:
+        base = _silver_orders(spark, sf_dir)
+        key_mod = F.col("order_id").cast("long") % 3
+        tbl = MiniDeltaTable(spark, path)
+        tbl.write(base.filter(key_mod.isin(0, 1)))  # v0
+        source = base.filter(key_mod.isin(1, 2)).withColumn(
+            "priority", F.lit("MERGED")
+        )
+        merged_version = tbl.merge(source, keys=["order_id"])
+        if merged_version != 1:
+            raise RuntimeError(
+                f"merge landed at v{merged_version}, expected v1"
+            )
+
+    path = _memo_fixture("mrg", sf_dir, build)
+    cdf = MiniDeltaTable(spark, path).changes(0)
     cols = [c for c in cdf.columns if not c.startswith("_")]
     return (
         cdf.groupBy(*cols)
@@ -469,25 +533,29 @@ def ext_delta_v2_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     retention (02_silver/02_silver_transform.py:29-37); the sidecar
     byte-reuse economics are pinned separately by
     tests/test_deltalog.py::test_v2_checkpoint_roundtrip_and_sidecar_reuse."""
-    base = _silver_orders(spark, sf_dir)
     key = F.col("order_id").cast("long")
-    path = _fresh_dir("minidelta_v2c_") + "/orders"
-    tbl = MiniDeltaTable(spark, path, checkpoint_interval=0)  # manual only
-    tbl.write(base.filter((key % 3).isin(0, 1)))  # v0
-    tbl.enable_v2_checkpoints()  # v1
-    tbl.write(base.filter(key % 3 == 2), mode="append")  # v2
-    if tbl.delete(key % 9 == 4, use_dv=True) is None:  # v3: DV erase
-        raise RuntimeError("DV delete matched nothing")
-    if tbl.checkpoint() != 3:
-        raise RuntimeError("v2 checkpoint did not land at v3")
-    if tbl.expire_log() != [0, 1, 2]:  # history gone: replay is real
-        raise RuntimeError("log expiry did not remove the JSON history")
-    revived = base.filter(key % 9 == 4).withColumn(
-        "priority", F.lit("REVIVED")
-    )
-    tbl.write(revived, mode="append")  # v4: post-expiry JSON tail
+
+    def build(path: str) -> None:
+        base = _silver_orders(spark, sf_dir)
+        tbl = MiniDeltaTable(spark, path, checkpoint_interval=0)  # manual
+        tbl.write(base.filter((key % 3).isin(0, 1)))  # v0
+        tbl.enable_v2_checkpoints()  # v1
+        tbl.write(base.filter(key % 3 == 2), mode="append")  # v2
+        if tbl.delete(key % 9 == 4, use_dv=True) is None:  # v3: DV erase
+            raise RuntimeError("DV delete matched nothing")
+        if tbl.checkpoint() != 3:
+            raise RuntimeError("v2 checkpoint did not land at v3")
+        if tbl.expire_log() != [0, 1, 2]:  # history gone: replay is real
+            raise RuntimeError("log expiry did not remove the JSON history")
+        revived = base.filter(key % 9 == 4).withColumn(
+            "priority", F.lit("REVIVED")
+        )
+        tbl.write(revived, mode="append")  # v4: post-expiry JSON tail
+
+    path = _memo_fixture("v2c", sf_dir, build)
     return (
-        tbl.read()
+        MiniDeltaTable(spark, path, checkpoint_interval=0)
+        .read()
         .groupBy("priority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
@@ -545,23 +613,31 @@ def stream_cdf_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     path."""
     from .streaming.cdf_source import read_cdf_stream
 
-    base = _silver_orders(spark, sf_dir)
     key = F.col("order_id").cast("long")
     key_mod = key % 3
-    root = _fresh_dir("minidelta_scdf_")
-    path = root + "/orders"
-    tbl = MiniDeltaTable(spark, path)
-    tbl.write(base.filter(key_mod.isin(0, 1)))  # v0
-    # v1: deletion-vector erase of the %9==3 slice — zero rewrites;
-    # the stream must surface it as row-level deletes of exactly the
-    # sidecar positions
-    if tbl.delete(key % 9 == 3, use_dv=True) is None:
-        raise RuntimeError("DV delete matched nothing")
-    tbl.write(base.filter(key_mod == 2), mode="append")  # v2
-    restated = base.filter((key_mod == 0) & (key % 9 != 3)).unionByName(
-        base.filter(key_mod == 1).withColumn("priority", F.lit("RESTATED"))
-    )
-    tbl.write(restated)  # v3: overwrite = delete-all + insert-all
+
+    def build(path: str) -> None:
+        base = _silver_orders(spark, sf_dir)
+        tbl = MiniDeltaTable(spark, path)
+        tbl.write(base.filter(key_mod.isin(0, 1)))  # v0
+        # v1: deletion-vector erase of the %9==3 slice — zero rewrites;
+        # the stream must surface it as row-level deletes of exactly
+        # the sidecar positions
+        if tbl.delete(key % 9 == 3, use_dv=True) is None:
+            raise RuntimeError("DV delete matched nothing")
+        tbl.write(base.filter(key_mod == 2), mode="append")  # v2
+        restated = base.filter((key_mod == 0) & (key % 9 != 3)).unionByName(
+            base.filter(key_mod == 1).withColumn(
+                "priority", F.lit("RESTATED")
+            )
+        )
+        tbl.write(restated)  # v3: overwrite = delete-all + insert-all
+
+    # the TABLE build memoizes; the stream drain below — the read path
+    # this query declares — re-runs in full on every invocation, into
+    # a fresh sink + checkpoint dir
+    path = _memo_fixture("scdf", sf_dir, build)
+    root = _fresh_dir("minidelta_scdfout_")
     out = root + "/events"
     q = (
         read_cdf_stream(spark, path)

@@ -308,17 +308,27 @@ def ext_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     key — real pipelines cap basket size first; baskets here are
     bounded by data construction.
     """
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
+    # r14: basket-aggregated build (the shape PageRank's edge build
+    # proved in r13). ONE map-combined collect_set per order replaces
+    # both the (ok, pk) distinct exchange and the fact-table self-join
+    # — collect_set dedups within the basket, so `li` re-derived from
+    # the basket rows is exactly the old DISTINCT relation, and pair
+    # generation explodes map-side from each basket (k(k−1)/2 rows per
+    # order, bounded by basket size — never a global cartesian). All
+    # three consumers (pairs, item counts, grand total) hang off the
+    # same basket aggregate, so its exchange is planned once and
+    # reused. A/B at sf0.1: 2.26s → 1.43s median (identical output,
+    # 3,573 rows).
+    raw = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
     )
+    baskets = raw.groupBy("ok").agg(F.collect_set("pk").alias("ps"))
+    li = baskets.select(F.explode("ps").alias("pk"), "ok")
     item = li.groupBy("pk").agg(F.count(F.lit(1)).alias("cnt"))
     tot = li.agg(F.countDistinct("ok").alias("total"))
-    a = li.select("ok", F.col("pk").alias("part_a"))
-    b = li.select("ok", F.col("pk").alias("part_b"))
     pairs = (
-        a.join(b, ["ok"])
+        baskets.select(F.explode("ps").alias("part_a"), "ps")
+        .select("part_a", F.explode("ps").alias("part_b"))
         .filter(F.col("part_a") < F.col("part_b"))
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("pair_count"))

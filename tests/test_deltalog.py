@@ -3414,3 +3414,33 @@ def test_add_column_exists_default_read_and_write_halves(spark, tmp_table):
         tmp_table.add_column("score", "int")
     with pytest.raises(ValueError, match="constant-foldable"):
         tmp_table.add_column("bad", "int", default_sql="v + 1")
+
+
+def test_registry_fixture_memo_reuses_build_and_result_is_stable(spark):
+    """r14 setup/read split: a registered delta query's commit-history
+    fixture builds at most once per process per (query, sf_dir); the
+    second invocation must hit the memo (same table path, no rebuild)
+    and return the identical relation — the bench's timed runs 2..3
+    rely on exactly this to measure the read path, and the driver's
+    oracle hash relies on the result not drifting across invocations."""
+    from ecommerce_lakehouse_platform_spark import registry_delta as rd
+    from ecommerce_lakehouse_platform_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rd._FIXTURE_MEMO.pop(("tt", sf), None)
+    first = QUERIES["ext_delta_time_travel"](spark, sf)
+    rows1 = sorted(map(tuple, first.collect()))
+    path1 = rd._FIXTURE_MEMO[("tt", sf)]
+    mtimes1 = sorted(
+        os.path.getmtime(os.path.join(path1, "_delta_log", f))
+        for f in os.listdir(os.path.join(path1, "_delta_log"))
+    )
+    second = QUERIES["ext_delta_time_travel"](spark, sf)
+    rows2 = sorted(map(tuple, second.collect()))
+    assert rd._FIXTURE_MEMO[("tt", sf)] == path1  # memo hit, no rebuild
+    mtimes2 = sorted(
+        os.path.getmtime(os.path.join(path1, "_delta_log", f))
+        for f in os.listdir(os.path.join(path1, "_delta_log"))
+    )
+    assert mtimes2 == mtimes1  # the log was not rewritten
+    assert rows1 == rows2

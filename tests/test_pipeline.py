@@ -7,6 +7,7 @@ import os
 import shutil
 import tempfile
 
+import pytest
 from pyspark.sql import functions as F
 
 from ecommerce_lakehouse_platform_spark.plans.pipeline import run_pipeline
@@ -16,6 +17,7 @@ from ecommerce_lakehouse_platform_spark.sources.writers import write_table
 from .conftest import SF_SMOKE
 
 
+@pytest.mark.slow  # ~3 min: two full materialized pipeline runs
 def test_pipeline_end_to_end(spark):
     warehouse = tempfile.mkdtemp(prefix="warehouse_")
     try:
@@ -131,6 +133,7 @@ def test_sql_workspace_three_layers(spark):
     assert tiers >= 2
 
 
+@pytest.mark.slow  # ~3 min: full pipeline through the minidelta sink
 def test_pipeline_minidelta_mode(spark):
     """table_format='minidelta' materializes every layer through the
     Delta-protocol log: same counts and DQ result as the parquet run,

@@ -203,9 +203,42 @@ def test_changed_queries_sit_inside_driver_window():
     # externally on schedule, and ext_delta_identity's semantics are
     # unchanged by them (the fixes close failure corners, not the
     # happy path the query takes).
-    changed_r13 = {"ext_delta_v2_checkpoint"}
+    # r14 (optimization round 2): every query whose code changed —
+    # the delta fixture-build split, the kmeans/perceptron
+    # training-set caches + final-assign spread, the sq8 encode
+    # spread, the market-basket and prefix-filter pair-build rewrites
+    # — plus the 8 r13-optimizer-touched keys the r13 verdict ordered
+    # forced ("must be FORCED into the r14 window").
+    changed_r14 = {
+        # delta setup/read split
+        "ext_delta_time_travel",
+        "ext_delta_cdf_fold",
+        "ext_delta_merge_cdf",
+        "ext_delta_v2_checkpoint",
+        "stream_cdf_source",
+        # ML driver-loop family (kmeans/classifier/quantize edits)
+        "ext_kmeans_embedding",
+        "ext_pq_encode",
+        "ext_pq_adc_search",
+        "ext_sq8_ivf_topk",
+        "ext_similarity_ivf",
+        "ext_ann_recall",
+        "ext_quality_perceptron",
+        "ext_quality_sampled_train",
+        # pair-build rewrites
+        "ext_market_basket",
+        "ext_dedup_prefix_filter",
+        # r13 verdict's named verification gap
+        "gold_product_metrics",
+        "ext_dedup_ngram_jaccard",
+        "ext_dedup_embedding",
+        "ext_dedup_semantic_clusters",
+        "ext_embedding_covariance",
+        "ext_media_phash_dedup",
+        "ext_dedup_containment",
+    }
     window = set(registry._DRIVER_WINDOW)
-    assert changed_r13 <= window, sorted(changed_r13 - window)
+    assert changed_r14 <= window, sorted(changed_r14 - window)
 
 
 def test_bench_headline_names_are_registered():

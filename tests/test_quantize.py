@@ -81,7 +81,14 @@ def test_sq8_encode_is_zero_shuffle(spark):
         .executedPlan()
         .toString()
     )
-    assert "Exchange" not in plan, "encoding must be a pure projection"
+    # the encode itself stays a pure projection; the single allowed
+    # Exchange is the spread_small repartition that parallelizes the
+    # compute-dense downstream over a provably-tiny (single-row-group)
+    # source — it self-disables past the input-size gate, so nothing
+    # data-proportional is shuffled at scale (r14; same pin shape as
+    # test_pca.test_comoment_plan_shape)
+    assert plan.count("Exchange") <= 1
+    assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "MapInPandas" not in plan
 
