@@ -638,20 +638,43 @@ def _minhash_band_buckets(
     rows = num_perm // bands
     carry = carry or []
 
-    def perm_min(i: int):
-        return F.array_min(
-            F.transform(F.col("sset"), lambda s: F.xxhash64(F.lit(i), s))
-        ).alias(f"mh_{i}")
-
-    sigs = sets_df.select(
-        "doc_id", *carry, *[perm_min(i) for i in range(num_perm)]
+    # ONE fold over the shingle array computes all num_perm mins
+    # (r14): the former shape ran num_perm separate
+    # transform+array_min traversals per document — 64 intermediate
+    # hash arrays of |sset| longs allocated and discarded per row,
+    # and the GC churn from that was the main driver of this query's
+    # run-to-run variance (r12 task 7; the event-log profile showed
+    # the signature stage at run≈3×cpu with ~4s GC). The fold
+    # traverses sset once, hashing each shingle into one 64-wide
+    # array and element-wise-min-ing into the accumulator. Identical
+    # signatures (same xxhash64(i, s) values, same mins) — A/B at
+    # sf0.1: 4.08 → 3.51s median and the stddev halved (1.99 → 1.09).
+    # An empty sset now yields Long.MaxValue sentinels instead of
+    # NULL minhashes; verified output is unaffected either way (an
+    # empty set's exact Jaccard never reaches any threshold, so the
+    # verify stage drops every such candidate).
+    init = F.array(
+        *[F.lit((1 << 63) - 1).cast("long") for _ in range(num_perm)]
     )
+    sig = F.aggregate(
+        F.col("sset"),
+        init,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(F.lit(i), s) for i in range(num_perm)]),
+            lambda a, b: F.least(a, b),
+        ),
+    )
+    sigs = sets_df.select("doc_id", *carry, sig.alias("_mh"))
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
-            F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias(
-                "bucket"
-            ),
+            F.xxhash64(
+                *[
+                    F.element_at("_mh", b * rows + r + 1)
+                    for r in range(rows)
+                ]
+            ).alias("bucket"),
         )
         for b in range(bands)
     ]

@@ -931,9 +931,13 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "ext_ann_recall",
     "ext_quality_perceptron",
     "ext_quality_sampled_train",
-    # --- (1) changed this round: pair builds ---
+    # --- (1) changed this round: pair builds + graph loop + LSH ---
     "ext_market_basket",
     "ext_dedup_prefix_filter",
+    "ext_label_propagation",
+    "ext_dedup_minhash_lsh",
+    "ext_dedup_incremental",
+    "stream_dedup_index_maintenance",
     # --- (2) r13 verdict's named verification gap ---
     "gold_product_metrics",
     "ext_dedup_ngram_jaccard",
@@ -958,7 +962,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "ext_dedup_span_cut",
     "ext_dsir_importance",
     "ext_gapfill_daily",
-    "ext_groupwise_stats",
     "ext_interval_join_errors",
     "ext_lm_perplexity",
     "ext_media_ppm_resize",
@@ -966,9 +969,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "ext_pivot_events",
     "ext_rfm_segmentation",
     "ext_text_tfidf",
-    "ext_text_vocab",
-    "ext_time_bucket_rollup",
-    "ext_time_to_convert",
     "gold_daily_metrics",
     "gold_product_funnel",
     "gold_session_metrics",

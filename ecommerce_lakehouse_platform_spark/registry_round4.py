@@ -641,6 +641,14 @@ def ext_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("lbl"), F.coalesce(F.col("nmin"), F.col("lbl"))
             ).alias("lbl"),
         )
+        # truncate the label lineage each round (r14; the CC loop's
+        # shape): un-checkpointed, iteration t's broadcast build
+        # re-executed iterations 1..t−1 — the event-log profile
+        # showed 30 stages and the lineitem scan repeated ~10× for 3
+        # iterations (quadratic re-execution). The checkpoint bounds
+        # plan depth at any iteration count; A/B at sf0.1: 4.10 →
+        # 3.80 s median, identical output.
+        lbl = lbl.localCheckpoint(eager=True)
     return lbl.select(
         F.col("node").alias("part_key"), F.col("lbl").cast("long").alias("community")
     )
